@@ -1,0 +1,146 @@
+"""End-to-end CDC transform tests on the canonical envelope fixture
+(FIXTURES.md §2-3): the reference's golden UPDATE on "user" id=1 plus
+filter/diff/materialization semantics (SURVEY.md §5 tier-2 analog)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.model import CHANGE_ENVELOPE_SCHEMA
+from walex_spark.operators import transforms as X
+
+TS = dt.datetime(2024, 1, 15, 10, 30)
+
+
+def _cols(names_types):
+    return [
+        {"name": n, "type": t, "is_key": n == "id", "type_modifier": -1}
+        for n, t in names_types
+    ]
+
+
+@pytest.fixture(scope="module")
+def envelope(spark):
+    user_cols = _cols(
+        [("id", "int4"), ("age", "int4"), ("books", "_varchar"), ("meta", "jsonb")]
+    )
+    rows = [
+        # the canonical golden UPDATE (FIXTURES.md §2)
+        ("UPDATE", "public", "user", user_cols,
+         {"id": "1", "age": "30", "books": '{"book1, 2 and 3","book4"}',
+          "meta": '{"key": {"foo": "bar"}, "list": [1, 2, 3]}'},
+         {"id": "1", "age": "28", "books": "{}", "meta": "{}"},
+         None, TS, 0, 100, 700, 0),
+        # trigger-style UPDATE touching only updated_at (unwatched)
+        ("UPDATE", "public", "user", user_cols,
+         {"id": "2", "age": "40", "updated_at": "2024-01-15T10:31:00Z"},
+         {"id": "2", "age": "40", "updated_at": "2024-01-15T10:00:00Z"},
+         None, TS, 0, 110, 701, 0),
+        ("INSERT", "public", "todo", None,
+         {"id": "t-1", "user_id": "1", "is_completed": "f"},
+         None, None, TS, 0, 120, 702, 0),
+        ("DELETE", "public", "user", None,
+         None, {"id": "5", "age": "44"}, None, TS, 0, 130, 703, 0),
+        # later UPDATE of user 1 (for state materialization ordering)
+        ("UPDATE", "public", "user", user_cols,
+         {"id": "1", "age": "31"}, {"id": "1", "age": "30"},
+         None, TS, 0, 140, 704, 0),
+        ("INSERT", "public", "ignored_table", None,
+         {"id": "9"}, None, None, TS, 0, 150, 705, 0),
+    ]
+    return spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+
+
+def test_relation_filter_parsing():
+    f = X.parse_relation_filter("public:user")
+    assert (f.schema, f.table) == ("public", "user")
+    assert X.parse_relation_filter("*") == X.RelationFilter(None, None)
+    assert X.parse_relation_filter("public") == X.RelationFilter("public", None)
+    with pytest.raises(ValueError):
+        X.parse_relation_filter("public:users:bad")
+
+
+def test_matches_semantics(envelope):
+    # FIXTURES.md §6: INSERT on public.todo must match these
+    assert X.matches(envelope, "*", "*").count() == 6
+    assert X.matches(envelope, "INSERT", "public").count() == 3
+    assert X.matches(envelope, "INSERT", "public:todo").count() == 1
+    assert X.matches(envelope, "UPDATE", "public:todo").count() == 0
+    assert X.matches(envelope, "INSERT", "myschema").count() == 0
+
+
+def test_subscriptions(envelope):
+    assert X.filter_subscribed(envelope, ["user", "todo"]).count() == 5
+    assert X.filter_subscribed(envelope, None).count() == 6
+
+
+def test_golden_update_event(envelope):
+    """The reference's end-to-end oracle (event_test.exs:55-91)."""
+    ev = X.filter_and_cast(
+        envelope, table="user", record_types=["update"], db="todos_test"
+    ).orderBy("lsn_ord")
+    rows = ev.collect()
+    first = rows[0]
+    assert first.name == "user"
+    assert first.type == "update"
+    assert first.source.name == "WalExSpark"
+    assert first.source.db == "todos_test"
+    assert first.source.columns == {
+        "id": "int4", "age": "int4", "books": "_varchar", "meta": "jsonb"
+    }
+    assert first.new_record["age"] == "30"
+    assert first.new_record["books"] == '{"book1, 2 and 3","book4"}'
+    # UPDATE omits old_record (event.ex:65-87) but carries the diff
+    assert first.old_record is None
+    assert set(first.changes.keys()) == {"age", "books", "meta"}
+    assert first.changes["age"].old_value == "28"
+    assert first.changes["age"].new_value == "30"
+    assert first.lsn == "0/64"  # hex(100)
+
+
+def test_unwatched_fields(envelope):
+    ev = X.filter_and_cast(envelope, table="user", record_types=["update"])
+    assert ev.count() == 3
+    watched = X.filter_unwatched_fields(ev, ["updated_at"])
+    # the trigger-only UPDATE (user 2) is dropped
+    assert watched.count() == 2
+    ids = {r.new_record["id"] for r in watched.collect()}
+    assert ids == {"1"}
+
+
+def test_unwatched_records(envelope):
+    out = X.filter_unwatched_records(envelope, {"id": "5"})
+    # the DELETE of id=5 is excluded (old_record consulted)
+    assert out.count() == 5
+
+
+def test_delete_event_uses_old_record(envelope):
+    ev = X.filter_and_cast(envelope, table="user", record_types=["delete"])
+    row = ev.collect()[0]
+    assert row.new_record is None
+    assert row.old_record["id"] == "5"
+    assert row.changes is None
+
+
+def test_materialize_table_state(envelope):
+    state = X.materialize_table_state(
+        envelope.filter(F.col("table") == "user"), ["id"]
+    )
+    rows = {r.record["id"]: r for r in state.collect()}
+    # user 1: latest change (lsn 140) wins → age 31
+    assert rows["1"].record["age"] == "31"
+    # user 5 was deleted → absent
+    assert "5" not in rows
+    assert "2" in rows
+
+
+def test_dedup_replay(envelope):
+    replayed = envelope.unionByName(envelope)
+    assert X.dedup_replay(replayed).count() == envelope.count()
+
+
+def test_set_type(envelope):
+    got = envelope.select(X.set_type().alias("t")).distinct().collect()
+    vals = {r.t for r in got}
+    assert "user.update" in vals and "todo.insert" in vals

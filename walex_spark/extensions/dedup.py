@@ -1,0 +1,180 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (walex is a CDC router) — these are the
+driver-mandated LLM-data-pipeline extensions, designed Spark-first:
+
+  - exact dedup: hash-groupBy; one shuffle on the content hash.
+  - MinHash+LSH: shingle → K minhashes → B bands → bucket join. All
+    JVM-side expressions (md5 + min aggregates) — no Python in the
+    path. The candidate join is an equi-join on (band_idx, band_hash),
+    so Catalyst shuffles on the bucket key only; at 100 TB the band
+    buckets are the partition key and hot buckets are split by AQE.
+  - SimHash: 32-bit signature via per-bit weighted majority, again
+    pure aggregates.
+  - n-gram Jaccard: exact verification for candidate pairs (use AFTER
+    LSH banding at scale — never cross-join the corpus).
+
+All hashes derive from md5 (deterministic, available in any ANSI-ish
+engine), so every operator here is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _tokens(text_col: Column, lowercase: bool = True) -> Column:
+    t = F.lower(text_col) if lowercase else text_col
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup: md5-group, keep min id as representative.
+
+    One shuffle on the 128-bit content hash; group sizes are tiny so
+    no skew concern. Returns (content_hash, rep_id, dup_count).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def tokenize_distinct(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token) rows, distinct per doc — shared by minhash/jaccard."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    tokens: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """K min-hashes per doc as K aggregate columns (no K× row blowup).
+
+    h_i(token) = md5(i || ':' || token); signature_i = min_token h_i.
+    Computed as K conditional-free min() aggregates over the exploded
+    token table — a single map-side-combinable groupBy(id): at scale
+    this is one shuffle keyed by doc id with partial aggregation.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return tokens.groupBy("id").agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of minhashes become a pair.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. The self-join is an
+    equi-join on (band_idx, band_hash) — only same-bucket docs meet,
+    which is the whole point of LSH at scale.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(tokenize_distinct(df, text_col, id_col), num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash"))
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over distinct-token sets for given candidate pairs.
+
+    ``pairs``: (id_a, id_b). Intersection via token equi-join, sizes
+    via per-doc distinct counts; J = |∩| / (|A|+|B|-|∩|). Use on LSH
+    candidates, not the full cross product.
+    """
+    toks = tokenize_distinct(df, text_col, id_col)
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.withColumnRenamed("id", "id_a")
+    tb = toks.withColumnRenamed("id", "id_b")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast(T.DoubleType())
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(T.DoubleType())
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash signature: per-bit weighted majority over token hashes.
+
+    Token hash = first 8 md5 hex chars → uint32. Bit j of the signature
+    is set iff more tokens have bit j set than clear. Computed as
+    ``bits`` sum() aggregates (map-side combinable single shuffle).
+    Returns (id, simhash BIGINT).
+    """
+    toks = tokenize_distinct(df, text_col, id_col)
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(T.LongType())
+    toks = toks.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when((F.floor(F.col("h") / F.lit(1 << j)) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("id").agg(*aggs)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select("id", sig.cast(T.LongType()).alias("simhash"))

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Driver-mandated extension (no reference counterpart). Spark-first
+design:
+
+  - dot product / cosine as a sequential JVM-side fold
+    (``F.aggregate`` over ``F.zip_with``) — deterministic
+    (left-to-right, double precision), no Python, no UDF.
+  - brute-force top-k: query-set × corpus join, ranked per query with
+    a window. The query side is small by construction → broadcast; the
+    corpus never shuffles. This is the exact baseline.
+  - LSH-bucketed ANN (random hyperplanes): sign-bit bucket key from
+    deterministic md5-derived planes; candidates only meet within a
+    bucket — the scale path (bucket key is the shuffle/partition key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast(T.DoubleType()))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a strict left fold — order-deterministic."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    side streams through without a shuffle until the final per-query
+    window (partitioned by query id — bounded cardinality).
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket id (0..2^planes-1).
+
+    Plane p, component i has weight +1/-1 from bit parity of
+    md5(p:i) — reproducible in any engine, no stored model. The bucket
+    id is the concatenated sign pattern of the vector against each
+    plane. Collisions preserve angular locality.
+    """
+    bucket = F.lit(0).cast(T.LongType())
+    for p in range(num_planes):
+        # deterministic ±1 weights per component
+        terms = None
+        for i in range(dim):
+            import hashlib
+
+            sign = 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 else -1
+            t = vec.getItem(i).cast(T.DoubleType()) * F.lit(float(sign))
+            terms = t if terms is None else terms + t
+        bucket = bucket + F.when(terms > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The equi-join on the bucket id replaces the full cross product —
+    at 100 TB the bucket is the shuffle key and each bucket holds
+    ~corpus/2^planes vectors. Recall is tunable via num_planes (fewer
+    planes → bigger buckets → higher recall).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

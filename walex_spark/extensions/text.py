@@ -1,0 +1,110 @@
+"""Text-analysis operators: token stats, quality scores, language id,
+fingerprinting.
+
+Driver-mandated extensions. Everything is built-in column expressions
+(split/regexp/aggregate) — JVM-side, whole-stage-codegen'd, no UDFs —
+so each operator is a narrow map over the corpus: zero shuffles,
+trivially scalable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# crude marker lists per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct, avg_token_len, type_token_ratio)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast(T.LongType()), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        (total_len.cast(T.DoubleType()) / n.cast(T.DoubleType())).alias("avg_token_len"),
+        (nd.cast(T.DoubleType()) / n.cast(T.DoubleType())).alias("type_token_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score ∈ [0,1].
+
+    Features: char length, token count, stopword ratio, punctuation
+    ratio, mean token length. Score formula is a fixed deterministic
+    blend (documented here, reproducible in SQL).
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    stop_ratio = n_stop.cast(T.DoubleType()) / n_tokens.cast(T.DoubleType())
+    punct_ratio = n_punct.cast(T.DoubleType()) / n_chars.cast(T.DoubleType())
+    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 1000), F.lit(1.0)).otherwise(F.lit(0.3))
+    score = (
+        F.lit(0.4) * len_ok
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: argmax over per-language marker
+    counts, 'und' (undetermined) when no marker hits. Deterministic
+    tie-break by language code order."""
+    toks = _tokens(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append(
+            (lang, F.size(F.filter(toks, lambda x: F.array_contains(markers, x))))
+        )
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # forward fold with strict > : alphabetically-first language wins ties
+    for lang, sc in scores:
+        cond = sc > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, sc).otherwise(best_score)
+    return df.select(F.col(id_col), best.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    plus a 32-bit integer bucket of it (for hash-partitioned dedup)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    fp = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 8), 16, 10).cast(T.LongType()).alias("fp_bucket"),
+    )

@@ -1,0 +1,984 @@
+"""Query registry: every operator from SURVEY.md §2.9, as
+(spark, sf_dir) -> DataFrame callables, each paired with a DuckDB
+oracle SQL string.
+
+Oracle-determinism rules used throughout (floats are the enemy):
+  - Sums over doubles are computed in DECIMAL (exact, order-independent)
+    and cast back to DOUBLE for output: identical bits in any engine.
+  - Averages = CAST(decimal_sum AS DOUBLE) / count — double division of
+    identical operands.
+  - Cosine/dot products use strict left folds in both engines
+    (F.aggregate ↔ list_reduce) — identical order ⇒ identical doubles.
+  - Top-k always carries a deterministic tie-break key.
+  - Timestamps are output as epoch seconds (BIGINT) to dodge tz/units.
+
+Column names are aliased identically on both sides (driver hashes by
+sorted column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from walex_spark.extensions import dedup as dd
+from walex_spark.extensions import similarity as sim
+from walex_spark.extensions import text as tx
+
+DEC = T.DecimalType(18, 4)
+RATE = T.DecimalType(8, 4)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) parquet column normalized
+    to a µs TimestampType (Spark cannot scan nanos timestamps natively;
+    DuckDB truncates ns→µs the same way)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _dec(c) -> F.Column:
+    return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
+
+
+def _rate(c) -> F.Column:
+    """Narrow decimal for rate-like columns (discount/tax) so products
+    of three decimals stay within 38 digits — exact in every engine."""
+    return F.col(c).cast(RATE) if isinstance(c, str) else c.cast(RATE)
+
+
+def _dbl(c) -> F.Column:
+    """decimal → double via DECIMAL(28,6): keeps the int128 numerator
+    under 2^53 so the conversion is exact in every engine (DuckDB's
+    wide-decimal→double cast is not correctly rounded)."""
+    return c.cast(T.DecimalType(28, 6)).cast(T.DoubleType())
+
+
+# =========================================================================
+# Relational layer (SURVEY.md §2.9 "standard relational layer")
+# =========================================================================
+
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-agg, fully pushed down; partial
+    aggregation map-side, single shuffle on the two group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    price, disc, tax, qty = (
+        _dec("l_extendedprice"),
+        _rate("l_discount"),
+        _rate("l_tax"),
+        _dec("l_quantity"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast(T.DateType()))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dbl(F.sum(qty)).alias("sum_qty"),
+            _dbl(F.sum(price)).alias("sum_base_price"),
+            _dbl(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+            _dbl(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
+            (_dbl(F.sum(qty)) / cnt).alias("avg_qty"),
+            (_dbl(F.sum(price)) / cnt).alias("avg_price"),
+            (_dbl(F.sum(disc)) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q02_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q02(spark, sf_dir):
+    """Join + agg + top-k. Revenue summed in decimal so the top-10
+    selection is exact; tie-break on orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _rate("l_discount")))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(rev.alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", _dbl(F.col("rev_dec")).alias("revenue"))
+    )
+
+
+@_register(
+    "q03_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+           CAST(strftime(o.o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer is small → broadcast to kill the first shuffle."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast(T.DateType())
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast(T.DateType())
+    )
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _rate("l_discount")))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            _dbl(F.col("rev_dec")).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@_register(
+    "q05_region_volume",
+    """
+    SELECT n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= DATE '1994-01-01' AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q05(spark, sf_dir):
+    """TPC-H Q5 shape: five-way join; every dim side broadcast, so the
+    only shuffle is the final groupBy on n_name."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast(T.DateType()))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast(T.DateType()))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _rate("l_discount")))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dbl(rev).alias("revenue"))
+    )
+
+
+@_register(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q06(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-agg; all predicates pushed to
+    the parquet reader."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast(T.DateType()))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast(T.DateType()))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dbl(F.sum(_dec("l_extendedprice") * _rate("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _rate("l_discount")))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", _dbl(F.col("rev_dec")).alias("revenue"))
+    )
+
+
+@_register(
+    "q_window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,6)) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def q_window_running_total(spark, sf_dir):
+    """Window running sum — decimal accumulator so the prefix sums are
+    exact and order-independent across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _dbl(F.sum(_dec("o_totalprice")).over(w)).alias("running_total"),
+    )
+
+
+@_register(
+    "q_window_topn_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q_window_topn(spark, sf_dir):
+    """Top-N per group — the canonical window + filter; shuffle on the
+    group key only."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@_register(
+    "q_window_lag_lead",
+    """
+    SELECT user_id, event_id, value,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def q_window_lag_lead(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@_register(
+    "q_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dbl(F.sum(_dec("l_quantity"))).alias("sum_qty")
+    )
+
+
+@_register(
+    "q_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dbl(F.sum(_dec("o_totalprice"))).alias("sum_price")
+    )
+
+
+@_register(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_register(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_register(
+    "q_set_ops",
+    """
+    SELECT n_nationkey, 'both' AS tag FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_nationkey, 'cust_only' AS tag FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    cust_only = c.exceptAll(s).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(cust_only)
+
+
+@_register(
+    "q_distinct_agg",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        _dbl(F.sum(_dec("c_acctbal"))).alias("sum_acctbal"),
+    )
+
+
+@_register(
+    "q_scalar_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(SUBSTR(p_name, 1, 8)) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '#', p_type) AS brand_type,
+           FLOOR(p_retailprice) AS price_floor,
+           CAST(p_size % 7 AS INTEGER) AS size_mod
+    FROM part
+    """,
+)
+def q_scalar_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.floor("p_retailprice").alias("price_floor"),
+        (F.col("p_size") % 7).cast(T.IntegerType()).alias("size_mod"),
+    )
+
+
+@_register(
+    "q_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
+           CAST(date_part('month', o_orderdate) AS INTEGER) AS order_month,
+           CAST(date_part('dow', o_orderdate) AS INTEGER) AS order_dow,
+           CAST(strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS VARCHAR) AS month_start,
+           datediff('day', DATE '1992-01-01', o_orderdate::DATE) AS days_since_92
+    FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """Date/scalar kitchen sink. NB: Spark dayofweek is 1-based
+    Sunday=1; DuckDB dow is 0-based Sunday=0 — normalized here."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.dayofweek("o_orderdate") - 1).cast(T.IntegerType()).alias("order_dow"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast(T.DateType()))
+        .cast(T.LongType())
+        .alias("days_since_92"),
+    )
+
+
+@_register(
+    "q_case_having",
+    """
+    SELECT o_custkey,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           COUNT(*) AS n_total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 5
+    """,
+)
+def q_case_having(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .filter(F.col("n_total") > 5)
+    )
+
+
+@_register(
+    "q_pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+    )
+
+
+# =========================================================================
+# CDC core layer (SURVEY.md §2.9 R1-R12), exercised over a deterministic
+# change-envelope derived from the events table:
+#   signup → INSERT, error → DELETE, everything else → UPDATE
+#   lsn = (0, event_id), xid = event_id, record = text-encoded map
+# =========================================================================
+
+_ENVELOPE_CASE_SQL = """
+      CASE event_type WHEN 'signup' THEN 'INSERT'
+                      WHEN 'error' THEN 'DELETE'
+                      ELSE 'UPDATE' END
+"""
+
+
+def events_as_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → canonical CDC envelope (model.CHANGE_ENVELOPE_SCHEMA
+    shape, text-encoded record map) for batch-checking the CDC operators."""
+    from walex_spark.model import CHANGE_ENVELOPE_SCHEMA  # noqa: F401
+
+    ev = _events(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", "INSERT")
+        .when(F.col("event_type") == "error", "DELETE")
+        .otherwise("UPDATE")
+    )
+    record = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast(T.StringType()),
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    cols = F.array(
+        F.struct(F.lit("user_id").alias("name"), F.lit("int8").alias("type"),
+                 F.lit(True).alias("is_key"), F.lit(-1).cast(T.LongType()).alias("type_modifier")),
+        F.struct(F.lit("event_type").alias("name"), F.lit("text").alias("type"),
+                 F.lit(False).alias("is_key"), F.lit(-1).cast(T.LongType()).alias("type_modifier")),
+        F.struct(F.lit("k").alias("name"), F.lit("int4").alias("type"),
+                 F.lit(False).alias("is_key"), F.lit(-1).cast(T.LongType()).alias("type_modifier")),
+    )
+    return ev.select(
+        op.alias("op"),
+        F.lit("public").alias("schema"),
+        F.lit("events_state").alias("table"),
+        cols.alias("columns"),
+        F.when(op != "DELETE", record).alias("record"),
+        F.when(op == "DELETE", record).alias("old_record"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("key_record"),
+        F.col("ts").alias("commit_ts"),
+        F.lit(0).alias("lsn_hi"),
+        F.col("event_id").cast(T.IntegerType()).alias("lsn_lo"),
+        F.col("event_id").alias("xid"),
+        F.lit(0).alias("change_idx"),
+    )
+
+
+@_register(
+    "q_cdc_filter_events",
+    f"""
+    SELECT event_id, user_id,
+           {_ENVELOPE_CASE_SQL} AS op,
+           concat('events_state', '.', lower({_ENVELOPE_CASE_SQL})) AS event_name
+    FROM events
+    WHERE {_ENVELOPE_CASE_SQL} IN ('INSERT','UPDATE')
+    """,
+)
+def q_cdc_filter_events(spark, sf_dir):
+    """R4/R5: event-type + relation filters over the envelope, plus the
+    `{{table}}.{{op}}` event-name string (helpers.ex:5-7)."""
+    from walex_spark.operators import transforms as X
+
+    env = events_as_envelope(spark, sf_dir)
+    out = X.matches(env, "*", "public:events_state")
+    out = out.filter(F.col("op").isin("INSERT", "UPDATE"))
+    return out.select(
+        F.col("xid").alias("event_id"),
+        F.coalesce(F.col("record"), F.col("old_record")).getItem("user_id").cast(T.LongType()).alias("user_id"),
+        F.col("op"),
+        X.set_type().alias("event_name"),
+    )
+
+
+@_register(
+    "q_cdc_event_projection",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, ts, event_type, {_ENVELOPE_CASE_SQL} AS op FROM events)
+    SELECT 'events_state' AS name, lower(op) AS type,
+           printf('%X/%X', 0, event_id) AS lsn,
+           CAST(event_id AS BIGINT) AS lsn_ord,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           CASE WHEN op IN ('INSERT','UPDATE') THEN CAST(user_id AS VARCHAR) END AS new_user_id,
+           CASE WHEN op = 'DELETE' THEN CAST(user_id AS VARCHAR) END AS old_user_id
+    FROM env
+    """,
+)
+def q_cdc_event_projection(spark, sf_dir):
+    """R9: full Event projection (event.ex:43-111) incl. lsn formatting
+    (event.ex:170-175) and per-op new/old record semantics."""
+    from walex_spark.operators import transforms as X
+
+    env = events_as_envelope(spark, sf_dir)
+    ev = X.event_projection(env)
+    return ev.select(
+        "name",
+        "type",
+        "lsn",
+        F.col("lsn_ord").cast(T.LongType()).alias("lsn_ord"),
+        F.unix_timestamp("timestamp").alias("ts_epoch"),
+        F.col("new_record").getItem("user_id").alias("new_user_id"),
+        F.col("old_record").getItem("user_id").alias("old_user_id"),
+    )
+
+
+@_register(
+    "q_cdc_latest_state",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             {_ENVELOPE_CASE_SQL} AS op
+      FROM events)
+    SELECT user_id, event_type AS last_event_type, k AS last_k,
+           CAST(event_id AS BIGINT) AS last_event_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM env)
+    WHERE rn = 1 AND op <> 'DELETE'
+    """,
+)
+def q_cdc_latest_state(spark, sf_dir):
+    """R10: table-state materialization — apply I/U/D in LSN order, latest
+    non-DELETE change per PK wins. One shuffle on the PK."""
+    from walex_spark.operators import transforms as X
+
+    env = events_as_envelope(spark, sf_dir)
+    state = X.materialize_table_state(env, ["user_id"])
+    rec = F.coalesce(F.col("record"), F.col("old_record"))
+    return state.select(
+        rec.getItem("user_id").cast(T.LongType()).alias("user_id"),
+        rec.getItem("event_type").alias("last_event_type"),
+        rec.getItem("k").cast(T.IntegerType()).alias("last_k"),
+        F.col("xid").alias("last_event_id"),
+    )
+
+
+@_register(
+    "q_cdc_dedup_replay",
+    f"""
+    SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id, user_id,
+           {_ENVELOPE_CASE_SQL} AS op
+    FROM events
+    """,
+)
+def q_cdc_dedup_replay(spark, sf_dir):
+    """R12: exactly-once on at-least-once replay — the envelope unioned
+    with itself (simulated replay) dedups back on (lsn, change_idx)."""
+    from walex_spark.operators import transforms as X
+
+    env = events_as_envelope(spark, sf_dir)
+    replayed = env.unionByName(env)  # duplicate delivery after restart
+    deduped = X.dedup_replay(replayed)
+    return deduped.select(
+        F.col("xid").alias("event_id"),
+        F.coalesce(F.col("record"), F.col("old_record")).getItem("user_id").cast(T.LongType()).alias("user_id"),
+        F.col("op"),
+    )
+
+
+_CDC_DIFF_SQL = """
+    WITH env AS (
+      SELECT event_id, user_id, event_type,
+             json_extract_string(props, '$.k') AS k
+      FROM events),
+    seq AS (
+      SELECT event_id, user_id, event_type, k,
+             lag(event_id)   OVER w AS p_event_id,
+             lag(event_type) OVER w AS p_event_type,
+             lag(k)          OVER w AS p_k
+      FROM env WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+    SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+           concat_ws(',',
+             CASE WHEN event_type IS DISTINCT FROM p_event_type THEN 'event_type' END,
+             CASE WHEN k IS DISTINCT FROM p_k THEN 'k' END) AS changed_keys,
+           CASE WHEN event_type IS DISTINCT FROM p_event_type THEN p_event_type END AS et_old,
+           CASE WHEN event_type IS DISTINCT FROM p_event_type THEN event_type END AS et_new,
+           CASE WHEN k IS DISTINCT FROM p_k THEN p_k END AS k_old,
+           CASE WHEN k IS DISTINCT FROM p_k THEN k END AS k_new
+    FROM seq
+    WHERE p_event_id IS NOT NULL
+      AND (event_type IS DISTINCT FROM p_event_type OR k IS DISTINCT FROM p_k)
+"""
+
+
+@_register("q_cdc_changes_diff", _CDC_DIFF_SQL)
+def q_cdc_changes_diff(spark, sf_dir):
+    """R8: generic old/new field diff (map_changes,
+    transaction_filter.ex:209-222) over consecutive per-key changes.
+    user_id never differs within a partition so it never appears."""
+    from walex_spark.operators.transforms import map_changes
+
+    env = events_as_envelope(spark, sf_dir)
+    rec = F.coalesce(F.col("record"), F.col("old_record"))
+    w = Window.partitionBy(rec.getItem("user_id")).orderBy("xid")
+    with_old = env.withColumn("cur", rec).withColumn("prev", F.lag(F.col("cur")).over(w))
+    diff = with_old.withColumn("changes", map_changes("prev", "cur")).filter(
+        F.col("prev").isNotNull() & (F.size(F.map_keys(F.col("changes"))) > 0)
+    )
+    ch = F.col("changes")
+    return diff.select(
+        F.col("xid").alias("event_id"),
+        F.col("cur").getItem("user_id").cast(T.LongType()).alias("user_id"),
+        F.concat_ws(",", F.array_sort(F.map_keys(ch))).alias("changed_keys"),
+        ch.getItem("event_type").getField("old_value").alias("et_old"),
+        ch.getItem("event_type").getField("new_value").alias("et_new"),
+        ch.getItem("k").getField("old_value").alias("k_old"),
+        ch.getItem("k").getField("new_value").alias("k_new"),
+    )
+
+
+@_register(
+    "q_cdc_unwatched_filters",
+    """
+    WITH env AS (
+      SELECT event_id, user_id, event_type,
+             json_extract_string(props, '$.k') AS k
+      FROM events),
+    seq AS (
+      SELECT event_id, user_id, event_type, k,
+             lag(event_id)   OVER w AS p_event_id,
+             lag(event_type) OVER w AS p_event_type,
+             lag(k)          OVER w AS p_k
+      FROM env WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+    SELECT CAST(event_id AS BIGINT) AS event_id, user_id
+    FROM seq
+    WHERE event_type <> 'error'
+      AND (p_event_id IS NULL OR event_type IS DISTINCT FROM p_event_type)
+    """,
+)
+def q_cdc_unwatched_filters(spark, sf_dir):
+    """R6+R7: unwatched-fields filter (diff-keys ∩ watched ≠ ∅ — here
+    'k' is unwatched, so only event_type changes count) composed with
+    unwatched-records filter ({event_type: error} exclusion),
+    transaction_filter.ex:175-207."""
+    from walex_spark.operators import transforms as X
+    from walex_spark.operators.transforms import map_changes
+
+    env = events_as_envelope(spark, sf_dir)
+    rec = F.coalesce(F.col("record"), F.col("old_record"))
+    w = Window.partitionBy(rec.getItem("user_id")).orderBy("xid")
+    with_diff = (
+        env.withColumn("cur", rec)
+        .withColumn("prev", F.lag(F.col("cur")).over(w))
+        .withColumn(
+            "changes",
+            F.when(F.col("prev").isNotNull(), map_changes("prev", "cur")),
+        )
+    )
+    out = X.filter_unwatched_fields(with_diff, ["k"])
+    out = X.filter_unwatched_records(out, {"event_type": "error"}, "cur", "cur")
+    return out.select(
+        F.col("xid").alias("event_id"),
+        F.col("cur").getItem("user_id").cast(T.LongType()).alias("user_id"),
+    )
+
+
+@_register(
+    "q_cdc_pg_cast",
+    """
+    SELECT o_orderkey,
+           (o_orderstatus = 'F') AS flag_bool,
+           CAST(CAST(o_orderkey % 1000 AS DECIMAL(19,2)) + CAST(0.50 AS DECIMAL(19,2)) AS DOUBLE) AS amount,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS created_epoch,
+           o_orderkey + o_custkey + 7 AS arr_sum
+    FROM orders
+    """,
+)
+def q_cdc_pg_cast(spark, sf_dir):
+    """R2: typed casts of text-encoded PG values (types.ex) — bool 't/f',
+    money '$x.50', timestamptz string, int8, and a PG array literal
+    '{a,b,7}' parsed + element-cast + aggregated."""
+    from walex_spark.functions import pg_cast
+
+    o = _t(spark, sf_dir, "orders")
+    text = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "t").otherwise("f").alias("flag_txt"),
+        F.concat(
+            F.lit("$"), (F.col("o_orderkey") % 1000).cast(T.StringType()), F.lit(".50")
+        ).alias("money_txt"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts_txt"),
+        F.concat(
+            F.lit("{"), F.col("o_orderkey").cast(T.StringType()), F.lit(","),
+            F.col("o_custkey").cast(T.StringType()), F.lit(",7}"),
+        ).alias("arr_txt"),
+    )
+    casted = text.select(
+        "o_orderkey",
+        pg_cast(F.col("flag_txt"), "bool").alias("flag_bool"),
+        pg_cast(F.col("money_txt"), "money").cast(T.DoubleType()).alias("amount"),
+        F.unix_timestamp(pg_cast(F.col("ts_txt"), "timestamptz")).alias("created_epoch"),
+        F.aggregate(
+            pg_cast(F.col("arr_txt"), "_int8"),
+            F.lit(0).cast(T.LongType()),
+            lambda acc, x: acc + x,
+        ).alias("arr_sum"),
+    )
+    return casted
+
+
+@_register(
+    "q_cdc_txn_stats",
+    f"""
+    SELECT user_id,
+           COUNT(*) AS n_changes,
+           SUM(CASE WHEN {_ENVELOPE_CASE_SQL} = 'INSERT' THEN 1 ELSE 0 END) AS n_inserts,
+           SUM(CASE WHEN {_ENVELOPE_CASE_SQL} = 'UPDATE' THEN 1 ELSE 0 END) AS n_updates,
+           SUM(CASE WHEN {_ENVELOPE_CASE_SQL} = 'DELETE' THEN 1 ELSE 0 END) AS n_deletes,
+           CAST(MIN(event_id) AS BIGINT) AS first_lsn,
+           CAST(MAX(event_id) AS BIGINT) AS last_lsn
+    FROM events GROUP BY user_id
+    """,
+)
+def q_cdc_txn_stats(spark, sf_dir):
+    """R3 (batch form): transaction assembly as grouping by the txn key
+    with ordered lsn bounds — the streaming form lives in
+    walex_spark.streaming (applyInPandasWithState)."""
+    env = events_as_envelope(spark, sf_dir)
+    return (
+        env.withColumn("user_id", F.coalesce(F.col("record"), F.col("old_record")).getItem("user_id").cast(T.LongType()))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.sum(F.when(F.col("op") == "INSERT", 1).otherwise(0)).alias("n_inserts"),
+            F.sum(F.when(F.col("op") == "UPDATE", 1).otherwise(0)).alias("n_updates"),
+            F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias("n_deletes"),
+            F.min("xid").alias("first_lsn"),
+            F.max("xid").alias("last_lsn"),
+        )
+    )
+
+
+@_register(
+    "q_cdc_tumbling_window",
+    """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_cdc_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregation (batch analog of the
+    streaming layer; the same F.window expr runs under readStream)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dbl(F.sum(_dec("value"))).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "q_cdc_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM g)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q_cdc_sessionize(spark, sf_dir):
+    """Sessionization in batch: 30-min-gap session ids via lag + running
+    sum (the streaming twin is session_window in walex_spark.streaming)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("new_session", gap)
+        .withColumn("session_no", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("session_no").cast(T.LongType()).alias("session_no"), "n_events")
+    )
