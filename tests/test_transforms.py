@@ -64,7 +64,7 @@ def test_relation_filter_parsing():
 def test_matches_semantics(envelope):
     # FIXTURES.md §6: INSERT on public.todo must match these
     assert X.matches(envelope, "*", "*").count() == 6
-    assert X.matches(envelope, "INSERT", "public").count() == 3
+    assert X.matches(envelope, "INSERT", "public").count() == 2
     assert X.matches(envelope, "INSERT", "public:todo").count() == 1
     assert X.matches(envelope, "UPDATE", "public:todo").count() == 0
     assert X.matches(envelope, "INSERT", "myschema").count() == 0

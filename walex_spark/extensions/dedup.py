@@ -153,6 +153,68 @@ def ngram_jaccard_pairs(
     return out
 
 
+def char_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct character n-gram shingles per doc: (id, token) rows."""
+    lowered = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(1))),
+        lambda i: lowered.substr(i, F.lit(n)),
+    )
+    return (
+        df.filter(F.length(lowered) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("token"))
+        .distinct()
+    )
+
+
+def jaccard_pairs_from_tokens(
+    tokens: DataFrame, threshold: float = 0.0, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Exact Jaccard via an inverted-index token self-join (no cross
+    product): pairs sharing ≥1 token meet in the join, J = |∩| /
+    (|A|+|B|-|∩|). Pairs with empty intersection have J=0 and are
+    implicitly dropped (supply threshold > 0 for the same semantics in
+    an oracle).
+
+    ``max_doc_freq`` drops tokens appearing in more than N docs before
+    the join — the standard guard against hot-shingle quadratic blowup
+    at corpus scale (a stopword shingle would otherwise pair everything
+    with everything).
+    """
+    toks = tokens
+    if max_doc_freq is not None:
+        freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        toks = toks.join(
+            F.broadcast(freq.filter(F.col("df") <= max_doc_freq).select("token")), "token"
+        )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col("id").alias("id_a"), "token")
+    b = toks.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast(T.DoubleType())
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(T.DoubleType())
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

@@ -982,3 +982,327 @@ def q_cdc_sessionize(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("session_no").cast(T.LongType()).alias("session_no"), "n_events")
     )
+
+
+# =========================================================================
+# LLM-data-pipeline extensions (driver-mandated; no reference
+# counterpart): dedup, similarity search, text analysis, multimodal
+# =========================================================================
+
+_TOKS_SQL = """
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+      FROM documents
+"""
+
+
+@_register(
+    "q_doc_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup: one shuffle on the 128-bit content hash."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5(concat('{i}:', token))) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5(concat({cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sig AS (SELECT id, {sig_cols} FROM toks GROUP BY id),
+    banded AS ({band_selects})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    """
+
+
+@_register("q_doc_minhash_pairs", _minhash_oracle())
+def q_doc_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 16 md5-minhashes, 4 bands;
+    candidates meet only within a band bucket (the LSH shuffle key)."""
+    return dd.minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_doc_trigram_jaccard",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+                                   i -> substr(lower(text), i, 3))) AS g
+      FROM documents WHERE doc_id < 120 AND length(text) >= 3),
+    sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS it
+      FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.id = id_a
+    JOIN sz sb ON sb.id = id_b
+    WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.3
+    """,
+)
+def q_doc_trigram_jaccard(spark, sf_dir):
+    """Exact character-trigram Jaccard over an inverted-index join (no
+    cross product). Bounded here to doc_id < 120 so the correctness
+    oracle stays cheap; at scale the LSH candidates (previous query)
+    feed this as the verification stage."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    shingles = dd.char_shingles(docs, 3)
+    return dd.jaccard_pairs_from_tokens(shingles, threshold=0.3)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    aggs = ",\n           ".join(
+        f"SUM(CASE WHEN (CAST(floor(h / {1 << j}) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    h AS (SELECT id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM toks),
+    per_doc AS (SELECT id, {aggs} FROM h GROUP BY id)
+    SELECT id, CAST({sig} AS BIGINT) AS simhash FROM per_doc
+    """
+
+
+@_register("q_doc_simhash", _simhash_oracle())
+def q_doc_simhash(spark, sf_dir):
+    """32-bit SimHash: per-bit weighted majority as 32 map-side-combined
+    sum aggregates — one shuffle keyed by doc id."""
+    return dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_doc_token_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS type_token_ratio
+    FROM t
+    """,
+)
+def q_doc_token_stats(spark, sf_dir):
+    out = tx.token_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast(T.LongType()).alias("n_tokens"),
+        F.col("n_distinct").cast(T.LongType()).alias("n_distinct"),
+        "avg_token_len",
+        "type_token_ratio",
+    )
+
+
+@_register(
+    "q_doc_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct
+      FROM documents),
+    f AS (
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+             CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio
+      FROM t)
+    SELECT doc_id, n_chars, n_tokens, stopword_ratio, punct_ratio,
+           0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.3 END)
+             + 0.3 * least(stopword_ratio * 4, 1.0)
+             + 0.3 * (1.0 - least(punct_ratio * 10, 1.0)) AS quality_score
+    FROM f
+    """,
+)
+def q_doc_quality(spark, sf_dir):
+    out = tx.quality_score(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast(T.LongType()).alias("n_chars"),
+        F.col("n_tokens").cast(T.LongType()).alias("n_tokens"),
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+@_register(
+    "q_doc_langid",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS de_n,
+             len(list_filter(toks, x -> x IN ('the','and','of','a'))) AS en_n,
+             len(list_filter(toks, x -> x IN ('el','la','de','y'))) AS es_n,
+             len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS fr_n
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN de_n = 0 AND en_n = 0 AND es_n = 0 AND fr_n = 0 THEN 'und'
+                WHEN de_n >= en_n AND de_n >= es_n AND de_n >= fr_n THEN 'de'
+                WHEN en_n >= es_n AND en_n >= fr_n THEN 'en'
+                WHEN es_n >= fr_n THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+)
+def q_doc_langid(spark, sf_dir):
+    return tx.language_id(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_doc_fingerprint",
+    """
+    WITH n AS (
+      SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT doc_id, fp AS fingerprint,
+           ('0x' || substr(fp, 1, 8))::BIGINT AS fp_bucket
+    FROM n
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return tx.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_FOLD_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (p, q) -> p + q)"
+)
+
+
+@_register(
+    "q_emb_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_FOLD_DOT.format(a='q.v', b='c.v')}
+               / (sqrt({_FOLD_DOT.format(a='q.v', b='q.v')})
+                  * sqrt({_FOLD_DOT.format(a='c.v', b='c.v')})) AS cosine
+      FROM q, c WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_emb_cosine_topk(spark, sf_dir):
+    """Exact ANN baseline: brute-force cosine top-k. Query side broadcast;
+    dot products are strict left folds (deterministic doubles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, k=5)
+
+
+def _hyperplane_sql(num_planes: int = 8, dim: int = 64) -> str:
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        terms = []
+        for i in range(dim):
+            sign = 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 else -1
+            terms.append(f"v[{i + 1}] * {float(sign)}")
+        planes.append(
+            f"(CASE WHEN ({' + '.join(terms)}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(planes)
+
+
+@_register(
+    "q_emb_ann_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_hyperplane_sql()} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v, bucket FROM b WHERE vec_id < 32),
+    c AS (SELECT vec_id AS neighbor_id, v, bucket FROM b),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_FOLD_DOT.format(a='q.v', b='c.v')}
+               / (sqrt({_FOLD_DOT.format(a='q.v', b='q.v')})
+                  * sqrt({_FOLD_DOT.format(a='c.v', b='c.v')})) AS cosine
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_emb_ann_lsh(spark, sf_dir):
+    """Approximate top-k: random-hyperplane LSH buckets (8 planes,
+    md5-derived deterministic weights) — the equi-join on the bucket id
+    is the scale path that replaces the cross product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_topk(emb.filter(F.col("vec_id") < 32), emb, dim=64, k=5)
+
+
+@_register(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha,
+           source AS format
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal column plumbing: opaque binary payload + typed
+    metadata; JVM-side length/digest over the binary column."""
+    from walex_spark.extensions.multimodal import documents_as_media
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.octet_length("payload").cast(T.LongType()).alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha"),
+        F.col("meta.format").alias("format"),
+    )
+
+
+@_register("q_multimodal_features")  # no SQL oracle: mapInPandas feature stub
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode kernel stubbed — no codec libs in the container; the
+    batch/partition plumbing is the real thing being exercised)."""
+    from walex_spark.extensions.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 8), 6).alias("f7"),
+    )
