@@ -57,6 +57,42 @@ def tokenize_distinct(
     )
 
 
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, token) rows.
+
+    The canonical MinHash document representation: order-sensitive
+    shingles, not bag-of-words. On a corpus drawn from a small
+    vocabulary, bag-of-words Jaccard is ~1 between unrelated docs and
+    LSH banding degenerates to the cross product; w-shingling keeps
+    unrelated docs' signatures disjoint, so band buckets stay small —
+    at 100 TB the bucket size bounds the candidate-join fan-out.
+
+    Plan-shape notes (measured 6× at sf0.1):
+      - the token array is materialized in a child Project; inlining the
+        raw split() expression would re-split the text at every
+        element_at site inside the lambda;
+      - the explode sits directly over the shingle expression — routing
+        the gram array through an intermediate single-reference Project
+        lets Catalyst collapse it back and re-inline the construction.
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast(T.ArrayType(T.StringType())))
+    return toked.select("id", F.explode(grams).alias("token")).distinct()
+
+
 def minhash_signature(
     tokens: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
@@ -80,16 +116,29 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of minhashes become a pair.
 
     Returns distinct (id_a, id_b) with id_a < id_b. The self-join is an
     equi-join on (band_idx, band_hash) — only same-bucket docs meet,
-    which is the whole point of LSH at scale.
+    which is the whole point of LSH at scale. ``shingle_n`` > 1 hashes
+    word n-gram shingles (the canonical construction — see
+    word_shingles for why bag-of-words blows up); 1 = bag of words.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(tokenize_distinct(df, text_col, id_col), num_hashes)
+    # exploded (id, token) + groupBy-min beats a row-local
+    # array_min(transform(...)) signature: higher-order functions are
+    # interpreted per element, while explode + hash aggregate keeps md5
+    # and min inside whole-stage codegen with map-side combine — the
+    # groupBy(id) shuffle carries only K hashes per doc.
+    tokens = (
+        word_shingles(df, shingle_n, text_col, id_col)
+        if shingle_n > 1
+        else tokenize_distinct(df, text_col, id_col)
+    )
+    sig = minhash_signature(tokens, num_hashes)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -157,14 +206,18 @@ def char_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct character n-gram shingles per doc: (id, token) rows."""
-    lowered = F.lower(F.col(text_col))
+    # materialize the lowered text once per row (same re-inlining hazard
+    # as word_shingles: a raw lower(text) expression would re-lower at
+    # every substr site inside the lambda)
+    lowered = F.col("__lowered")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(1))),
         lambda i: lowered.substr(i, F.lit(n)),
     )
     return (
-        df.filter(F.length(lowered) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("token"))
+        df.filter(F.length(F.lower(F.col(text_col))) >= n)
+        .select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__lowered"))
+        .select("id", F.explode(grams).alias("token"))
         .distinct()
     )
 

@@ -57,10 +57,14 @@ def brute_force_topk(
     Self-matches (same id) are excluded.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -68,7 +72,13 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            # norms are per-row columns computed below the join (once per
+            # vector), not per pair — same double result, 1 fold per pair
+            # instead of 3
+            (
+                dot_product(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -88,19 +98,45 @@ def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     md5(p:i) — reproducible in any engine, no stored model. The bucket
     id is the concatenated sign pattern of the vector against each
     plane. Collisions preserve angular locality.
-    """
-    bucket = F.lit(0).cast(T.LongType())
-    for p in range(num_planes):
-        # deterministic ±1 weights per component
-        terms = None
-        for i in range(dim):
-            import hashlib
 
-            sign = 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 else -1
-            t = vec.getItem(i).cast(T.DoubleType()) * F.lit(float(sign))
-            terms = t if terms is None else terms + t
-        bucket = bucket + F.when(terms > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    The planes ship as one constant-folded nested array literal and the
+    per-plane dot products are strict left folds — a compact expression
+    tree (vs. planes×dim inline multiply-add nodes, which made codegen
+    the dominant cost regardless of data size). Fold order matches the
+    naive left-associated sum bit-for-bit, so oracle SQL written as
+    `v[1]*s1 + v[2]*s2 + ...` agrees exactly.
+    """
+    import hashlib
+
+    planes = [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+    planes_lit = F.array(*[F.array(*[F.lit(w) for w in row]) for row in planes])
+    powers = F.array(*[F.lit(1 << p).cast(T.LongType()) for p in range(num_planes)])
+    v = _to_double(vec)
+    dots = F.transform(
+        planes_lit,
+        lambda plane: F.aggregate(
+            F.zip_with(plane, v, lambda w, x: w * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            powers,
+            lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0).cast(T.LongType())),
+        ),
+        F.lit(0).cast(T.LongType()),
+        lambda acc, x: acc + x,
+    )
 
 
 def ann_lsh_topk(
@@ -122,11 +158,13 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
         hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
         hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
     )
     scored = (
@@ -135,7 +173,10 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (
+                dot_product(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1008,6 +1008,19 @@ def q_doc_exact_dedup(spark, sf_dir):
     return dd.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+_SHINGLES_SQL = """
+      SELECT DISTINCT id, token FROM (
+        SELECT doc_id AS id,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS token
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3)
+"""
+
+
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
     sig_cols = ", ".join(
@@ -1020,7 +1033,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-    WITH toks AS ({_TOKS_SQL}),
+    WITH toks AS ({_SHINGLES_SQL}),
     sig AS (SELECT id, {sig_cols} FROM toks GROUP BY id),
     banded AS ({band_selects})
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1031,8 +1044,10 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
 
 @_register("q_doc_minhash_pairs", _minhash_oracle())
 def q_doc_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: 16 md5-minhashes, 4 bands;
-    candidates meet only within a band bucket (the LSH shuffle key)."""
+    """MinHash+LSH near-dup candidates: 3-word shingles, 16
+    md5-minhashes, 4 bands; candidates meet only within a band bucket
+    (the LSH shuffle key). Shingling (not bag-of-words) keeps buckets
+    small on low-vocabulary corpora — see extensions.dedup.word_shingles."""
     return dd.minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
 
 
