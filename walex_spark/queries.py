@@ -574,6 +574,416 @@ def q_pivot(spark, sf_dir):
     )
 
 
+# -------------------------------------------------------------------------
+# TPC-H-shaped query suite (adapted to the synthetic schema: lineitem has
+# no commit/receipt dates or shipmodes, part has no container/mfgr, so the
+# classic predicates are re-expressed over the available columns while
+# keeping each query's *plan shape* — the semi/anti joins, correlated
+# subqueries, scalar subqueries, conditional aggregates and disjunctive
+# pushdowns that exercise distinct optimizer paths).
+# -------------------------------------------------------------------------
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+
+
+def _rev() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1) - _rate("l_discount"))
+
+
+@_register(
+    "q04_order_priority",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join with a
+    non-equi residual (shipdate > orderdate); the date filter prunes the
+    orders scan before the join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast(T.TimestampType()))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast(T.TimestampType()))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "q07_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07(spark, sf_dir):
+    """TPC-H Q7 shape: 6-way join; nation/supplier/customer dims are
+    broadcast (small sides), so the only real shuffle is the
+    lineitem⋈orders equi-join; nation filters reach the dim scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dbl(F.sum(_rev())).alias("revenue"))
+    )
+
+
+@_register(
+    "q08_market_share",
+    f"""
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV_SQL}
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(28,6)) AS DOUBLE)
+             / CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    GROUP BY o_year
+    """,
+)
+def q08(spark, sf_dir):
+    """TPC-H Q8 shape: market share = conditional decimal sum / total
+    decimal sum per year — one aggregation, no second pass over the
+    fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nation_rev = F.sum(
+        F.when(F.col("n_name") == "NATION_3", _rev()).otherwise(
+            F.lit(0).cast(DEC)
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((_dbl(nation_rev) / _dbl(F.sum(_rev()))).alias("mkt_share"))
+    )
+
+
+@_register(
+    "q09_profit_by_nation",
+    f"""
+    SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(CAST(SUM({_REV_SQL}
+                 - CAST(p.p_retailprice AS DECIMAL(18,4)) * CAST(l.l_quantity AS DECIMAL(12,4)) * 0.1)
+               AS DECIMAL(28,6)) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    GROUP BY nation, o_year
+    """,
+)
+def q09(spark, sf_dir):
+    """TPC-H Q9 shape (profit by nation and year); supply cost proxied
+    as 10% of retail price × quantity since the schema has no partsupp.
+    part/supplier/nation broadcast; single fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cost = (
+        _dec("p_retailprice")
+        * F.col("l_quantity").cast(T.DecimalType(12, 4))
+        * F.lit("0.1").cast(T.DecimalType(2, 1))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(_dbl(F.sum(_rev() - cost)).alias("sum_profit"))
+    )
+
+
+@_register(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, CAST(CAST(val AS DECIMAL(28,6)) AS DOUBLE) AS part_value
+    FROM pv WHERE 1500 * val > (SELECT SUM(val) FROM pv)
+    """,
+)
+def q11(spark, sf_dir):
+    """TPC-H Q11 shape: scalar subquery (global total) against a grouped
+    sum. The total is a 1-row broadcast cross join; the threshold
+    compare stays in exact decimals (1500·val > total avoids division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("val"))
+    total = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.lit(1500) * F.col("val") > F.col("total"))
+        .select("l_partkey", _dbl(F.col("val")).alias("part_value"))
+    )
+
+
+@_register(
+    "q13_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13(spark, sf_dir):
+    """TPC-H Q13 shape: outer join + double aggregation (per-customer
+    count, then histogram of counts). COUNT(col) semantics keep
+    customers with no orders at 0 via the null from the outer join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q14_promo_share",
+    f"""
+    SELECT CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(28,6)) AS DOUBLE) * 100
+             / CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue percentage — conditional decimal
+    aggregate over a date-pruned fact scan with a broadcast part join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast(T.TimestampType()))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast(T.TimestampType()))
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(DEC))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((_dbl(promo) * F.lit(100) / _dbl(F.sum(_rev()))).alias("promo_revenue"))
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    f"""
+    WITH r AS (
+      SELECT l_suppkey, SUM({_REV_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(r.total_rev AS DECIMAL(28,6)) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM r)
+    """,
+)
+def q15(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by revenue — scalar MAX subquery
+    broadcast against the grouped revenue; equality on exact decimals
+    (no double round-trip before the compare)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast(T.TimestampType()))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast(T.TimestampType()))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    r = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))
+    mx = r.agg(F.max("total_rev").alias("mx"))
+    return (
+        r.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", _dbl(F.col("total_rev")).alias("total_revenue"))
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH a AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+    WHERE 5 * cnt * CAST(l.l_quantity AS DECIMAL(18,4)) < sq
+    """,
+)
+def q17(spark, sf_dir):
+    """TPC-H Q17 shape: correlated AVG subquery rewritten as a grouped
+    (sum, count) join; `qty < avg(qty)/5` is compared exactly as
+    5·cnt·qty < sum (integer×decimal products — no double division on
+    the filter path)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    qty = _dec("l_quantity")
+    return (
+        li.join(a, li.l_partkey == F.col("a_partkey"))
+        .filter(F.lit(5) * F.col("cnt") * qty < F.col("sq"))
+        .agg((_dbl(F.sum(_dec("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+    """,
+)
+def q18(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery with HAVING → left-semi join of
+    orders against the big-quantity orderkeys, then re-join lineitem for
+    the final grouped sum."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 200)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(big, o.o_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(_dbl(F.sum(_dec("l_quantity"))).alias("total_qty"))
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates across the join — Catalyst extracts the common
+    part-side and lineitem-side filters below the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_dbl(F.sum(_rev())).alias("revenue"))
+    )
+
+
+@_register(
+    "q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sb, COUNT(*) AS cn
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * cn > sb
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22(spark, sf_dir):
+    """TPC-H Q22 shape: above-average balance (scalar subquery compared
+    in exact decimals: bal·count > sum) ∧ no recent orders (anti join
+    against the date-pruned orders scan), grouped by nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast(T.TimestampType())
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("sb"), F.count(F.lit(1)).alias("cn")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(_dec("c_acctbal") * F.col("cn") > F.col("sb"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dbl(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+        )
+    )
+
+
 # =========================================================================
 # CDC core layer (SURVEY.md §2.9 R1-R12), exercised over a deterministic
 # change-envelope derived from the events table:
