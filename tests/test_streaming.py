@@ -140,3 +140,50 @@ def test_jdbc_advance_from(spark, tmp_path):
     df = spark.createDataFrame([(5,), (9,), (3,)], "lsn int")
     src.advance_from(df)
     assert src.cursor == 9
+
+
+def test_parquet_state_sink_merge(spark, tmp_path):
+    from walex_spark.streaming.materialize import ParquetStateSink
+
+    sink = ParquetStateSink(str(tmp_path / "state"), ["id"], num_buckets=4)
+    b1 = [
+        ("INSERT", "public", "user", None, {"id": "1", "age": "30"}, None, None, TS, 0, 10, 1, 0),
+        ("INSERT", "public", "user", None, {"id": "2", "age": "40"}, None, None, TS, 0, 20, 2, 0),
+    ]
+    b2 = [
+        ("UPDATE", "public", "user", None, {"id": "1", "age": "31"},
+         {"id": "1", "age": "30"}, None, TS, 0, 30, 3, 0),
+        ("DELETE", "public", "user", None, None, {"id": "2", "age": "40"}, None, TS, 0, 40, 4, 0),
+        ("INSERT", "public", "user", None, {"id": "3", "age": "50"}, None, None, TS, 0, 50, 5, 0),
+    ]
+    sink.process_batch(spark.createDataFrame(b1, CHANGE_ENVELOPE_SCHEMA), 0)
+    got = {r.record["id"]: r.record["age"] for r in sink.state(spark).collect()}
+    assert got == {"1": "30", "2": "40"}
+    sink.process_batch(spark.createDataFrame(b2, CHANGE_ENVELOPE_SCHEMA), 1)
+    got = {r.record["id"]: r.record["age"] for r in sink.state(spark).collect()}
+    assert got == {"1": "31", "3": "50"}  # 2 deleted, 1 updated, 3 inserted
+    # replaying the same batch is idempotent (checkpoint-replay contract)
+    sink.process_batch(spark.createDataFrame(b2, CHANGE_ENVELOPE_SCHEMA), 1)
+    got2 = {r.record["id"]: r.record["age"] for r in sink.state(spark).collect()}
+    assert got2 == got
+
+
+def test_parquet_state_sink_streaming(spark, tmp_path):
+    from walex_spark.streaming.materialize import ParquetStateSink
+
+    src = str(tmp_path / "env_src")
+    rows = [
+        ("INSERT", "public", "user", None, {"id": "1", "v": "a"}, None, None, TS, 0, 10, 1, 0),
+        ("UPDATE", "public", "user", None, {"id": "1", "v": "b"},
+         {"id": "1", "v": "a"}, None, TS, 0, 20, 2, 0),
+    ]
+    spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA).write.parquet(src)
+    sink = ParquetStateSink(str(tmp_path / "state2"), ["id"], num_buckets=2)
+    stream = read_envelope_stream(spark, src)
+    q = sink.attach(stream, checkpoint=str(tmp_path / "ckpt2"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.record["id"]: r.record["v"] for r in sink.state(spark).collect()}
+    assert got == {"1": "b"}

@@ -144,3 +144,47 @@ def test_set_type(envelope):
     got = envelope.select(X.set_type().alias("t")).distinct().collect()
     vals = {r.t for r in got}
     assert "user.update" in vals and "todo.insert" in vals
+
+
+def test_events_to_json_roundtrip(envelope):
+    ev = X.filter_and_cast(envelope, table="user", record_types=["update"])
+    js = ev.select(X.events_to_json(ev).alias("j")).collect()
+    import json
+
+    parsed = [json.loads(r.j) for r in js]
+    by_id = {p["new_record"]["id"]: p for p in parsed}
+    assert by_id["1"]["type"] == "update"
+    assert by_id["1"]["source"]["name"] == "WalExSpark"
+    # UPDATE events carry the diff, not old_record (event.ex:65-87)
+    assert "age" in by_id["1"]["changes"]
+    assert "old_record" not in by_id["1"] or by_id["1"]["old_record"] is None
+
+
+def test_resolve_unchanged_toast(spark):
+    from walex_spark.model import UNCHANGED_TOAST
+
+    cols = _cols([("id", "int4"), ("payload", "text")])
+    rows = [
+        ("INSERT", "public", "t", cols, {"id": "1", "payload": "big-blob-v1"},
+         None, None, TS, 0, 10, 1, 0),
+        # UPDATE that didn't touch payload → sentinel on the wire
+        ("UPDATE", "public", "t", cols, {"id": "1", "payload": UNCHANGED_TOAST},
+         {"id": "1"}, None, TS, 0, 20, 2, 0),
+        # UPDATE that rewrote it
+        ("UPDATE", "public", "t", cols, {"id": "1", "payload": "big-blob-v2"},
+         {"id": "1"}, None, TS, 0, 30, 3, 0),
+        # sentinel again → resolves to v2
+        ("UPDATE", "public", "t", cols, {"id": "1", "payload": UNCHANGED_TOAST},
+         {"id": "1"}, None, TS, 0, 40, 4, 0),
+        # different pk, sentinel with no prior value → NULL
+        ("UPDATE", "public", "t", cols, {"id": "2", "payload": UNCHANGED_TOAST},
+         {"id": "2"}, None, TS, 0, 50, 5, 0),
+    ]
+    env = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    out = X.resolve_unchanged_toast(env, ["id"], ["id", "payload"])
+    got = {(r.lsn_lo): r.record["payload"] for r in out.collect()}
+    assert got[10] == "big-blob-v1"
+    assert got[20] == "big-blob-v1"   # carried forward
+    assert got[30] == "big-blob-v2"
+    assert got[40] == "big-blob-v2"   # carried forward from the rewrite
+    assert got[50] is None            # no prior value to carry

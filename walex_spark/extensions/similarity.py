@@ -139,6 +139,43 @@ def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     )
 
 
+def near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: corpus self-join restricted
+    to LSH buckets, kept when cosine ≥ threshold (id_a < id_b).
+
+    The dedup analog of ann_lsh_topk: the bucket id is the shuffle key,
+    so candidate generation is linear in bucket size, never the corpus
+    cross product. High thresholds pair with high `num_planes` (near-
+    identical vectors agree on almost every hyperplane sign).
+    """
+    side = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                dot_product(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -98,6 +98,32 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), best.alias("pred_lang"))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+# marks — the split BPE vocabularies are trained over (simplified from
+# the GPT-2 pattern; no \p classes so the same regex runs in any engine)
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def subword_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting with a BPE-ish regex (complement to the whitespace
+    counts in token_stats): (id, n_subtokens, n_distinct_subtokens,
+    chars_per_subtoken). Pure regexp_extract_all — JVM-side, no UDF;
+    chars_per_subtoken is the usual tokens-per-byte cost estimator for
+    LLM training budgets."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0)
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_subtokens"),
+        (F.length(F.col(text_col)).cast(T.DoubleType()) / n.cast(T.DoubleType())).alias(
+            "chars_per_subtoken"
+        ),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     plus a 32-bit integer bucket of it (for hash-partitioned dedup)."""

@@ -274,6 +274,81 @@ def filter_and_cast(
     return out
 
 
+def events_to_json(df: DataFrame) -> Column:
+    """Event rows → JSON strings (the reference derives Jason.Encoder
+    for Event/Source/Changes — event.ex:5, source.ex:4, changes.ex:36-40).
+    Call on the output of event_projection."""
+    return F.to_json(
+        F.struct(
+            "name", "type", "source", "new_record", "old_record", "changes",
+            "timestamp", "lsn",
+        )
+    )
+
+
+def resolve_unchanged_toast(
+    df: DataFrame,
+    key_cols: list[str],
+    columns: list[str],
+    record_col: str = "record",
+) -> DataFrame:
+    """Replace unchanged-TOAST sentinels with the previous value of the
+    same column for the same primary key (SURVEY.md §7.4; the reference
+    ships `:unchanged_toast` through untouched — decoder.ex:226-227 —
+    leaving resolution to the consumer; here it is an operator).
+
+    Batch form: per (table, pk) ordered by (lsn, change_idx), each
+    sentinel cell takes `last(non-sentinel value)` over the preceding
+    frame — one shuffle on the PK, the same partitioning the
+    materialization step needs. ``columns`` comes from the relation
+    registry (wire schemas are dynamic, §1.2). Cells with no prior
+    value resolve to NULL (documented deviation: text envelopes cannot
+    carry the atom).
+    """
+    from walex_spark.model import UNCHANGED_TOAST
+
+    keyed = df.withColumn("__lsn", lsn_column()).withColumn(
+        "__pk",
+        F.concat_ws(
+            "\x00",
+            *[
+                F.coalesce(
+                    F.coalesce(F.col(record_col), F.col("old_record")).getItem(k),
+                    F.lit(""),
+                )
+                for k in key_cols
+            ],
+        ),
+    )
+    w = (
+        Window.partitionBy("table", "__pk")
+        .orderBy("__lsn", "change_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rec = F.col(record_col)
+    entries = []
+    for c in columns:
+        cell = rec.getItem(c)
+        resolved = F.last(
+            F.when(cell != UNCHANGED_TOAST, cell), ignorenulls=True
+        ).over(w)
+        entries.append(
+            F.struct(
+                F.lit(c).alias("key"),
+                F.when(cell == UNCHANGED_TOAST, resolved)
+                .otherwise(cell)
+                .alias("value"),
+            )
+        )
+    fixed = F.map_from_entries(F.array(*entries))  # null values legal in maps
+    return (
+        keyed.withColumn(
+            record_col, F.when(rec.isNotNull(), fixed).otherwise(rec)
+        )
+        .drop("__lsn", "__pk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Table-state materialization (R10) + replay dedup (R12)
 # ---------------------------------------------------------------------------

@@ -1395,6 +1395,94 @@ def q_cdc_sessionize(spark, sf_dir):
 
 
 # =========================================================================
+@_register(
+    "q_cdc_toast_resolve",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, event_type,
+             json_extract_string(props, '$.k') AS k,
+             {_ENVELOPE_CASE_SQL} AS op
+      FROM events),
+    marked AS (
+      SELECT *,
+             CASE WHEN op = 'DELETE' THEN NULL
+                  WHEN op = 'UPDATE' AND k IS NULL THEN chr(1)
+                  ELSE k END AS cell
+      FROM env)
+    SELECT event_id, user_id, op,
+           CASE WHEN op = 'DELETE' THEN NULL
+                WHEN cell = chr(1) THEN last_value(CASE WHEN cell <> chr(1) THEN cell END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ELSE cell END AS k_resolved
+    FROM marked
+    """,
+)
+def q_cdc_toast_resolve(spark, sf_dir):
+    """Unchanged-TOAST carry-forward (SURVEY.md §7.4, decoder.ex:226-227):
+    UPDATE rows whose 'k' cell arrives as the TOAST sentinel resolve to
+    the previous value for the same primary key in LSN order — one
+    shuffle on the PK, same partitioning the materialization step uses.
+    Sentinel injection here simulates pgoutput's unchanged-toast cells
+    (UPDATEs with no fresh 'k' in the synthetic stream)."""
+    from walex_spark.model import UNCHANGED_TOAST
+    from walex_spark.operators import transforms as X
+
+    env = events_as_envelope(spark, sf_dir)
+    rec = F.col("record")
+    with_sentinel = env.withColumn(
+        "record",
+        F.when(
+            (F.col("op") == "UPDATE") & rec.getItem("k").isNull(),
+            F.map_concat(
+                F.map_filter(rec, lambda k, _v: k != "k"),
+                F.create_map(F.lit("k"), F.lit(UNCHANGED_TOAST)),
+            ),
+        ).otherwise(rec),
+    )
+    resolved = X.resolve_unchanged_toast(
+        with_sentinel, key_cols=["user_id"], columns=["user_id", "event_type", "k"]
+    )
+    return resolved.select(
+        F.col("xid").alias("event_id"),
+        F.coalesce(rec, F.col("old_record")).getItem("user_id").cast(T.LongType()).alias("user_id"),
+        "op",
+        F.col("record").getItem("k").alias("k_resolved"),
+    )
+
+
+@_register(
+    "q_cdc_event_json",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, ts, event_type, {_ENVELOPE_CASE_SQL} AS op FROM events)
+    SELECT 'events_state' AS name, lower(op) AS type,
+           printf('%X/%X', 0, event_id) AS lsn,
+           CASE WHEN op IN ('INSERT','UPDATE') THEN CAST(user_id AS VARCHAR) END AS new_user_id,
+           'WalExSpark' AS source_name
+    FROM env
+    """,
+)
+def q_cdc_event_json(spark, sf_dir):
+    """JSON encoding of Event rows (the reference derives Jason.Encoder —
+    event.ex:5): events_to_json serializes the full Event struct; the
+    query round-trips fields back out of the JSON string so the oracle
+    can check them without depending on engine-specific JSON formatting."""
+    from walex_spark.operators import transforms as X
+
+    env = events_as_envelope(spark, sf_dir)
+    ev = X.event_projection(env)
+    j = ev.select(X.events_to_json(ev).alias("js"))
+    return j.select(
+        F.get_json_object("js", "$.name").alias("name"),
+        F.get_json_object("js", "$.type").alias("type"),
+        F.get_json_object("js", "$.lsn").alias("lsn"),
+        F.get_json_object("js", "$.new_record.user_id").alias("new_user_id"),
+        F.get_json_object("js", "$.source.name").alias("source_name"),
+    )
+
+
+# =========================================================================
 # LLM-data-pipeline extensions (driver-mandated; no reference
 # counterpart): dedup, similarity search, text analysis, multimodal
 # =========================================================================
@@ -1616,6 +1704,25 @@ def q_doc_fingerprint(spark, sf_dir):
     return tx.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "q_doc_subword_tokens",
+    """
+    SELECT doc_id,
+           len(toks) AS n_subtokens,
+           len(list_distinct(toks)) AS n_distinct_subtokens,
+           CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_subtoken
+    FROM (SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks
+          FROM documents)
+    """,
+)
+def q_doc_subword_tokens(spark, sf_dir):
+    """BPE-ish token counting (letter/digit runs + punctuation marks) —
+    the tokens-per-byte estimator for training budgets, complement to
+    whitespace token_stats."""
+    return tx.subword_token_stats(_t(spark, sf_dir, "documents"))
+
+
 _FOLD_DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (p, q) -> p + q)"
 )
@@ -1689,6 +1796,30 @@ def q_emb_ann_lsh(spark, sf_dir):
     is the scale path that replaces the cross product."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.ann_lsh_topk(emb.filter(F.col("vec_id") < 32), emb, dim=64, k=5)
+
+
+@_register(
+    "q_emb_near_dup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_hyperplane_sql()} AS bucket
+      FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             {_FOLD_DOT.format(a='a.v', b='b2.v')}
+               / (sqrt({_FOLD_DOT.format(a='a.v', b='a.v')})
+                  * sqrt({_FOLD_DOT.format(a='b2.v', b='b2.v')})) AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    WHERE cosine >= 0.4
+    """,
+)
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within LSH buckets — the
+    embedding-space analog of minhash candidate pairs; threshold tuned
+    to this corpus's similarity range (max pairwise cosine ≈ 0.51)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.near_dup_pairs(emb, dim=64, threshold=0.4)
 
 
 @_register(
