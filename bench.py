@@ -33,6 +33,9 @@ HEAVY_OUTPUT = {
     "q_cdc_changes_diff",
     "q_cdc_unwatched_filters",
     "q_cdc_pg_cast",
+    "q_cdc_pgoutput_decode",
+    "q_cdc_toast_resolve",
+    "q_cdc_event_json",
     "q_cdc_sessionize",
     "q_cdc_tumbling_window",
 }

@@ -48,8 +48,10 @@ CHANGE_ENVELOPE_SCHEMA = T.StructType(
         T.StructField("old_record", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("key_record", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("commit_ts", T.TimestampType(), True),
-        T.StructField("lsn_hi", T.IntegerType(), True),
-        T.StructField("lsn_lo", T.IntegerType(), True),
+        # LongType, not int32: a real WAL position's low word routinely
+        # exceeds 2^31 (pg LSN is a 64-bit unsigned split as hi/lo u32)
+        T.StructField("lsn_hi", T.LongType(), True),
+        T.StructField("lsn_lo", T.LongType(), True),
         T.StructField("xid", T.LongType(), True),
         T.StructField("change_idx", T.IntegerType(), True),
     ]

@@ -1032,7 +1032,7 @@ def events_as_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("key_record"),
         F.col("ts").alias("commit_ts"),
         F.lit(0).alias("lsn_hi"),
-        F.col("event_id").cast(T.IntegerType()).alias("lsn_lo"),
+        F.col("event_id").cast(T.LongType()).alias("lsn_lo"),
         F.col("event_id").alias("xid"),
         F.lit(0).alias("change_idx"),
     )
@@ -1448,6 +1448,75 @@ def q_cdc_toast_resolve(spark, sf_dir):
         F.coalesce(rec, F.col("old_record")).getItem("user_id").cast(T.LongType()).alias("user_id"),
         "op",
         F.col("record").getItem("k").alias("k_resolved"),
+    )
+
+
+@_register(
+    "q_cdc_pgoutput_decode",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, {_ENVELOPE_CASE_SQL} AS op FROM events)
+    SELECT op, 'events_state' AS "table", user_id,
+           event_id AS xid, event_id AS lsn_lo, 0 AS change_idx
+    FROM env
+    """,
+)
+def q_cdc_pgoutput_decode(spark, sf_dir):
+    """R1 at the wire level: events → binary pgoutput frames (one txn per
+    event: Begin/Insert-or-Update-or-Delete/Commit) → two-pass decode
+    (broadcast relation registry + Arrow-batched mapInPandas + serial
+    txn-stamp window) → canonical envelope. The oracle predicts the
+    decoded rows straight from the source table, so the whole binary
+    round trip is value-checked (decoder golden tests cover the
+    per-message layouts: tests/test_pgoutput.py)."""
+    from walex_spark.sources import pgoutput as P
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            idxs, payloads = [], []
+            for eid, uid, etype in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"]
+            ):
+                eid, uid = int(eid), int(uid)
+                cells = [str(uid), str(etype)]
+                if etype == "signup":
+                    data = P.encode_insert(1, cells)
+                elif etype == "error":
+                    data = P.encode_delete(1, old=cells)
+                else:
+                    data = P.encode_update(1, new=cells)
+                ts = 757382400000000  # fixed pg-epoch µs; not part of the check
+                for off, frame in enumerate(
+                    (P.encode_begin(eid, ts, eid), data, P.encode_commit(eid, ts))
+                ):
+                    idxs.append(eid * 10 + off)
+                    payloads.append(frame)
+            yield pd.DataFrame({"frame_idx": idxs, "payload": payloads})
+
+    frames = ev.mapInPandas(enc, "frame_idx long, payload binary")
+    rel = spark.createDataFrame(
+        [(-1, P.encode_relation(1, "events_state", [("user_id", 20, True), ("event_type", 25, False)]))],
+        "frame_idx long, payload binary",
+    )
+    # decode_envelope scans frames twice (registry pass + decode pass);
+    # when frames come from storage that's two pruned scans, but here
+    # they're synthesized on the fly — cache so encode runs once
+    all_frames = rel.unionByName(frames).cache()
+    env = P.decode_envelope(all_frames)
+    return env.select(
+        "op",
+        "table",
+        F.coalesce(F.col("record"), F.col("old_record"))
+        .getItem("user_id")
+        .cast(T.LongType())
+        .alias("user_id"),
+        "xid",
+        "lsn_lo",
+        "change_idx",
     )
 
 

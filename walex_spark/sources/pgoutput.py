@@ -1,0 +1,424 @@
+"""pgoutput binary decode: raw logical-replication frames → the
+canonical change envelope (SURVEY.md §2.3).
+
+Message formats follow the public PostgreSQL logical-replication
+protocol documentation (protocol version 1): Begin 'B', Commit 'C',
+Origin 'O', Relation 'R', Type 'Y', Insert 'I', Update 'U', Delete 'D',
+Truncate 'T', with TupleData cells 'n' (NULL) / 'u' (unchanged TOAST) /
+'t' (text). Parity surface: lib/walex/decoder/decoder.ex:67-239 (same
+protocol, independent implementation).
+
+Spark-first decomposition — the reference decodes in one serial process;
+here the work splits into the natural parallel/serial parts:
+
+  1. ``decode_frames``  — mapInPandas over the binary payload column:
+     embarrassingly parallel, Arrow-batched, no state. Relation/Type
+     registry entries are collected FIRST from the (tiny) 'R'/'Y'
+     frames and broadcast into the decode closure — the "slowly-
+     changing broadcast state" form of publisher.ex:79-95's registry.
+  2. ``stamp_transactions`` — BEGIN/COMMIT bracketing becomes a
+     carry-forward window over the frame order. WAL is inherently
+     serial (SURVEY.md §7.4), so this single metadata window runs on
+     one partition; everything downstream repartitions freely.
+
+Unknown relation ids are dropped, matching publisher.ex:124-126.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timedelta, timezone
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from walex_spark.functions.pg_types import OID_TO_NAME
+from walex_spark.model import UNCHANGED_TOAST
+
+PG_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
+
+
+def _cstring(buf: bytes, pos: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", pos)
+    return buf[pos:end].decode("utf-8"), end + 1
+
+
+def _pg_ts(micros: int) -> datetime:
+    return (PG_EPOCH + timedelta(microseconds=micros)).replace(tzinfo=None)
+
+
+def _tuple_data(buf: bytes, pos: int) -> tuple[list[str | None], int]:
+    """TupleData: int16 ncols then per-cell 'n' | 'u' | 't'<int32 len>."""
+    (ncols,) = struct.unpack_from(">H", buf, pos)
+    pos += 2
+    cells: list[str | None] = []
+    for _ in range(ncols):
+        kind = buf[pos : pos + 1]
+        pos += 1
+        if kind == b"n":
+            cells.append(None)
+        elif kind == b"u":
+            cells.append(UNCHANGED_TOAST)
+        elif kind == b"t":
+            (ln,) = struct.unpack_from(">I", buf, pos)
+            pos += 4
+            cells.append(buf[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        else:
+            raise ValueError(f"unknown TupleData cell kind {kind!r}")
+    return cells, pos
+
+
+def decode_message(buf: bytes) -> dict[str, Any]:
+    """One pgoutput frame → a plain dict (tag-dependent fields).
+
+    Mirrors the dispatch surface of decoder.ex:67-216; built from the
+    PostgreSQL protocol docs, lenient only in that unknown tags return
+    {'op': 'UNSUPPORTED'} like the reference's Unsupported struct.
+    """
+    tag = buf[0:1]
+    if tag == b"B":
+        final_lsn, ts, xid = struct.unpack_from(">QQI", buf, 1)
+        return {"op": "BEGIN", "final_lsn": final_lsn, "commit_ts": _pg_ts(ts), "xid": xid}
+    if tag == b"C":
+        _flags, commit_lsn, end_lsn, ts = struct.unpack_from(">BQQQ", buf, 1)
+        return {
+            "op": "COMMIT",
+            "commit_lsn": commit_lsn,
+            "end_lsn": end_lsn,
+            "commit_ts": _pg_ts(ts),
+        }
+    if tag == b"O":
+        (origin_lsn,) = struct.unpack_from(">Q", buf, 1)
+        name, _ = _cstring(buf, 9)
+        return {"op": "ORIGIN", "origin_lsn": origin_lsn, "origin_name": name}
+    if tag == b"R":
+        (rel_id,) = struct.unpack_from(">I", buf, 1)
+        pos = 5
+        namespace, pos = _cstring(buf, pos)
+        name, pos = _cstring(buf, pos)
+        replica_identity = buf[pos : pos + 1].decode()
+        pos += 1
+        (ncols,) = struct.unpack_from(">H", buf, pos)
+        pos += 2
+        cols = []
+        for _ in range(ncols):
+            flags = buf[pos]
+            pos += 1
+            cname, pos = _cstring(buf, pos)
+            type_oid, type_mod = struct.unpack_from(">Ii", buf, pos)
+            pos += 8
+            cols.append(
+                {
+                    "name": cname,
+                    "type": OID_TO_NAME.get(type_oid, str(type_oid)),
+                    "is_key": bool(flags & 1),
+                    "type_modifier": type_mod,
+                }
+            )
+        return {
+            "op": "RELATION",
+            "relation_id": rel_id,
+            "namespace": namespace or "pg_catalog",
+            "name": name,
+            "replica_identity": {"d": "default", "n": "nothing", "f": "all_columns", "i": "index"}[
+                replica_identity
+            ],
+            "columns": cols,
+        }
+    if tag == b"Y":
+        (type_id,) = struct.unpack_from(">I", buf, 1)
+        pos = 5
+        namespace, pos = _cstring(buf, pos)
+        name, _ = _cstring(buf, pos)
+        return {"op": "TYPE", "type_id": type_id, "namespace": namespace, "name": name}
+    if tag == b"I":
+        (rel_id,) = struct.unpack_from(">I", buf, 1)
+        assert buf[5:6] == b"N"
+        cells, _ = _tuple_data(buf, 6)
+        return {"op": "INSERT", "relation_id": rel_id, "new": cells}
+    if tag == b"U":
+        (rel_id,) = struct.unpack_from(">I", buf, 1)
+        pos = 5
+        old = key = None
+        marker = buf[pos : pos + 1]
+        if marker in (b"K", b"O"):
+            cells, pos = _tuple_data(buf, pos + 1)
+            if marker == b"K":
+                key = cells
+            else:
+                old = cells
+            marker = buf[pos : pos + 1]
+        assert marker == b"N"
+        new, _ = _tuple_data(buf, pos + 1)
+        return {"op": "UPDATE", "relation_id": rel_id, "new": new, "old": old, "key": key}
+    if tag == b"D":
+        (rel_id,) = struct.unpack_from(">I", buf, 1)
+        marker = buf[5:6]
+        cells, _ = _tuple_data(buf, 6)
+        out = {"op": "DELETE", "relation_id": rel_id, "old": None, "key": None}
+        if marker == b"K":
+            out["key"] = cells
+        else:
+            out["old"] = cells
+        return out
+    if tag == b"T":
+        nrel, options = struct.unpack_from(">IB", buf, 1)
+        ids = struct.unpack_from(f">{nrel}I", buf, 6)
+        return {"op": "TRUNCATE", "relation_ids": list(ids), "options": options}
+    return {"op": "UNSUPPORTED", "tag": tag.decode("latin1")}
+
+
+# -- frame encoders ---------------------------------------------------------
+# The inverse direction (dicts → wire frames), used by tests and by the
+# round-trip correctness query; same public protocol layout as above.
+
+
+def _enc_cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+def _enc_cell(v) -> bytes:
+    if v is None:
+        return b"n"
+    if v == UNCHANGED_TOAST:
+        return b"u"
+    b = str(v).encode()
+    return b"t" + struct.pack(">I", len(b)) + b
+
+
+def _enc_tuple(cells) -> bytes:
+    return struct.pack(">H", len(cells)) + b"".join(_enc_cell(c) for c in cells)
+
+
+def encode_begin(lsn: int, ts_micros_pg: int, xid: int) -> bytes:
+    return b"B" + struct.pack(">QQI", lsn, ts_micros_pg, xid)
+
+
+def encode_commit(lsn: int, ts_micros_pg: int) -> bytes:
+    return b"C" + struct.pack(">BQQQ", 0, lsn, lsn + 8, ts_micros_pg)
+
+
+def encode_relation(
+    rel_id: int,
+    name: str,
+    cols: list[tuple[str, int, bool]],
+    namespace: str = "public",
+    replica_identity: str = "d",
+) -> bytes:
+    body = struct.pack(">I", rel_id) + _enc_cstr(namespace) + _enc_cstr(name)
+    body += replica_identity.encode() + struct.pack(">H", len(cols))
+    for cname, oid, is_key in cols:
+        body += struct.pack(">B", 1 if is_key else 0) + _enc_cstr(cname)
+        body += struct.pack(">Ii", oid, -1)
+    return b"R" + body
+
+
+def encode_insert(rel_id: int, cells) -> bytes:
+    return b"I" + struct.pack(">I", rel_id) + b"N" + _enc_tuple(cells)
+
+
+def encode_update(rel_id: int, new, old=None, key=None) -> bytes:
+    body = struct.pack(">I", rel_id)
+    if key is not None:
+        body += b"K" + _enc_tuple(key)
+    if old is not None:
+        body += b"O" + _enc_tuple(old)
+    return b"U" + body + b"N" + _enc_tuple(new)
+
+
+def encode_delete(rel_id: int, old=None, key=None) -> bytes:
+    body = struct.pack(">I", rel_id)
+    if key is not None:
+        return b"D" + body + b"K" + _enc_tuple(key)
+    return b"D" + body + b"O" + _enc_tuple(old)
+
+
+def encode_truncate(rel_ids, options: int = 0) -> bytes:
+    return b"T" + struct.pack(">IB", len(rel_ids), options) + struct.pack(
+        f">{len(rel_ids)}I", *rel_ids
+    )
+
+
+def collect_registry(frames: DataFrame, payload_col: str = "payload") -> dict[int, dict]:
+    """Pass 1: Relation/Type frames → broadcastable relation registry.
+
+    'R'/'Y' frames are a vanishing fraction of the stream (one per
+    table per session/schema-change), so collecting them to the driver
+    is metadata-sized regardless of stream volume."""
+    tagged = frames.filter(
+        F.substring(F.col(payload_col), 1, 1).isin([bytes([82]), bytes([89])])  # R, Y
+    )
+    msgs = [decode_message(bytes(row[0])) for row in tagged.select(payload_col).collect()]
+    # custom-type registrations ('Y') resolve column type OIDs that the
+    # static OID table doesn't know (publisher.ex:79-95 applies the same
+    # accumulated types map)
+    custom_types = {
+        str(m["type_id"]): m["name"] for m in msgs if m["op"] == "TYPE"
+    }
+    registry: dict[int, dict] = {}
+    for msg in msgs:
+        if msg["op"] == "RELATION":
+            for col in msg["columns"]:
+                col["type"] = custom_types.get(col["type"], col["type"])
+            registry[msg["relation_id"]] = msg
+    return registry
+
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField(
+            "columns",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                        T.StructField("is_key", T.BooleanType()),
+                        T.StructField("type_modifier", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("record", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("old_record", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("key_record", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("commit_ts", T.TimestampType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("xid", T.LongType()),
+    ]
+)
+
+
+def decode_frames(
+    frames: DataFrame,
+    registry: dict[int, dict],
+    payload_col: str = "payload",
+    idx_col: str = "frame_idx",
+) -> DataFrame:
+    """Pass 2: parallel decode of all frames against the broadcast
+    registry (Arrow-batched mapInPandas; no shuffle). Emits BEGIN/COMMIT
+    marker rows (consumed by stamp_transactions) and data rows with
+    positionally-zipped record maps (data_tuple_to_map,
+    publisher.ex:247-279). Unknown relations are skipped
+    (publisher.ex:124-126)."""
+
+    def zip_cells(rel: dict, cells: list | None):
+        if cells is None:
+            return None
+        cols = rel["columns"]
+        if len(cells) != len(cols):  # arity mismatch → halt like the reference
+            return None
+        return {c["name"]: v for c, v in zip(cols, cells)}
+
+    def decode_part(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for idx, payload in zip(pdf[idx_col], pdf[payload_col]):
+                msg = decode_message(bytes(payload))
+                op = msg["op"]
+                base = {
+                    "frame_idx": int(idx),
+                    "op": op,
+                    "schema": None,
+                    "table": None,
+                    "columns": None,
+                    "record": None,
+                    "old_record": None,
+                    "key_record": None,
+                    "commit_ts": None,
+                    "lsn": None,
+                    "xid": None,
+                }
+                if op == "BEGIN":
+                    base.update(
+                        commit_ts=msg["commit_ts"], lsn=msg["final_lsn"], xid=msg["xid"]
+                    )
+                elif op == "COMMIT":
+                    base.update(commit_ts=msg["commit_ts"], lsn=msg["commit_lsn"])
+                elif op in ("INSERT", "UPDATE", "DELETE"):
+                    rel = registry.get(msg["relation_id"])
+                    if rel is None:
+                        continue
+                    base.update(
+                        schema=rel["namespace"],
+                        table=rel["name"],
+                        columns=rel["columns"],
+                        record=zip_cells(rel, msg.get("new")),
+                        old_record=zip_cells(rel, msg.get("old")),
+                        key_record=zip_cells(rel, msg.get("key")),
+                    )
+                elif op == "TRUNCATE":
+                    for rid in msg["relation_ids"]:
+                        rel = registry.get(rid)
+                        if rel is None:
+                            continue
+                        row = dict(base)
+                        row.update(schema=rel["namespace"], table=rel["name"])
+                        out.append(row)
+                    continue
+                else:  # RELATION/TYPE/ORIGIN/UNSUPPORTED: not data rows
+                    continue
+                out.append(base)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _DECODED_SCHEMA.fields]
+            ) if out else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in _DECODED_SCHEMA.fields}
+            )
+
+    return frames.mapInPandas(decode_part, _DECODED_SCHEMA)
+
+
+def stamp_transactions(decoded: DataFrame) -> DataFrame:
+    """BEGIN/COMMIT bracketing → per-change (xid, commit_ts, lsn,
+    change_idx), emitted as the canonical envelope.
+
+    The carry-forward window runs in frame order on a single partition —
+    WAL is one serial stream and these are metadata-width rows; the
+    envelope output repartitions downstream (SURVEY.md §7.4). Only
+    changes of COMMITTED transactions survive (an unterminated tail is
+    dropped, like the reference on restart)."""
+    w = Window.orderBy("frame_idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    begin = F.when(F.col("op") == "BEGIN", F.struct("xid", "commit_ts", "lsn"))
+    stamped = decoded.withColumn("__txn", F.last(begin, ignorenulls=True).over(w))
+    committed = (
+        stamped.filter(F.col("op") == "COMMIT")
+        .select(F.col("__txn.xid").alias("c_xid"))
+        .distinct()
+    )
+    data = stamped.filter(~F.col("op").isin("BEGIN", "COMMIT"))
+    data = data.join(
+        F.broadcast(committed), data["__txn.xid"] == committed["c_xid"], "left_semi"
+    )
+    wtxn = Window.partitionBy("__txn.xid").orderBy("frame_idx")
+    return data.select(
+        "op",
+        "schema",
+        "table",
+        "columns",
+        "record",
+        "old_record",
+        "key_record",
+        F.col("__txn.commit_ts").alias("commit_ts"),
+        # bitwise split, not division: double math would lose precision
+        # past 2^53 and a real WAL position exceeds 2^31 routinely
+        F.shiftrightunsigned(F.col("__txn.lsn"), 32).alias("lsn_hi"),
+        F.col("__txn.lsn").bitwiseAND(F.lit(4294967295)).alias("lsn_lo"),
+        F.col("__txn.xid").alias("xid"),
+        (F.row_number().over(wtxn) - F.lit(1)).alias("change_idx"),
+    )
+
+
+def decode_envelope(frames: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """frames(frame_idx, payload) → canonical change envelope: the full
+    two-pass pipeline (registry collect → parallel decode → txn stamp)."""
+    registry = collect_registry(frames, payload_col)
+    return stamp_transactions(decode_frames(frames, registry, payload_col))
