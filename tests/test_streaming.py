@@ -187,3 +187,107 @@ def test_parquet_state_sink_streaming(spark, tmp_path):
         q.stop()
     got = {r.record["id"]: r.record["v"] for r in sink.state(spark).collect()}
     assert got == {"1": "b"}
+
+
+def _env_row(op, table, lsn, ts, xid=1, idx=0):
+    return (op, "public", table, None, {"id": str(lsn)}, None, None, ts, 0, lsn, xid, idx)
+
+
+def test_windowed_counts_with_late_data_drop(spark, tmp_path):
+    from walex_spark.streaming.windows import windowed_change_counts
+
+    src = str(tmp_path / "wm_src")
+    t0 = dt.datetime(2024, 1, 15, 10, 0)
+    batch1 = [
+        _env_row("INSERT", "user", 1, t0),
+        _env_row("INSERT", "user", 2, t0 + dt.timedelta(minutes=5)),
+        # advance event time far ahead → watermark moves past 10:10
+        _env_row("UPDATE", "user", 3, t0 + dt.timedelta(hours=2)),
+    ]
+    spark.createDataFrame(batch1, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=10)
+    agg = windowed_change_counts(stream, window="10 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("win_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # late row: event time 10:02, watermark is now ~11:30 → dropped
+        late = [_env_row("INSERT", "user", 9, t0 + dt.timedelta(minutes=2))]
+        spark.createDataFrame(late, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+        q.processAllAvailable()
+        # close remaining windows so appended output is complete
+        flush = [_env_row("UPDATE", "user", 10, t0 + dt.timedelta(hours=5))]
+        spark.createDataFrame(flush, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+        q.processAllAvailable()
+        rows = spark.table("win_out").collect()
+    finally:
+        q.stop()
+    counts = {(r.win_start.strftime("%H:%M"), r.op): r.n_changes for r in rows}
+    # the 10:00 window has exactly the two on-time inserts; the late one
+    # never shows up (no third row, no updated count)
+    assert counts[("10:00", "INSERT")] == 2
+
+
+def test_sessionized_activity_batch_and_stream(spark, tmp_path):
+    from walex_spark.streaming.windows import sessionized_activity
+
+    t0 = dt.datetime(2024, 1, 15, 10, 0)
+    rows = [
+        _env_row("INSERT", "user", 1, t0),
+        _env_row("UPDATE", "user", 2, t0 + dt.timedelta(minutes=10)),
+        # 50-minute gap > 30-minute session gap → second session
+        _env_row("UPDATE", "user", 3, t0 + dt.timedelta(minutes=60)),
+    ]
+    env = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    got = sessionized_activity(env, gap="30 minutes").orderBy("sess_start").collect()
+    assert [r.n_changes for r in got] == [2, 1]
+    # session extends gap past the last event
+    assert got[0].sess_end == t0 + dt.timedelta(minutes=40)
+    # streaming form produces the same sessions once the watermark closes them
+    src = str(tmp_path / "sess_src")
+    env.write.parquet(src, mode="append")
+    stream = read_envelope_stream(spark, src)
+    q = (
+        sessionized_activity(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory").queryName("sess_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        flush = [_env_row("UPDATE", "user", 9, t0 + dt.timedelta(hours=6))]
+        spark.createDataFrame(flush, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+        q.processAllAvailable()
+        srows = spark.table("sess_out").orderBy("sess_start").collect()
+    finally:
+        q.stop()
+    assert [r.n_changes for r in srows] == [2, 1]
+
+
+def test_dedup_replay_stream(spark, tmp_path):
+    from walex_spark.streaming.windows import dedup_replay_stream
+
+    src = str(tmp_path / "ddw_src")
+    t0 = dt.datetime(2024, 1, 15, 10, 0)
+    rows = [
+        _env_row("INSERT", "user", 1, t0),
+        _env_row("INSERT", "user", 1, t0),  # duplicate delivery (replay)
+        _env_row("UPDATE", "user", 2, t0 + dt.timedelta(minutes=1)),
+    ]
+    spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+    stream = read_envelope_stream(spark, src)
+    q = (
+        dedup_replay_stream(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName("ddw_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # replay the same change again in a later microbatch — still deduped
+        spark.createDataFrame([rows[0]], CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+        q.processAllAvailable()
+        got = spark.table("ddw_out").collect()
+    finally:
+        q.stop()
+    assert sorted((r.lsn_lo, r.op) for r in got) == [(1, "INSERT"), (2, "UPDATE")]

@@ -1,0 +1,94 @@
+"""Event-time windowing over the change stream (SURVEY.md §2.9
+"streaming layer").
+
+The reference has no event-time notion beyond passing commit_timestamp
+through (§2.8) — ordering is assumed from the replication socket. At
+engine scale the stream is partitioned and late data is real, so the
+windowing layer is native Structured Streaming: watermarks bound state,
+tumbling/sliding windows aggregate per table/op, session windows group
+bursts, and replay dedup becomes `dropDuplicatesWithinWatermark` keyed
+on `(lsn_hi, lsn_lo, change_idx)` — the streaming form of R12 (the
+batch form is `operators.transforms.dedup_replay`).
+
+All functions accept either a batch or a streaming envelope DataFrame;
+watermarks are applied only when streaming (no-op semantics in batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(env: DataFrame, watermark: str | None) -> DataFrame:
+    if watermark and env.isStreaming:
+        return env.withWatermark("commit_ts", watermark)
+    return env
+
+
+def windowed_change_counts(
+    env: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) change counts per
+    (window, table, op). Watermark bounds the state store: a window
+    finalizes once event time passes its end + watermark, so state is
+    O(active windows), not O(stream)."""
+    w = (
+        F.window("commit_ts", window, slide)
+        if slide
+        else F.window("commit_ts", window)
+    )
+    return (
+        _maybe_watermark(env, watermark)
+        .groupBy(w.alias("win"), "table", "op")
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "table",
+            "op",
+            "n_changes",
+        )
+    )
+
+
+def sessionized_activity(
+    env: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "table",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) per key: bursts of changes separated
+    by ≥ gap become separate sessions. Native `session_window` — the
+    state store merges adjacent sessions and the watermark closes them."""
+    return (
+        _maybe_watermark(env, watermark)
+        .groupBy(F.session_window("commit_ts", gap).alias("sess"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.min("commit_ts").alias("first_change"),
+            F.max("commit_ts").alias("last_change"),
+        )
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            key,
+            "n_changes",
+            "first_change",
+            "last_change",
+        )
+    )
+
+
+def dedup_replay_stream(env: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming R12: drop duplicate deliveries of the same change
+    within the watermark horizon. State is bounded by the watermark
+    (unlike a plain dropDuplicates whose key set grows forever) —
+    exactly the replay window a durable-slot restart can produce
+    (replication/supervisor.ex:35-40)."""
+    return env.withWatermark("commit_ts", watermark).dropDuplicatesWithinWatermark(
+        ["lsn_hi", "lsn_lo", "change_idx"]
+    )
