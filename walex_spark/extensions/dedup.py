@@ -58,9 +58,16 @@ def tokenize_distinct(
 
 
 def word_shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedupe: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, token) rows.
+    """Word n-gram shingles per doc: (id, token) rows (distinct when
+    ``dedupe`` — set-semantics consumers like Jaccard need it; min-
+    aggregating consumers like MinHash don't, and skipping it saves a
+    full shuffle).
 
     The canonical MinHash document representation: order-sensitive
     shingles, not bag-of-words. On a corpus drawn from a small
@@ -90,7 +97,8 @@ def word_shingles(
             ),
         ),
     ).otherwise(F.array().cast(T.ArrayType(T.StringType())))
-    return toked.select("id", F.explode(grams).alias("token")).distinct()
+    out = toked.select("id", F.explode(grams).alias("token"))
+    return out.distinct() if dedupe else out
 
 
 def minhash_signature(
@@ -134,7 +142,9 @@ def minhash_candidate_pairs(
     # and min inside whole-stage codegen with map-side combine — the
     # groupBy(id) shuffle carries only K hashes per doc.
     tokens = (
-        word_shingles(df, shingle_n, text_col, id_col)
+        # dedupe=False: min() over the shingle multiset equals min()
+        # over the distinct set — the distinct shuffle adds nothing here
+        word_shingles(df, shingle_n, text_col, id_col, dedupe=False)
         if shingle_n > 1
         else tokenize_distinct(df, text_col, id_col)
     )

@@ -1542,12 +1542,19 @@ def q_cdc_event_json(spark, sf_dir):
     env = events_as_envelope(spark, sf_dir)
     ev = X.event_projection(env)
     j = ev.select(X.events_to_json(ev).alias("js"))
-    return j.select(
-        F.get_json_object("js", "$.name").alias("name"),
-        F.get_json_object("js", "$.type").alias("type"),
-        F.get_json_object("js", "$.lsn").alias("lsn"),
-        F.get_json_object("js", "$.new_record.user_id").alias("new_user_id"),
-        F.get_json_object("js", "$.source.name").alias("source_name"),
+    # one from_json parse per row (a get_json_object per field would
+    # re-parse the document five times)
+    parsed = F.from_json(
+        F.col("js"),
+        "name string, type string, lsn string, "
+        "new_record struct<user_id:string>, source struct<name:string>",
+    )
+    return j.select(parsed.alias("e")).select(
+        F.col("e.name").alias("name"),
+        F.col("e.type").alias("type"),
+        F.col("e.lsn").alias("lsn"),
+        F.col("e.new_record.user_id").alias("new_user_id"),
+        F.col("e.source.name").alias("source_name"),
     )
 
 

@@ -270,6 +270,7 @@ def collect_registry(frames: DataFrame, payload_col: str = "payload") -> dict[in
 _DECODED_SCHEMA = T.StructType(
     [
         T.StructField("frame_idx", T.LongType()),
+        T.StructField("sub_idx", T.IntegerType()),  # TRUNCATE fan-out position
         T.StructField("op", T.StringType()),
         T.StructField("schema", T.StringType()),
         T.StructField("table", T.StringType()),
@@ -327,6 +328,7 @@ def decode_frames(
                 op = msg["op"]
                 base = {
                     "frame_idx": int(idx),
+                    "sub_idx": 0,
                     "op": op,
                     "schema": None,
                     "table": None,
@@ -357,12 +359,14 @@ def decode_frames(
                         key_record=zip_cells(rel, msg.get("key")),
                     )
                 elif op == "TRUNCATE":
-                    for rid in msg["relation_ids"]:
+                    for sub, rid in enumerate(msg["relation_ids"]):
                         rel = registry.get(rid)
                         if rel is None:
                             continue
                         row = dict(base)
-                        row.update(schema=rel["namespace"], table=rel["name"])
+                        row.update(
+                            sub_idx=sub, schema=rel["namespace"], table=rel["name"]
+                        )
                         out.append(row)
                     continue
                 else:  # RELATION/TYPE/ORIGIN/UNSUPPORTED: not data rows
@@ -382,24 +386,45 @@ def stamp_transactions(decoded: DataFrame) -> DataFrame:
     change_idx), emitted as the canonical envelope.
 
     The carry-forward window runs in frame order on a single partition —
-    WAL is one serial stream and these are metadata-width rows; the
-    envelope output repartitions downstream (SURVEY.md §7.4). Only
-    changes of COMMITTED transactions survive (an unterminated tail is
-    dropped, like the reference on restart)."""
-    w = Window.orderBy("frame_idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    WAL is one serial stream (SURVEY.md §7.4) — but ONLY over a narrow
+    metadata projection (frame_idx, op, xid, ts, lsn): the wide rows
+    (record maps, column arrays) never pass through the serial stage;
+    they rejoin the stamped metadata on (frame_idx, sub_idx), a plain
+    parallel equi-join. Only changes of COMMITTED transactions survive
+    (an unterminated tail is dropped, like the reference on restart)."""
+    meta = decoded.select("frame_idx", "sub_idx", "op", "xid", "commit_ts", "lsn")
+    w = Window.orderBy("frame_idx", "sub_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     begin = F.when(F.col("op") == "BEGIN", F.struct("xid", "commit_ts", "lsn"))
-    stamped = decoded.withColumn("__txn", F.last(begin, ignorenulls=True).over(w))
+    stamped = meta.withColumn("__txn", F.last(begin, ignorenulls=True).over(w))
     committed = (
         stamped.filter(F.col("op") == "COMMIT")
         .select(F.col("__txn.xid").alias("c_xid"))
         .distinct()
     )
-    data = stamped.filter(~F.col("op").isin("BEGIN", "COMMIT"))
-    data = data.join(
-        F.broadcast(committed), data["__txn.xid"] == committed["c_xid"], "left_semi"
+    data_meta = stamped.filter(~F.col("op").isin("BEGIN", "COMMIT"))
+    data_meta = data_meta.join(
+        F.broadcast(committed), data_meta["__txn.xid"] == committed["c_xid"], "left_semi"
     )
-    wtxn = Window.partitionBy("__txn.xid").orderBy("frame_idx")
-    return data.select(
+    wtxn = Window.partitionBy("__txn.xid").orderBy("frame_idx", "sub_idx")
+    data_meta = data_meta.select(
+        F.col("frame_idx").alias("m_frame_idx"),
+        F.col("sub_idx").alias("m_sub_idx"),
+        F.col("__txn.commit_ts").alias("m_commit_ts"),
+        # bitwise split, not division: double math would lose precision
+        # past 2^53 and a real WAL position exceeds 2^31 routinely
+        F.shiftrightunsigned(F.col("__txn.lsn"), 32).alias("m_lsn_hi"),
+        F.col("__txn.lsn").bitwiseAND(F.lit(4294967295)).alias("m_lsn_lo"),
+        F.col("__txn.xid").alias("m_xid"),
+        (F.row_number().over(wtxn) - F.lit(1)).alias("m_change_idx"),
+    )
+    wide = decoded.filter(~F.col("op").isin("BEGIN", "COMMIT"))
+    return wide.join(
+        data_meta,
+        (wide["frame_idx"] == data_meta["m_frame_idx"])
+        & (wide["sub_idx"] == data_meta["m_sub_idx"]),
+    ).select(
         "op",
         "schema",
         "table",
@@ -407,18 +432,26 @@ def stamp_transactions(decoded: DataFrame) -> DataFrame:
         "record",
         "old_record",
         "key_record",
-        F.col("__txn.commit_ts").alias("commit_ts"),
-        # bitwise split, not division: double math would lose precision
-        # past 2^53 and a real WAL position exceeds 2^31 routinely
-        F.shiftrightunsigned(F.col("__txn.lsn"), 32).alias("lsn_hi"),
-        F.col("__txn.lsn").bitwiseAND(F.lit(4294967295)).alias("lsn_lo"),
-        F.col("__txn.xid").alias("xid"),
-        (F.row_number().over(wtxn) - F.lit(1)).alias("change_idx"),
+        F.col("m_commit_ts").alias("commit_ts"),
+        F.col("m_lsn_hi").alias("lsn_hi"),
+        F.col("m_lsn_lo").alias("lsn_lo"),
+        F.col("m_xid").alias("xid"),
+        F.col("m_change_idx").alias("change_idx"),
     )
 
 
-def decode_envelope(frames: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_envelope(
+    frames: DataFrame, payload_col: str = "payload", cache_decoded: bool = True
+) -> DataFrame:
     """frames(frame_idx, payload) → canonical change envelope: the full
-    two-pass pipeline (registry collect → parallel decode → txn stamp)."""
+    two-pass pipeline (registry collect → parallel decode → txn stamp).
+
+    ``cache_decoded`` materializes the decoded rows once: the stamping
+    stage reads them twice (narrow metadata pass + wide rejoin), and
+    without the cache each read would re-run the Python decode. Size is
+    bounded by the microbatch, evicted LRU."""
     registry = collect_registry(frames, payload_col)
-    return stamp_transactions(decode_frames(frames, registry, payload_col))
+    decoded = decode_frames(frames, registry, payload_col)
+    if cache_decoded:
+        decoded = decoded.cache()
+    return stamp_transactions(decoded)
