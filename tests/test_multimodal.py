@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: schema/batch shape of the mapInPandas
+kernels (decode itself is stubbed — no codecs in the container)."""
+
+import pytest
+
+from walex_spark.extensions.multimodal import (
+    FRAME_SCHEMA,
+    MEDIA_SCHEMA,
+    decode_image,
+    documents_as_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, b"a" * 100, {"format": "png", "width": None, "height": None, "duration_ms": None}),
+        (2, b"xyz" * 50, {"format": "jpg", "width": None, "height": None, "duration_ms": None}),
+        (3, None, {"format": "png", "width": None, "height": None, "duration_ms": None}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_extract_features_shape(media):
+    got = {r.media_id: r for r in extract_features(media).collect()}
+    assert got[1].n_bytes == 100 and len(got[1].feature) == 8
+    assert got[3].n_bytes == 0 and got[3].sha is None
+    # deterministic: same payload → same feature
+    again = {r.media_id: r for r in extract_features(media).collect()}
+    assert got[2].feature == again[2].feature
+
+
+def test_resize_media_updates_meta_and_payload(media):
+    out = {r.media_id: r for r in resize_media(media, 8, 4).collect()}
+    assert all(len(r.payload) == 32 for r in out.values())
+    assert out[1].meta.width == 8 and out[1].meta.height == 4
+    assert out[1].meta.format == "png"  # untouched meta fields survive
+
+
+def test_sample_frames_fanout(media):
+    frames = sample_frames(media, frame_bytes=40, every_ms=500).collect()
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f.media_id, []).append(f)
+    # 100 bytes / 40 → 2 frames; 150 bytes / 40 → 3 frames; None → none
+    assert len(by_media[1]) == 2 and len(by_media[2]) == 3
+    assert 3 not in by_media
+    assert [f.ts_ms for f in sorted(by_media[2], key=lambda f: f.frame_idx)] == [0, 500, 1000]
+    assert len(by_media[1][0].frame) == 40
+
+
+def test_documents_adapter_schema(spark):
+    docs = spark.createDataFrame([(7, "hello", "en", "src1", 5)],
+                                 "doc_id long, text string, lang string, source string, n_chars long")
+    m = documents_as_media(docs)
+    assert [f.name for f in m.schema.fields] == ["media_id", "payload", "meta"]
+    row = m.collect()[0]
+    assert bytes(row.payload) == b"hello" and row.meta.format == "src1"

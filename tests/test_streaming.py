@@ -291,3 +291,37 @@ def test_dedup_replay_stream(spark, tmp_path):
     finally:
         q.stop()
     assert sorted((r.lsn_lo, r.op) for r in got) == [(1, "INSERT"), (2, "UPDATE")]
+
+
+def test_checkpoint_restart_no_reprocess(spark, tmp_path):
+    """Tier-3 analog (database_test.exs restart semantics): a stream
+    stopped and restarted from the same checkpoint resumes at the
+    committed offset — already-processed files are not re-dispatched,
+    new files are."""
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    t0 = dt.datetime(2024, 1, 15, 10, 0)
+    first = [_env_row("INSERT", "user", 1, t0), _env_row("INSERT", "user", 2, t0)]
+    spark.createDataFrame(first, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+
+    seen: list[int] = []
+    eng = WalExEngine().on_event("*", lambda df, epoch: seen.append(df.count()))
+    q = eng.attach(read_envelope_stream(spark, src), checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(seen) == 2
+
+    # "crash": new query object, same checkpoint; more data arrives
+    second = [_env_row("UPDATE", "user", 3, t0 + dt.timedelta(minutes=1))]
+    spark.createDataFrame(second, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+    seen2: list[int] = []
+    eng2 = WalExEngine().on_event("*", lambda df, epoch: seen2.append(df.count()))
+    q2 = eng2.attach(read_envelope_stream(spark, src), checkpoint=ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # only the new file's row is dispatched after restart
+    assert sum(seen2) == 1

@@ -93,6 +93,78 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize kernel — deterministic truncate/pad to width*height
+    bytes. Replace with PIL `Image.resize` once codecs exist; the Spark
+    plumbing (schema, Arrow batches, meta update) is unchanged."""
+    target = width * height
+    if payload is None:
+        return b"\x00" * target
+    return payload[:target] + b"\x00" * max(0, target - len(payload))
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """payload → resized payload with updated meta (1 row in, 1 row out).
+
+    mapInPandas keeps the bytes in Arrow batches end to end; no shuffle.
+    The decode/encode kernel is the stub above — marked, swappable."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(lambda b: _fake_resize(b, width, height))
+            out["meta"] = out["meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield out
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64, every_ms: int = 1000) -> DataFrame:
+    """Video-style frame sampling: each media row fans out to N frame
+    rows (media_id, frame_idx, ts_ms, frame) — the 1→N mapInPandas
+    pattern a real ffmpeg-backed sampler uses; frames here are byte
+    stripes of the payload (STUB kernel, deterministic).
+
+    Scale note: the fan-out happens inside the partition that already
+    holds the payload — no shuffle; downstream per-frame work inherits
+    the partitioning and can repartition AFTER the payload column is
+    dropped (frames are small; payloads are not)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n = max(1, len(payload) // frame_bytes)
+                for i in range(n):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "ts_ms": i * every_ms,
+                            "frame": bytes(payload[i * frame_bytes : (i + 1) * frame_bytes]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter for tests: treat the documents table's text as an opaque
     binary payload with typed metadata (the testdata has no real media

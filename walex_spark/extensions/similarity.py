@@ -139,6 +139,68 @@ def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     )
 
 
+def ann_lsh_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query also probes the buckets at
+    Hamming distance 1 from its own (flip one hyperplane sign).
+
+    Recall recovery for vectors that sit near a hyperplane: the probe
+    set explodes QUERY-side only (1 + num_planes rows per query), so the
+    corpus still partitions by its single bucket id and the join stays
+    an equi-join — the standard trick for raising LSH recall without
+    growing buckets or falling back to a cross product.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("q_bucket"),
+    )
+    probes = F.array(
+        F.col("q_bucket"),
+        *[
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << p)).cast(T.LongType())
+            for p in range(num_planes)
+        ],
+    )
+    q = q.withColumn("bucket", F.explode(probes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_product(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+        # a neighbor can appear via several probes — dedupe before rank
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     dim: int,

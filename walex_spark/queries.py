@@ -405,6 +405,36 @@ def q_cube(spark, sf_dir):
 
 
 @_register(
+    "q_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): one Expand + one
+    aggregation exchange; GROUPING() flags disambiguate the NULLs of
+    each set."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus), ())
+        """
+    )
+
+
+@_register(
     "q_semi_join",
     """
     SELECT c_custkey, c_name FROM customer c
@@ -1875,6 +1905,39 @@ def q_emb_ann_lsh(spark, sf_dir):
 
 
 @_register(
+    "q_emb_ann_multiprobe",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_hyperplane_sql()} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v, bucket FROM b WHERE vec_id < 32),
+    c AS (SELECT vec_id AS neighbor_id, v, bucket FROM b),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_FOLD_DOT.format(a='q.v', b='c.v')}
+               / (sqrt({_FOLD_DOT.format(a='q.v', b='q.v')})
+                  * sqrt({_FOLD_DOT.format(a='c.v', b='c.v')})) AS cosine
+      FROM q JOIN c
+        ON xor(q.bucket, c.bucket) IN (0, 1, 2, 4, 8, 16, 32, 64, 128)
+       AND query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_emb_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: queries probe their own bucket plus the 8
+    Hamming-distance-1 buckets (query-side explode keeps the corpus join
+    an equi-join). Higher recall than single-probe at ~9× candidate
+    cost on the (small) query side only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_multiprobe_topk(emb.filter(F.col("vec_id") < 32), emb, dim=64, k=5)
+
+
+@_register(
     "q_emb_near_dup",
     f"""
     WITH b AS (
@@ -1919,6 +1982,34 @@ def q_multimodal_meta(spark, sf_dir):
         F.octet_length("payload").cast(T.LongType()).alias("n_bytes"),
         F.sha2(F.col("payload"), 256).alias("sha"),
         F.col("meta.format").alias("format"),
+    )
+
+
+@_register(
+    "q_multimodal_frames",
+    """
+    WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents),
+    f AS (SELECT media_id, len,
+                 unnest(generate_series(0, greatest(1, len // 64) - 1)) AS frame_idx
+          FROM m)
+    SELECT media_id, frame_idx, frame_idx * 1000 AS ts_ms,
+           least(64, len - frame_idx * 64) AS frame_len
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling (video-style 1→N fan-out inside the payload's
+    partition, no shuffle); the oracle predicts frame counts/sizes from
+    byte lengths since the stub kernel stripes the payload."""
+    from walex_spark.extensions.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_bytes=64, every_ms=1000)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast(T.LongType()).alias("frame_idx"),
+        "ts_ms",
+        F.octet_length("frame").cast(T.LongType()).alias("frame_len"),
     )
 
 
