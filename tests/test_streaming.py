@@ -325,3 +325,21 @@ def test_checkpoint_restart_no_reprocess(spark, tmp_path):
         q2.stop()
     # only the new file's row is dispatched after restart
     assert sum(seen2) == 1
+
+
+def test_engine_per_event_dispatch(spark, env_df, tmp_path):
+    """Async side-effect parity (dsl.ex:2-28): per_event handlers run
+    once per Event row on the executors."""
+    outdir = tmp_path / "fired"
+    outdir.mkdir()
+    path = str(outdir)
+
+    def fire(row):
+        # executor-side side effect; local[N] shares the filesystem
+        with open(f"{path}/{row.name}-{row.lsn_ord}", "w") as f:
+            f.write(row.type)
+
+    eng = WalExEngine().on_insert("user", fire, per_event=True)
+    eng.process_batch(env_df.filter(F.col("op") != "COMMIT"))
+    fired = sorted(p.name for p in outdir.iterdir())
+    assert len(fired) == 2 and all(f.startswith("user-") for f in fired)

@@ -1426,6 +1426,35 @@ def q_cdc_sessionize(spark, sf_dir):
 
 # =========================================================================
 @_register(
+    "q_cdc_txn_assembly",
+    f"""
+    WITH env AS (
+      SELECT event_id, {_ENVELOPE_CASE_SQL} AS op, event_id // 5 AS xid FROM events)
+    SELECT xid, COUNT(*) AS n_changes,
+           MIN(event_id) AS first_lsn, MAX(event_id) AS last_lsn,
+           arg_min(op, event_id) AS first_op
+    FROM env GROUP BY xid
+    """,
+)
+def q_cdc_txn_assembly(spark, sf_dir):
+    """R3 via streaming.txn_assembly.assemble_transactions: changes
+    re-keyed to 5-change transactions (xid := event_id/5), grouped with
+    WAL order restored inside each txn — first_op comes from the sorted
+    change list, so the ordering contract itself is value-checked."""
+    from walex_spark.streaming.txn_assembly import assemble_transactions
+
+    env = events_as_envelope(spark, sf_dir).withColumn("xid", F.expr("xid div 5"))
+    txns = assemble_transactions(env)
+    return txns.select(
+        "xid",
+        F.col("n_changes").cast(T.LongType()).alias("n_changes"),
+        "first_lsn",
+        "last_lsn",
+        F.element_at("changes", 1).getField("op").alias("first_op"),
+    )
+
+
+@_register(
     "q_cdc_toast_resolve",
     f"""
     WITH env AS (

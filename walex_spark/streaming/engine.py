@@ -32,6 +32,7 @@ class _Registration:
     handler: Callable[[DataFrame, int], None]
     unwatched_fields: list[str] | None = None
     unwatched_records: dict[str, str] | None = None
+    per_event: bool = False  # handler receives each Event Row (executor-side)
 
 
 @dataclass
@@ -79,7 +80,16 @@ class WalExEngine:
                 unwatched_fields=reg.unwatched_fields,
                 db=self.db,
             )
-            reg.handler(events, epoch_id)
+            if reg.per_event:
+                # the reference's async side-effect dispatch (dsl.ex:2-28:
+                # Task.start per event × function) — in Spark the per-row
+                # fan-out runs ON THE EXECUTORS via foreach, so side
+                # effects parallelize with the data instead of queuing on
+                # one node; the handler must be serializable + idempotent
+                # (batches replay on failure)
+                events.foreach(reg.handler)
+            else:
+                reg.handler(events, epoch_id)
 
     def attach(
         self,
