@@ -343,3 +343,30 @@ def test_engine_per_event_dispatch(spark, env_df, tmp_path):
     eng.process_batch(env_df.filter(F.col("op") != "COMMIT"))
     fired = sorted(p.name for p in outdir.iterdir())
     assert len(fired) == 2 and all(f.startswith("user-") for f in fired)
+
+
+def test_engine_runtime_reconfiguration(spark, env_df):
+    """config.ex:71-104 analog: handler/subscription mutations apply on
+    the next (micro)batch without restarting."""
+    counts = {}
+
+    def make(key):
+        def h(df, epoch):
+            counts[key] = counts.get(key, 0) + df.count()
+        return h
+
+    eng = (
+        WalExEngine(subscriptions=["user", "todo"])
+        .on_insert("user", make("user"))
+        .on_update("todo", make("todo"))
+    )
+    data = env_df.filter(F.col("op") != "COMMIT")
+    eng.process_batch(data, 0)
+    assert counts == {"user": 2, "todo": 1}
+    # drop the user handler + unsubscribe todo between batches
+    eng.remove_handlers("user").remove_subscription("todo")
+    eng.process_batch(data, 1)
+    assert counts == {"user": 2, "todo": 1}  # todo filtered by subscription
+    eng.add_subscription("todo")
+    eng.process_batch(data, 2)
+    assert counts == {"user": 2, "todo": 2}

@@ -62,6 +62,27 @@ class WalExEngine:
         self._registrations.append(_Registration(name, ["delete"], handler, **kw))
         return self
 
+    # -- runtime reconfiguration (config.ex:71-104) ------------------------
+    # process_batch reads live engine state, so mutations apply from the
+    # NEXT microbatch without restarting the stream — the foreachBatch
+    # analog of the reference's Agent-held config. Subscription changes
+    # that must affect the SOURCE (publication contents) still need a
+    # stream restart, as in the reference.
+    def add_subscription(self, table: str) -> "WalExEngine":
+        if self.subscriptions is not None and table not in self.subscriptions:
+            self.subscriptions.append(table)
+        return self
+
+    def remove_subscription(self, table: str) -> "WalExEngine":
+        if self.subscriptions is not None and table in self.subscriptions:
+            self.subscriptions.remove(table)
+        return self
+
+    def remove_handlers(self, name: str) -> "WalExEngine":
+        """Drop every registration for a table (remove_config analog)."""
+        self._registrations = [r for r in self._registrations if r.name != name]
+        return self
+
     # -- dispatch (event_modules.ex:49-63) --------------------------------
     def process_batch(self, env: DataFrame, epoch_id: int = 0) -> None:
         """Run every registration against one (micro)batch of envelope
