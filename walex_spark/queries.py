@@ -976,6 +976,165 @@ def q19(spark, sf_dir):
 
 
 @_register(
+    "q12_ship_priority_lag",
+    """
+    SELECT l.l_returnflag AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate < o.o_orderdate + INTERVAL 120 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ship_class
+    """,
+)
+def q12(spark, sf_dir):
+    """TPC-H Q12 shape: join with inter-column date-arithmetic residual
+    (ship lag 30–120 days) + conditional counts; the date range prunes
+    the fact scan, the lag predicate evaluates post-join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast(T.TimestampType()))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast(T.TimestampType()))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS"))
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q16_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_size IN (1, 4, 9, 16, 25)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%33%')
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN subquery (null-aware anti join) + distinct
+    aggregate over a pruned dim join (lineitem stands in for partsupp)."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%33%")).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q20_part_stock_suppliers",
+    """
+    WITH interesting AS (
+      SELECT l.l_suppkey, SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > 50)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM interesting)
+    """,
+)
+def q20(spark, sf_dir):
+    """TPC-H Q20 shape: IN-subquery over a grouped HAVING aggregate →
+    semi join of the supplier dim against the qualifying keys."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast(T.TimestampType()))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast(T.TimestampType()))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    interesting = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(interesting, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+@_register(
+    "q21_sole_late_supplier",
+    """
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_suppkey) > 1),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY),
+    sole AS (
+      SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+      FROM late GROUP BY l_orderkey HAVING COUNT(*) = 1)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM sole
+    JOIN multi USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who alone shipped late on multi-
+    supplier orders): the correlated EXISTS / NOT EXISTS pair is
+    decorrelated into two grouped views joined back on the order key —
+    the aggregate formulation both engines execute identically, and in
+    Spark it's two shuffles instead of two correlated re-scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("suppkey"), F.count(F.lit(1)).alias("nlate"))
+        .filter(F.col("nlate") == 1)
+    )
+    return (
+        sole.join(multi, "l_orderkey")
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_register(
     "q22_idle_customers",
     """
     WITH avg_bal AS (
