@@ -319,63 +319,86 @@ def decode_frames(
         return {c["name"]: v for c, v in zip(cols, cells)}
 
     def decode_part(batches: Iterator) -> Iterator:
+        # Columnar accumulation: 12 parallel lists instead of a dict per
+        # row — pd.DataFrame(list-of-dicts) was the hot spot (~2× the
+        # whole decode). BEGIN/COMMIT (the bulk of a txn-per-row stream)
+        # parse inline without the decode_message dict, and commit_ts
+        # stays integer µs until one vectorized to_datetime at the end.
         import pandas as pd
+        import struct as _s
 
+        names = [f.name for f in _DECODED_SCHEMA.fields]
         for pdf in batches:
-            out = []
+            c_idx: list = []
+            c_sub: list = []
+            c_op: list = []
+            c_schema: list = []
+            c_table: list = []
+            c_cols: list = []
+            c_rec: list = []
+            c_old: list = []
+            c_key: list = []
+            c_ts: list = []
+            c_lsn: list = []
+            c_xid: list = []
             for idx, payload in zip(pdf[idx_col], pdf[payload_col]):
-                msg = decode_message(bytes(payload))
+                buf = bytes(payload)
+                tag = buf[0]
+                if tag == 66:  # 'B'
+                    final_lsn, ts, xid = _s.unpack_from(">QQI", buf, 1)
+                    c_idx.append(idx); c_sub.append(0); c_op.append("BEGIN")
+                    c_schema.append(None); c_table.append(None); c_cols.append(None)
+                    c_rec.append(None); c_old.append(None); c_key.append(None)
+                    c_ts.append(ts); c_lsn.append(final_lsn); c_xid.append(xid)
+                    continue
+                if tag == 67:  # 'C'
+                    _flags, commit_lsn, _end, ts = _s.unpack_from(">BQQQ", buf, 1)
+                    c_idx.append(idx); c_sub.append(0); c_op.append("COMMIT")
+                    c_schema.append(None); c_table.append(None); c_cols.append(None)
+                    c_rec.append(None); c_old.append(None); c_key.append(None)
+                    c_ts.append(ts); c_lsn.append(commit_lsn); c_xid.append(None)
+                    continue
+                msg = decode_message(buf)
                 op = msg["op"]
-                base = {
-                    "frame_idx": int(idx),
-                    "sub_idx": 0,
-                    "op": op,
-                    "schema": None,
-                    "table": None,
-                    "columns": None,
-                    "record": None,
-                    "old_record": None,
-                    "key_record": None,
-                    "commit_ts": None,
-                    "lsn": None,
-                    "xid": None,
-                }
-                if op == "BEGIN":
-                    base.update(
-                        commit_ts=msg["commit_ts"], lsn=msg["final_lsn"], xid=msg["xid"]
-                    )
-                elif op == "COMMIT":
-                    base.update(commit_ts=msg["commit_ts"], lsn=msg["commit_lsn"])
-                elif op in ("INSERT", "UPDATE", "DELETE"):
+                if op in ("INSERT", "UPDATE", "DELETE"):
                     rel = registry.get(msg["relation_id"])
                     if rel is None:
                         continue
-                    base.update(
-                        schema=rel["namespace"],
-                        table=rel["name"],
-                        columns=rel["columns"],
-                        record=zip_cells(rel, msg.get("new")),
-                        old_record=zip_cells(rel, msg.get("old")),
-                        key_record=zip_cells(rel, msg.get("key")),
-                    )
+                    c_idx.append(idx); c_sub.append(0); c_op.append(op)
+                    c_schema.append(rel["namespace"]); c_table.append(rel["name"])
+                    c_cols.append(rel["columns"])
+                    c_rec.append(zip_cells(rel, msg.get("new")))
+                    c_old.append(zip_cells(rel, msg.get("old")))
+                    c_key.append(zip_cells(rel, msg.get("key")))
+                    c_ts.append(None); c_lsn.append(None); c_xid.append(None)
                 elif op == "TRUNCATE":
                     for sub, rid in enumerate(msg["relation_ids"]):
                         rel = registry.get(rid)
                         if rel is None:
                             continue
-                        row = dict(base)
-                        row.update(
-                            sub_idx=sub, schema=rel["namespace"], table=rel["name"]
-                        )
-                        out.append(row)
-                    continue
-                else:  # RELATION/TYPE/ORIGIN/UNSUPPORTED: not data rows
-                    continue
-                out.append(base)
+                        c_idx.append(idx); c_sub.append(sub); c_op.append("TRUNCATE")
+                        c_schema.append(rel["namespace"]); c_table.append(rel["name"])
+                        c_cols.append(None); c_rec.append(None); c_old.append(None)
+                        c_key.append(None); c_ts.append(None); c_lsn.append(None)
+                        c_xid.append(None)
+                # RELATION/TYPE/ORIGIN/UNSUPPORTED: not data rows
+            ts_col = pd.Timestamp("2000-01-01") + pd.to_timedelta(
+                pd.Series(c_ts, dtype="float64"), unit="us"
+            )
+            # force object dtype on every nullable column: equal-length
+            # nested lists would collapse into a 2-D ndarray, and all-None
+            # columns (e.g. record in a BEGIN/COMMIT-only partition) would
+            # infer float64 NaN — both break Arrow conversion
+            obj = lambda v: pd.Series(v, dtype="object")
             yield pd.DataFrame(
-                out, columns=[f.name for f in _DECODED_SCHEMA.fields]
-            ) if out else pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in _DECODED_SCHEMA.fields}
+                dict(
+                    zip(
+                        names,
+                        (c_idx, c_sub, c_op, obj(c_schema), obj(c_table),
+                         obj(c_cols), obj(c_rec), obj(c_old), obj(c_key),
+                         ts_col, obj(c_lsn), obj(c_xid)),
+                    )
+                )
             )
 
     return frames.mapInPandas(decode_part, _DECODED_SCHEMA)
