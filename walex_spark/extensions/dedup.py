@@ -30,6 +30,27 @@ def _tokens(text_col: Column, lowercase: bool = True) -> Column:
     return F.filter(F.split(t, r"\s+"), lambda x: x != "")
 
 
+def partition_by_doc(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Hash-partition raw documents by id BEFORE tokenize/explode.
+
+    Shuffle-before-fan-out: every pipeline below explodes each doc into
+    tens/hundreds of token rows and then aggregates by doc id. Moving
+    the id shuffle ahead of the explode (a) ships the corpus at its
+    smallest (raw text, not exploded tokens) and (b) leaves the stream
+    hash-partitioned by id, so the downstream groupBy(id)/distinct
+    exchange is elided — same shuffle count, strictly less data moved,
+    and the expensive tokenize+hash map work runs at full cluster
+    parallelism even when the source is a single-row-group file (a
+    single-writer export reads as ONE partition otherwise).
+
+    The partition count is pinned (defaultParallelism) so AQE's
+    small-shuffle coalescing doesn't fold a small corpus back into one
+    partition and re-serialize the map stage.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -50,9 +71,15 @@ def exact_dedup(
 def tokenize_distinct(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, token) rows, distinct per doc — shared by minhash/jaccard."""
+    """(id, token) rows, distinct per doc — shared by minhash/jaccard.
+
+    Pre-partitioned by id (see partition_by_doc): the distinct's
+    ClusteredDistribution(id, token) is satisfied by HashPartitioning
+    on id, so no second exchange.
+    """
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("token"))
+        partition_by_doc(df, id_col)
+        .select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("token"))
         .distinct()
     )
 
@@ -84,7 +111,7 @@ def word_shingles(
         the gram array through an intermediate single-reference Project
         lets Catalyst collapse it back and re-inline the construction.
     """
-    toked = df.select(
+    toked = partition_by_doc(df, id_col).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks")
     )
     toks = F.col("__toks")
@@ -106,16 +133,25 @@ def minhash_signature(
 ) -> DataFrame:
     """K min-hashes per doc as K aggregate columns (no K× row blowup).
 
-    h_i(token) = md5(i || ':' || token); signature_i = min_token h_i.
-    Computed as K conditional-free min() aggregates over the exploded
-    token table — a single map-side-combinable groupBy(id): at scale
-    this is one shuffle keyed by doc id with partial aggregation.
+    Kirsch–Mitzenmacher double hashing: ONE md5 per token split into
+    two 52-bit halves h1, h2; h_i = h1 + i·h2 (max < 2^56 — no bigint
+    overflow in Spark or an oracle engine). signature_i = min_token h_i.
+    One hash computation instead of K per token row, and the K min()
+    aggregates stay a single map-side-combinable groupBy(id) shuffle
+    carrying K longs per doc.
     """
+    md5 = F.md5(F.col("token"))
+    h1 = F.conv(F.substring(md5, 1, 13), 16, 10).cast(T.LongType())
+    h2 = F.conv(F.substring(md5, 14, 13), 16, 10).cast(T.LongType())
+    # materialize the halves in a child Project: each is referenced K
+    # times by the aggregates, which keeps CollapseProject from
+    # re-inlining the md5 into every min()
+    based = tokens.select("id", h1.alias("__h1"), h2.alias("__h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
+        F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return tokens.groupBy("id").agg(*aggs)
+    return based.groupBy("id").agg(*aggs)
 
 
 def minhash_candidate_pairs(
@@ -152,8 +188,13 @@ def minhash_candidate_pairs(
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # ':' separator disambiguates decimal concatenation (unlike the
+        # fixed-width hex strings this replaced)
         band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash"))
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(":", *parts)).alias("band_hash"),
+            )
         )
     banded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("band")
@@ -225,7 +266,8 @@ def char_shingles(
         lambda i: lowered.substr(i, F.lit(n)),
     )
     return (
-        df.filter(F.length(F.lower(F.col(text_col))) >= n)
+        partition_by_doc(df, id_col)
+        .filter(F.length(F.lower(F.col(text_col))) >= n)
         .select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__lowered"))
         .select("id", F.explode(grams).alias("token"))
         .distinct()
@@ -291,10 +333,15 @@ def simhash(
     toks = tokenize_distinct(df, text_col, id_col)
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(T.LongType())
     toks = toks.withColumn("h", h)
+    # bit test as shiftright+mask, majority vote as sum(2·bit − 1):
+    # keeps each aggregate a handful of integer ops. This matters
+    # beyond taste — since the token stream arrives pre-partitioned by
+    # id (partition_by_doc), the distinct, the 32 sums and the final
+    # projection fuse into ONE whole-stage-codegen unit; with the
+    # earlier floor(h/2^j)%2 double-arithmetic CASE trees that unit
+    # took ~15 s of janino compile before the first row moved.
     aggs = [
-        F.sum(
-            F.when((F.floor(F.col("h") / F.lit(1 << j)) % 2) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
         for j in range(bits)
     ]
     per_doc = toks.groupBy("id").agg(*aggs)

@@ -1814,19 +1814,26 @@ _SHINGLES_SQL = """
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    # mirrors dedup.minhash_signature's double hashing: one md5 split
+    # into two 52-bit halves, h_i = h1 + i*h2 (bigint-exact, < 2^56)
     rows = num_hashes // bands
     sig_cols = ", ".join(
-        f"min(md5(concat('{i}:', token))) AS mh{i}" for i in range(num_hashes)
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
-        "SELECT id, {b} AS band_idx, md5(concat({cols})) AS band_hash FROM sig".format(
+        "SELECT id, {b} AS band_idx, md5(concat_ws(':', {cols})) AS band_hash FROM sig".format(
             b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
         )
         for b in range(bands)
     )
     return f"""
     WITH toks AS ({_SHINGLES_SQL}),
-    sig AS (SELECT id, {sig_cols} FROM toks GROUP BY id),
+    halves AS (
+      SELECT id,
+             ('0x' || substr(md5(token), 1, 13))::BIGINT AS h1,
+             ('0x' || substr(md5(token), 14, 13))::BIGINT AS h2
+      FROM toks),
+    sig AS (SELECT id, {sig_cols} FROM halves GROUP BY id),
     banded AS ({band_selects})
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM banded a JOIN banded b
