@@ -1720,11 +1720,12 @@ def q_cdc_pgoutput_decode(spark, sf_dir):
         [(-1, P.encode_relation(1, "events_state", [("user_id", 20, True), ("event_type", 25, False)]))],
         "frame_idx long, payload binary",
     )
-    # decode_envelope scans frames twice (registry pass + decode pass);
-    # when frames come from storage that's two pruned scans, but here
-    # they're synthesized on the fly — cache so encode runs once
-    all_frames = rel.unionByName(frames).cache()
-    env = P.decode_envelope(all_frames)
+    # registry pass runs over just the (single-row) Relation frame — the
+    # synthesized data stream is then encoded exactly once, feeding the
+    # decode pass directly (decode_envelope caches the decoded rows for
+    # the stamping double-read)
+    reg = P.collect_registry(rel)
+    env = P.decode_envelope(rel.unionByName(frames), registry=reg)
     return env.select(
         "op",
         "table",

@@ -341,7 +341,9 @@ def decode_frames(
             c_ts: list = []
             c_lsn: list = []
             c_xid: list = []
-            for idx, payload in zip(pdf[idx_col], pdf[payload_col]):
+            for idx, payload in zip(
+                pdf[idx_col].to_numpy(), pdf[payload_col].to_numpy()
+            ):
                 buf = bytes(payload)
                 tag = buf[0]
                 if tag == 66:  # 'B'
@@ -464,7 +466,10 @@ def stamp_transactions(decoded: DataFrame) -> DataFrame:
 
 
 def decode_envelope(
-    frames: DataFrame, payload_col: str = "payload", cache_decoded: bool = True
+    frames: DataFrame,
+    payload_col: str = "payload",
+    cache_decoded: bool = True,
+    registry: dict[int, dict] | None = None,
 ) -> DataFrame:
     """frames(frame_idx, payload) → canonical change envelope: the full
     two-pass pipeline (registry collect → parallel decode → txn stamp).
@@ -472,8 +477,15 @@ def decode_envelope(
     ``cache_decoded`` materializes the decoded rows once: the stamping
     stage reads them twice (narrow metadata pass + wide rejoin), and
     without the cache each read would re-run the Python decode. Size is
-    bounded by the microbatch, evicted LRU."""
-    registry = collect_registry(frames, payload_col)
+    bounded by the microbatch, evicted LRU.
+
+    ``registry``: pass a pre-collected relation registry (e.g. from
+    ``collect_registry`` over just the Relation/Type frames, or a
+    schema known out-of-band) to skip the pass-1 scan of the full
+    frame stream — on storage that's a pruned re-scan, but on a
+    synthesized/streamed source it's a whole extra materialization."""
+    if registry is None:
+        registry = collect_registry(frames, payload_col)
     decoded = decode_frames(frames, registry, payload_col)
     if cache_decoded:
         decoded = decoded.cache()
