@@ -81,3 +81,49 @@ def test_brute_force_topk_broadcasts_queries(reports):
     # the query side broadcasts; the corpus is never shuffled pre-join
     assert r.nested_loop_joins == 1
     assert r.broadcast_exchanges >= 1
+
+
+def test_simhash_single_early_shuffle(reports):
+    """partition_by_doc contract: the one exchange sits BELOW the
+    tokenize/explode fan-out (raw text shuffles, exploded tokens never
+    do), and the distinct + 32 bit-sums fuse shuffle-free above it."""
+    r = reports("q_doc_simhash")
+    assert r.shuffle_exchanges == 1
+    # the exchange is the explicit doc-id repartition, not an
+    # aggregation exchange: it hashes doc_id only
+    assert "REPARTITION_BY_NUM" in r.text
+    # explode runs above the exchange: Generate must not appear before
+    # the Exchange in the tree walk (tree prints top-down, so the
+    # exchange string must come AFTER Generate textually)
+    tree = r.text.split("\n\n", 1)[0]
+    gen_pos = tree.index("Generate")
+    ex_pos = tree.index("Exchange")
+    assert ex_pos > gen_pos, "explode fan-out must sit above the shuffle"
+
+
+def test_minhash_shuffles_bounded(reports):
+    """MinHash+LSH: doc-id repartition + band-bucket self-join
+    exchanges and the final distinct — but never a shuffle of the
+    exploded shingle stream (the signature agg reuses the doc-id
+    partitioning)."""
+    r = reports("q_doc_minhash_pairs")
+    # 1 repartition + 2 join sides + distinct-ish; allow AQE variance
+    assert r.shuffle_exchanges <= 4
+    assert "partial_min" in r.text, "signature mins must map-side combine"
+
+
+def test_ann_lsh_equi_join_on_bucket(reports):
+    """The scale contract of LSH ANN: candidates meet via an equi-join
+    on the bucket key — never a nested-loop cross product."""
+    for name in ("q_emb_ann_lsh", "q_emb_ann_multiprobe"):
+        r = reports(name)
+        assert r.nested_loop_joins == 0, f"{name} fell back to cross product"
+
+
+def test_pgoutput_stamp_isolates_serial_window(reports):
+    """The single-partition txn-stamp window only ever sees the narrow
+    metadata projection; wide record maps rejoin via an equi-join."""
+    r = reports("q_cdc_pgoutput_decode")
+    assert r.nested_loop_joins == 0
+    tree = r.text.split("\n\n", 1)[0]
+    assert "Window" in tree
