@@ -120,6 +120,16 @@ def test_ann_lsh_equi_join_on_bucket(reports):
         assert r.nested_loop_joins == 0, f"{name} fell back to cross product"
 
 
+def test_ann_ivf_candidate_join_is_equi(reports):
+    """IVF: the only nested-loop joins are the two cell-assignment
+    broadcasts over the n_cells-row centroid table (bounded fan-out by
+    construction); candidates must meet via the cell_id equi-join,
+    never a corpus cross product."""
+    r = reports("q_emb_ann_ivf")
+    assert r.nested_loop_joins <= 2
+    assert r.broadcast_exchanges >= 1
+
+
 def test_pgoutput_stamp_isolates_serial_window(reports):
     """The single-partition txn-stamp window only ever sees the narrow
     metadata projection; wide record maps rejoin via an equi-join."""

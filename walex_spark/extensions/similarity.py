@@ -238,6 +238,109 @@ def near_dup_pairs(
     )
 
 
+def assign_ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    rank: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Nearest-`rank` IVF cells per vector by cosine against a (tiny)
+    centroid table.
+
+    The centroid side is broadcast (n_cells rows — metadata-sized at
+    any corpus scale), so assignment is a map-side nested-loop over
+    n_cells followed by a per-vector window on bounded cardinality:
+    no corpus shuffle. Scores are strict left folds; ties break on
+    cell id, so the argmin is deterministic in any engine.
+    """
+    in_cols = vectors.columns
+    scored = vectors.join(F.broadcast(centroids), F.lit(True)).select(
+        *in_cols,
+        "cell_id",
+        (dot_product(F.col(vec_col), F.col("cv")) / F.col("cent_norm")).alias("s"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rank)
+        .select(*in_cols, "cell_id")
+    )
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    centroid_ids: list[int] | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: data-dependent coarse quantizer.
+
+    Complements the LSH path: cells are actual corpus vectors (the rows
+    whose ids are in ``centroid_ids`` — a deterministic strided sample
+    by default at a real scale you'd feed k-means centroids), so cell
+    populations adapt to the data distribution where hyperplane buckets
+    are data-oblivious. Corpus vectors are assigned to their nearest
+    cell (1 broadcast join, no shuffle until the candidate join);
+    queries probe their ``n_probe`` nearest cells. The candidate join
+    is an equi-join on cell_id — the cell is the shuffle/partition key,
+    exactly like the LSH bucket, and fan-out is bounded by cell size ×
+    n_probe.
+    """
+    cents = corpus.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cell_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    c_side = assign_ivf_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("c_norm"),
+        ),
+        cents,
+        rank=1,
+        id_col="neighbor_id",
+        vec_col="c_vec",
+    )
+    q_side = assign_ivf_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            l2_norm(F.col(vec_col)).alias("q_norm"),
+        ),
+        cents,
+        rank=n_probe,
+        id_col="query_id",
+        vec_col="q_vec",
+    )
+    scored = (
+        q_side.join(c_side, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_product(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+        # a neighbor can be reached through several probed cells
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

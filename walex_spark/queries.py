@@ -2133,6 +2133,57 @@ def q_emb_ann_multiprobe(spark, sf_dir):
     return sim.ann_lsh_multiprobe_topk(emb.filter(F.col("vec_id") < 32), emb, dim=64, k=5)
 
 
+_IVF_CENTROID_IDS = list(range(0, 2000, 125))  # 16 strided cells
+
+
+@_register(
+    "q_emb_ann_ivf",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, v AS cv,
+                 sqrt({_FOLD_DOT.format(a='v', b='v')}) AS cent_norm
+          FROM v WHERE vec_id % 125 = 0),
+    cellscore AS (
+      SELECT v.vec_id, c.cell_id,
+             {_FOLD_DOT.format(a='v.v', b='c.cv')} / c.cent_norm AS s
+      FROM v CROSS JOIN c),
+    ranked AS (
+      SELECT vec_id, cell_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+      FROM cellscore),
+    corpus AS (
+      SELECT r.vec_id AS neighbor_id, v.v AS c_vec,
+             sqrt({_FOLD_DOT.format(a='v.v', b='v.v')}) AS c_norm, r.cell_id
+      FROM ranked r JOIN v USING (vec_id) WHERE r.rn = 1),
+    probes AS (
+      SELECT r.vec_id AS query_id, v.v AS q_vec,
+             sqrt({_FOLD_DOT.format(a='v.v', b='v.v')}) AS q_norm, r.cell_id
+      FROM ranked r JOIN v USING (vec_id) WHERE r.rn <= 2 AND r.vec_id < 32),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             {_FOLD_DOT.format(a='q_vec', b='c_vec')} / (q_norm * c_norm) AS cosine
+      FROM probes JOIN corpus USING (cell_id)
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_emb_ann_ivf(spark, sf_dir):
+    """IVF ANN: data-dependent coarse quantizer (16 strided corpus
+    vectors as cells), nprobe=2. Cell assignment is a broadcast join
+    against the centroid table (no corpus shuffle); candidates meet via
+    the cell_id equi-join — the inverted-file analog of the LSH bucket
+    key, with cells that track the data distribution."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_ivf_topk(
+        emb.filter(F.col("vec_id") < 32), emb,
+        k=5, centroid_ids=_IVF_CENTROID_IDS, n_probe=2,
+    )
+
+
 @_register(
     "q_emb_near_dup",
     f"""
