@@ -47,9 +47,12 @@ def main() -> None:
     from walex_spark.session import get_spark
 
     spark = get_spark("walex-bench")
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the queries, not session bootstrap
+    # warm the JVM + parquet footers + Python worker pool once so
+    # per-query numbers measure the queries, not session bootstrap
+    # (the first mapInPandas query would otherwise absorb 32 worker
+    # forks + pandas imports)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     total = 0.0
