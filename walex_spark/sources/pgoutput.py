@@ -360,9 +360,38 @@ def decode_frames(
                     c_rec.append(None); c_old.append(None); c_key.append(None)
                     c_ts.append(ts); c_lsn.append(commit_lsn); c_xid.append(None)
                     continue
+                # 'I' and the N-only 'U' form (the overwhelmingly common
+                # data frames) parse inline; every other shape falls
+                # through to the golden-tested decode_message dispatch
+                if tag == 73 and buf[5] == 78:  # 'I' — rel_id, 'N', tuple
+                    (rel_id,) = _s.unpack_from(">I", buf, 1)
+                    rel = registry.get(rel_id)
+                    if rel is None:
+                        continue
+                    cells, _ = _tuple_data(buf, 6)
+                    c_idx.append(idx); c_sub.append(0); c_op.append("INSERT")
+                    c_schema.append(rel["namespace"]); c_table.append(rel["name"])
+                    c_cols.append(rel["columns"])
+                    c_rec.append(zip_cells(rel, cells))
+                    c_old.append(None); c_key.append(None)
+                    c_ts.append(None); c_lsn.append(None); c_xid.append(None)
+                    continue
+                if tag == 85 and buf[5] == 78:  # 'U' without old/key tuple
+                    (rel_id,) = _s.unpack_from(">I", buf, 1)
+                    rel = registry.get(rel_id)
+                    if rel is None:
+                        continue
+                    cells, _ = _tuple_data(buf, 6)
+                    c_idx.append(idx); c_sub.append(0); c_op.append("UPDATE")
+                    c_schema.append(rel["namespace"]); c_table.append(rel["name"])
+                    c_cols.append(rel["columns"])
+                    c_rec.append(zip_cells(rel, cells))
+                    c_old.append(None); c_key.append(None)
+                    c_ts.append(None); c_lsn.append(None); c_xid.append(None)
+                    continue
                 msg = decode_message(buf)
                 op = msg["op"]
-                if op in ("INSERT", "UPDATE", "DELETE"):
+                if op in ("UPDATE", "DELETE"):
                     rel = registry.get(msg["relation_id"])
                     if rel is None:
                         continue
