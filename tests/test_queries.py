@@ -29,3 +29,14 @@ def test_query_matches_oracle(spark, duck, name):
     ddf = duck.execute(Q.ORACLES[name]).fetchdf()
     problems = compare_frames(sdf, ddf)
     assert not problems, problems
+
+
+def test_approx_distinct_accuracy(spark):
+    """q_approx_distinct has no cross-engine oracle (HLL sketches are
+    engine-specific); pin its accuracy contract instead: relative error
+    within 3x the requested rsd of the exact distinct count."""
+    rows = Q.QUERIES["q_approx_distinct"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        err = abs(r.approx_custs - r.exact_custs) / max(r.exact_custs, 1)
+        assert err <= 0.06, (r.o_orderpriority, r.approx_custs, r.exact_custs)

@@ -2260,6 +2260,25 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+@_register("q_approx_distinct")  # no SQL oracle: HLL sketches differ per engine
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) beside the exact distinct
+    count — the sketch is THE distinct-count strategy at 100 TB (fixed
+    ~kB of state per group vs a shuffle of every distinct key). Sketch
+    values are engine-specific, so this is a rows-only gate; the
+    accuracy contract (relative error within 3·rsd of exact) is pinned
+    by tests/test_queries.py::test_approx_distinct_accuracy."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.count_distinct("o_custkey").alias("exact_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 @_register("q_multimodal_features")  # no SQL oracle: mapInPandas feature stub
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
