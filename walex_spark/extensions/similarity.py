@@ -290,6 +290,8 @@ def ann_ivf_topk(
     exactly like the LSH bucket, and fan-out is bounded by cell size ×
     n_probe.
     """
+    if not centroid_ids:
+        raise ValueError("ann_ivf_topk requires explicit centroid_ids")
     cents = corpus.filter(F.col(id_col).isin(centroid_ids)).select(
         F.col(id_col).alias("cell_id"),
         _to_double(F.col(vec_col)).alias("cv"),
