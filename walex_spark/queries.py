@@ -183,8 +183,8 @@ def q03(spark, sf_dir):
     )
     rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _rate("l_discount")))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rev.alias("rev_dec"))
         .orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
@@ -227,9 +227,9 @@ def q05(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _rate("l_discount")))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -288,8 +288,8 @@ def q10(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _rate("l_discount")))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(rev.alias("rev_dec"))
@@ -686,9 +686,9 @@ def q07(spark, sf_dir):
     ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
@@ -725,7 +725,7 @@ def q08(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg((_dbl(nation_rev) / _dbl(F.sum(_rev()))).alias("mkt_share"))
@@ -763,8 +763,8 @@ def q09(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -843,7 +843,7 @@ def q14(spark, sf_dir):
         F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(DEC))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg((_dbl(promo) * F.lit(100) / _dbl(F.sum(_rev()))).alias("promo_revenue"))
     )
 
@@ -876,7 +876,7 @@ def q15(spark, sf_dir):
     return (
         r.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", _dbl(F.col("total_rev")).alias("total_revenue"))
     )
 
@@ -939,7 +939,7 @@ def q18(spark, sf_dir):
     )
     return (
         o.join(big, o.o_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
         .agg(_dbl(F.sum(_dec("l_quantity"))).alias("total_qty"))
@@ -969,7 +969,7 @@ def q19(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(_dbl(F.sum(_rev())).alias("revenue"))
     )
@@ -1034,7 +1034,7 @@ def q16(spark, sf_dir):
     )
     return (
         li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1067,7 +1067,7 @@ def q20(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     interesting = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 50)
@@ -1128,7 +1128,7 @@ def q21(spark, sf_dir):
     )
     return (
         sole.join(multi, "l_orderkey")
-        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
