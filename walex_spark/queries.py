@@ -505,9 +505,9 @@ def q_distinct_agg(spark, sf_dir):
     """
     SELECT p_partkey,
            UPPER(SUBSTR(p_name, 1, 8)) AS name_prefix,
-           LENGTH(p_name) AS name_len,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
            CONCAT(p_brand, '#', p_type) AS brand_type,
-           FLOOR(p_retailprice) AS price_floor,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
            CAST(p_size % 7 AS INTEGER) AS size_mod
     FROM part
     """,
@@ -558,8 +558,8 @@ def q_date_funcs(spark, sf_dir):
     "q_case_having",
     """
     SELECT o_custkey,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
            COUNT(*) AS n_total
     FROM orders
     GROUP BY o_custkey
@@ -583,9 +583,9 @@ def q_case_having(spark, sf_dir):
     "q_pivot_status_priority",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -979,8 +979,8 @@ def q19(spark, sf_dir):
     "q12_ship_priority_lag",
     """
     SELECT l.l_returnflag AS ship_class,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
       AND l.l_shipdate < o.o_orderdate + INTERVAL 120 DAY
@@ -1485,9 +1485,9 @@ def q_cdc_pg_cast(spark, sf_dir):
     f"""
     SELECT user_id,
            COUNT(*) AS n_changes,
-           SUM(CASE WHEN {_ENVELOPE_CASE_SQL} = 'INSERT' THEN 1 ELSE 0 END) AS n_inserts,
-           SUM(CASE WHEN {_ENVELOPE_CASE_SQL} = 'UPDATE' THEN 1 ELSE 0 END) AS n_updates,
-           SUM(CASE WHEN {_ENVELOPE_CASE_SQL} = 'DELETE' THEN 1 ELSE 0 END) AS n_deletes,
+           CAST(SUM(CASE WHEN {_ENVELOPE_CASE_SQL} = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+           CAST(SUM(CASE WHEN {_ENVELOPE_CASE_SQL} = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+           CAST(SUM(CASE WHEN {_ENVELOPE_CASE_SQL} = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
            CAST(MIN(event_id) AS BIGINT) AS first_lsn,
            CAST(MAX(event_id) AS BIGINT) AS last_lsn
     FROM events GROUP BY user_id
