@@ -11,9 +11,29 @@ operator from SURVEY.md §2.9 plus the driver-mandated extensions.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# TESTDATA.md registers only the 8 star-schema tables as DuckDB views;
+# documents/embeddings exist on disk but may have no view. The driver
+# evaluates oracles at sf=0.01 only, so rewrite references to those two
+# tables into self-contained read_parquet() calls. Local tools
+# (tools/compare.py, tests) keep using the view-based ORACLES so they
+# can run at any sf.
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"
+_UNREGISTERED_TABLES = ("documents", "embeddings")
+
+
+def _self_contained(sql: str) -> str:
+    for t in _UNREGISTERED_TABLES:
+        sql = re.sub(
+            rf"\bFROM {t}\b",
+            f"FROM read_parquet('{_DRIVER_SF_DIR}/{t}.parquet') AS {t}",
+            sql,
+        )
+    return sql
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,4 +52,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from walex_spark.queries import ORACLES
 
-    return dict(ORACLES)
+    return {name: _self_contained(sql) for name, sql in ORACLES.items()}

@@ -1,0 +1,63 @@
+"""Driver-contract pins for __spark_entry__.py.
+
+Round 1 lesson: the 18 extension queries were silently absent from
+CORRECTNESS_r01.json because their oracles said `FROM documents` /
+`FROM embeddings` — views the driver's DuckDB never registers
+(TESTDATA.md lists only the 8 star-schema tables). These tests
+replicate the driver's constrained oracle environment so a
+regression fails CI instead of silently dropping queries from the
+hard gate.
+"""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# exactly what TESTDATA.md says the driver registers — nothing more
+DRIVER_VIEWS = "region nation customer supplier part orders lineitem events".split()
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def driver_duck():
+    con = duckdb.connect()
+    for t in DRIVER_VIEWS:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_every_query_has_callable_and_oracle_alignment():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    # every oracle key must have a query; the reverse may skip
+    # (rows-only queries are allowed to omit the oracle)
+    assert set(os_) <= set(qs)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(entrymod.oracle_sql()), ids=lambda n: n
+)
+def test_oracle_runs_in_driver_duckdb(driver_duck, name):
+    """Each driver-facing oracle must EXPLAIN cleanly with only the 8
+    TESTDATA views registered — i.e. be self-contained for any other
+    table it references."""
+    sql = entrymod.oracle_sql()[name]
+    driver_duck.execute(f"EXPLAIN {sql}")
+
+
+def test_extension_oracles_are_self_contained():
+    os_ = entrymod.oracle_sql()
+    ext = [n for n in os_ if n.startswith(("q_doc_", "q_emb_", "q_multimodal_"))]
+    assert len(ext) >= 15
+    for n in ext:
+        sql = os_[n]
+        assert "read_parquet" in sql, f"{n} still references a bare view"
