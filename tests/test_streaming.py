@@ -142,6 +142,46 @@ def test_jdbc_advance_from(spark, tmp_path):
     assert src.cursor == 9
 
 
+def test_jdbc_slot_single_writer(tmp_path):
+    """Reference enforces exclusive slot consumption (server.ex:17):
+    a second poller on the same cursor checkpoint must refuse to start."""
+    from walex_spark.sources.jdbc import SlotInUseError
+
+    ckpt = str(tmp_path / "cursor.json")
+    a = JdbcPollingSource(url="jdbc:x", table="t", cursor_col="lsn", checkpoint_path=ckpt)
+    b = JdbcPollingSource(url="jdbc:x", table="t", cursor_col="lsn", checkpoint_path=ckpt)
+    a.acquire_lock()
+    try:
+        with pytest.raises(SlotInUseError):
+            b.acquire_lock()
+    finally:
+        a.release_lock()
+    # released: second poller may now claim it
+    b.acquire_lock()
+    b.release_lock()
+
+
+def test_jdbc_stale_lock_takeover(tmp_path):
+    """A lock whose owner pid is dead (or heartbeat expired) is
+    abandoned and taken over — the reference's reconnect-retry path."""
+    import json as _json
+
+    ckpt = str(tmp_path / "cursor.json")
+    src = JdbcPollingSource(url="jdbc:x", table="t", cursor_col="lsn", checkpoint_path=ckpt)
+    # fake a dead owner: max pid + ancient heartbeat
+    with open(ckpt + ".lock", "w") as f:
+        _json.dump({"pid": 2**22 + 1, "ts": 0}, f)
+    src.acquire_lock()  # must not raise
+    src.release_lock()
+
+
+def test_jdbc_probe_and_bounds():
+    src = JdbcPollingSource(url="jdbc:x", table="events", cursor_col="lsn")
+    assert src.probe_max_sql() == (
+        "(SELECT max(lsn) AS max_cursor FROM events) AS walex_probe"
+    )
+
+
 def test_parquet_state_sink_merge(spark, tmp_path):
     from walex_spark.streaming.materialize import ParquetStateSink
 

@@ -24,9 +24,16 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class SlotInUseError(RuntimeError):
+    """Another live poller holds this cursor's slot lock — the JDBC
+    analog of Postgres rejecting a second consumer on a replication
+    slot (server.ex:17, retry/backoff there; here the caller decides)."""
 
 
 @dataclass
@@ -62,21 +69,109 @@ class JdbcPollingSource:
         where = f" WHERE {pred}" if pred else ""
         return f"(SELECT * FROM {self.table}{where}) AS walex_poll"
 
-    def poll(self, spark: SparkSession) -> DataFrame:
-        """One microbatch: rows past the cursor, cursor-partitioned."""
+    def poll(
+        self, spark: SparkSession, upper_bound: object | None = None
+    ) -> DataFrame:
+        """One microbatch: rows past the cursor.
+
+        Spark's JDBC reader requires partitionColumn, lowerBound,
+        upperBound and numPartitions all-or-none. The lower bound is
+        the persisted cursor; the upper bound must come from the caller
+        (typically a prior ``SELECT max(cursor)`` probe — see
+        ``probe_max_sql``). When either bound is missing the read is a
+        single partition rather than a crash: correct, just not
+        parallel, which is fine for the common small incremental batch.
+        """
         reader = (
             spark.read.format("jdbc")
             .option("url", self.url)
             .option("dbtable", self.dbtable_subquery())
             .option("fetchsize", self.fetch_size)
-            .option("numPartitions", self.num_partitions)
-            .option("partitionColumn", self.cursor_col)
         )
+        if self._cursor is not None and upper_bound is not None:
+            reader = (
+                reader.option("partitionColumn", self.cursor_col)
+                .option("lowerBound", str(self._cursor))
+                .option("upperBound", str(upper_bound))
+                .option("numPartitions", self.num_partitions)
+            )
         if self.user:
             reader = reader.option("user", self.user)
         if self.password:
             reader = reader.option("password", self.password)
         return reader.load()
+
+    def probe_max_sql(self) -> str:
+        """Pushdown subquery for the upper-bound probe: the remote
+        computes max(cursor); one row crosses the wire."""
+        return (
+            f"(SELECT max({self.cursor_col}) AS max_cursor "
+            f"FROM {self.table}) AS walex_probe"
+        )
+
+    # -- single-writer slot lock (server.ex:17,65-88 exclusive slot) --
+
+    @property
+    def _lock_path(self) -> str:
+        if not self.checkpoint_path:
+            raise ValueError("slot lock requires a durable checkpoint_path")
+        return f"{self.checkpoint_path}.lock"
+
+    def acquire_lock(self, stale_after_s: float = 300.0) -> None:
+        """Take the slot's single-writer lock or raise SlotInUseError.
+
+        O_EXCL creation is the atomic claim; a lock whose owning pid is
+        dead or whose heartbeat is older than ``stale_after_s`` is
+        treated as abandoned and taken over (the reference's slot
+        retry-after-disconnect, server.ex:65-88).
+        """
+        while True:
+            try:
+                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+                return
+            except FileExistsError:
+                if not self._lock_is_stale(stale_after_s):
+                    raise SlotInUseError(
+                        f"slot lock {self._lock_path} held by a live poller"
+                    ) from None
+                # abandoned: remove and re-race the O_EXCL create
+                try:
+                    os.unlink(self._lock_path)
+                except FileNotFoundError:
+                    pass
+
+    def _lock_is_stale(self, stale_after_s: float) -> bool:
+        try:
+            with open(self._lock_path) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return True  # vanished or torn write: claimable
+        if time.time() - meta.get("ts", 0) > stale_after_s:
+            return True
+        pid = meta.get("pid")
+        if pid is not None:
+            try:
+                os.kill(pid, 0)  # existence probe, no signal delivered
+            except ProcessLookupError:
+                return True
+            except PermissionError:
+                pass  # alive, owned by someone else
+        return False
+
+    def release_lock(self) -> None:
+        try:
+            os.unlink(self._lock_path)
+        except FileNotFoundError:
+            pass
+
+    def __enter__(self) -> "JdbcPollingSource":
+        self.acquire_lock()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release_lock()
 
     def commit(self, new_cursor) -> None:
         """Advance + persist the cursor (the standby-status-update ack,
