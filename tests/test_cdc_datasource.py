@@ -80,3 +80,22 @@ def test_empty_source_reports_initial_offset(tmp_path):
     )
     assert r.latestOffset() == {"cursor": -1}
     assert r.initialOffset() == {"cursor": -1}
+
+
+def test_latest_offset_uses_footer_stats(spark, tmp_path):
+    """latestOffset must come from row-group statistics, not a data
+    read: correct max across multiple files, and the stats path is
+    actually taken (fragment fallback unused when footers carry
+    min/max)."""
+    src = str(tmp_path / "t")
+    spark.createDataFrame(_rows(1, 51), CHANGE_ENVELOPE_SCHEMA).write.parquet(src)
+    spark.createDataFrame(_rows(51, 91), CHANGE_ENVELOPE_SCHEMA).write.parquet(
+        src, mode="append"
+    )
+    r = CdcStreamReader(CHANGE_ENVELOPE_SCHEMA, {"path": src})
+    assert r.latestOffset() == {"cursor": 90}
+    # every fragment resolves via stats (Spark writes min/max footers)
+    import pyarrow.dataset as ds
+
+    for frag in ds.dataset(src, format="parquet").get_fragments():
+        assert r._fragment_max_from_stats(frag) is not None

@@ -89,7 +89,12 @@ class CdcStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         """Driver-side poll of the upstream high-water mark (the JDBC
-        analog is `SELECT max(cursor_field) FROM table`)."""
+        analog is `SELECT max(cursor_field) FROM table`).
+
+        Reads parquet row-group STATISTICS, not data: the driver cost
+        is O(footers), constant per file regardless of row count. Only
+        a fragment whose footer lacks min/max stats falls back to
+        scanning that one fragment's cursor column."""
         import pyarrow.dataset as ds
 
         if not os.path.isdir(self.path) or not any(
@@ -97,9 +102,34 @@ class CdcStreamReader(DataSourceStreamReader):
         ):
             return {"cursor": self.start_cursor}
         dataset = ds.dataset(self.path, format="parquet")
-        col = dataset.to_table(columns=[self.cursor_field])[self.cursor_field]
-        mx = col.combine_chunks().drop_null()
-        return {"cursor": int(max(mx.to_pylist())) if len(mx) else self.start_cursor}
+        mx = None
+        for frag in dataset.get_fragments():
+            frag_max = self._fragment_max_from_stats(frag)
+            if frag_max is None:
+                col = frag.to_table(columns=[self.cursor_field])[
+                    self.cursor_field
+                ].drop_null()
+                vals = col.to_pylist()
+                frag_max = max(vals) if vals else None
+            if frag_max is not None:
+                mx = frag_max if mx is None else max(mx, frag_max)
+        return {"cursor": int(mx)} if mx is not None else {"cursor": self.start_cursor}
+
+    def _fragment_max_from_stats(self, frag) -> int | None:
+        """Max of the cursor column over one file via footer statistics;
+        None when any row group lacks usable min/max."""
+        md = frag.metadata
+        try:
+            col_idx = md.schema.names.index(self.cursor_field)
+        except ValueError:
+            return None
+        frag_max = None
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            frag_max = st.max if frag_max is None else max(frag_max, st.max)
+        return frag_max
 
     # -- planning ---------------------------------------------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
