@@ -208,6 +208,31 @@ def test_parquet_state_sink_merge(spark, tmp_path):
     assert got2 == got
 
 
+def test_parquet_state_sink_truncate_wipes_all_buckets(spark, tmp_path):
+    """A TRUNCATE in a batch must wipe pre-truncate rows of that table
+    from EVERY bucket, not just buckets the batch's keys hash into."""
+    from walex_spark.streaming.materialize import ParquetStateSink
+
+    sink = ParquetStateSink(str(tmp_path / "state"), ["id"], num_buckets=4)
+    b1 = [
+        ("INSERT", "public", "user", None, {"id": str(i), "age": "30"},
+         None, None, TS, 0, 10 + i, i, 0)
+        for i in range(8)  # spread across all 4 buckets
+    ] + [
+        ("INSERT", "public", "todo", None, {"id": "t1"}, None, None, TS, 0, 5, 99, 0),
+    ]
+    sink.process_batch(spark.createDataFrame(b1, CHANGE_ENVELOPE_SCHEMA), 0)
+    assert len(sink.state(spark).collect()) == 9
+    b2 = [
+        ("TRUNCATE", "public", "user", None, None, None, None, TS, 0, 100, 100, 0),
+        ("INSERT", "public", "user", None, {"id": "new", "age": "1"},
+         None, None, TS, 0, 110, 101, 0),
+    ]
+    sink.process_batch(spark.createDataFrame(b2, CHANGE_ENVELOPE_SCHEMA), 1)
+    got = {(r.table, r.record["id"]) for r in sink.state(spark).collect()}
+    assert got == {("user", "new"), ("todo", "t1")}
+
+
 def test_parquet_state_sink_streaming(spark, tmp_path):
     from walex_spark.streaming.materialize import ParquetStateSink
 

@@ -135,6 +135,37 @@ def test_materialize_table_state(envelope):
     assert "2" in rows
 
 
+def test_materialize_truncate_tombstone(spark):
+    """TRUNCATE wipes every lower-(lsn,change_idx) row of its table —
+    other tables untouched, later inserts survive, and the TRUNCATE
+    row itself never reaches the snapshot (pgoutput Truncate message)."""
+    rows = [
+        ("INSERT", "public", "user", None, {"id": "1", "age": "30"}, None, None, TS, 0, 10, 1, 0),
+        ("INSERT", "public", "user", None, {"id": "2", "age": "40"}, None, None, TS, 0, 20, 2, 0),
+        ("INSERT", "public", "todo", None, {"id": "t1"}, None, None, TS, 0, 25, 3, 0),
+        ("TRUNCATE", "public", "user", None, None, None, None, TS, 0, 30, 4, 0),
+        ("INSERT", "public", "user", None, {"id": "3", "age": "50"}, None, None, TS, 0, 40, 5, 0),
+    ]
+    env = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    state = X.materialize_table_state(env, ["id"]).collect()
+    got = {(r.table, r.record["id"]) for r in state}
+    assert got == {("user", "3"), ("todo", "t1")}
+    assert all(r.record is not None for r in state)
+
+
+def test_materialize_truncate_same_lsn_tiebreak(spark):
+    """A row sharing the TRUNCATE's lsn with lower change_idx is wiped;
+    higher change_idx survives (change_idx orders within a txn)."""
+    rows = [
+        ("INSERT", "public", "user", None, {"id": "1"}, None, None, TS, 0, 30, 1, 0),
+        ("TRUNCATE", "public", "user", None, None, None, None, TS, 0, 30, 1, 1),
+        ("INSERT", "public", "user", None, {"id": "2"}, None, None, TS, 0, 30, 1, 2),
+    ]
+    env = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    got = {r.record["id"] for r in X.materialize_table_state(env, ["id"]).collect()}
+    assert got == {"2"}
+
+
 def test_dedup_replay(envelope):
     replayed = envelope.unionByName(envelope)
     assert X.dedup_replay(replayed).count() == envelope.count()

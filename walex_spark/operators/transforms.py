@@ -364,12 +364,19 @@ def dedup_replay(df: DataFrame) -> DataFrame:
 def materialize_table_state(
     df: DataFrame, key_cols: list[str], record_col: str = "record"
 ) -> DataFrame:
-    """Apply I/U/D in LSN order → current snapshot (R10).
+    """Apply I/U/D/TRUNCATE in LSN order → current snapshot (R10).
 
     Batch form: latest change per PK wins (Window over the key ordered
     by lsn desc), then DELETE rows drop out. At scale this is a single
     shuffle on the PK — the same partitioning a downstream MERGE would
     need; skewed PKs are handled by AQE.
+
+    TRUNCATE is a table-wide tombstone (pgoutput Truncate message,
+    pgoutput.py:170): every row of that table with a lower
+    (lsn, change_idx) is wiped before per-key winners are picked, and
+    the TRUNCATE row itself never reaches the output. The truncate
+    high-water marks aggregate to one row per truncated table —
+    metadata-sized, so the join back is an explicit broadcast.
 
     ``key_cols`` index into the record map (e.g. ["id"]).
     """
@@ -386,6 +393,20 @@ def materialize_table_state(
             ],
         ),
     )
+    ord_ = F.struct(F.col("__lsn").alias("l"), F.col("change_idx").alias("c"))
+    trunc_pts = (
+        keyed.filter(F.col("op") == "TRUNCATE")
+        .groupBy("table")
+        .agg(F.max(ord_).alias("__trunc_ord"))
+    )
+    keyed = (
+        keyed.join(F.broadcast(trunc_pts), "table", "left")
+        .filter(
+            (F.col("op") != "TRUNCATE")
+            & (F.col("__trunc_ord").isNull() | (ord_ > F.col("__trunc_ord")))
+        )
+        .drop("__trunc_ord")
+    )
     w = Window.partitionBy("table", "__pk").orderBy(
         F.col("__lsn").desc(), F.col("change_idx").desc()
     )
@@ -393,4 +414,5 @@ def materialize_table_state(
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col("op") != "DELETE"))
         .drop("__rn", "__pk", "__lsn")
+        .select(*df.columns)
     )

@@ -86,9 +86,22 @@ class ParquetStateSink:
         """
         spark = env.sparkSession
         batch = env.withColumn("__bucket", self._bucket_col())
-        changed = [r.b for r in batch.select(F.col("__bucket").alias("b")).distinct().collect()]
+        agg = batch.agg(
+            F.collect_set("__bucket").alias("bs"),
+            F.max(F.col("op") == "TRUNCATE").alias("has_trunc"),
+        ).collect()[0]
+        changed = list(agg.bs)
         if not changed:
             return
+        if agg.has_trunc:
+            # TRUNCATE wipes a whole table; its rows live in every
+            # bucket, so the merge must cover all existing ones
+            live = {
+                int(d.split("=", 1)[1])
+                for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+                if d.startswith("bucket=")
+            }
+            changed = sorted(live | set(changed))
         existing_dirs = [
             self._bucket_dir(k) for k in changed if os.path.isdir(self._bucket_dir(k))
         ]
