@@ -233,6 +233,54 @@ def test_parquet_state_sink_truncate_wipes_all_buckets(spark, tmp_path):
     assert got == {("user", "new"), ("todo", "t1")}
 
 
+def test_parquet_state_sink_crash_mid_publish(spark, tmp_path):
+    """Kill-mid-swap recovery (the reference's fault-injection tier,
+    database_test.exs:80-106 analog): a crash after the new version is
+    written but before the manifest flips must leave the PREVIOUS
+    single-epoch snapshot fully readable; replaying the batch after
+    restart converges to the correct state and GCs the orphan."""
+    from walex_spark.streaming.materialize import ParquetStateSink
+
+    sink = ParquetStateSink(str(tmp_path / "state"), ["id"], num_buckets=4)
+    b1 = [
+        ("INSERT", "public", "user", None, {"id": str(i), "age": "30"},
+         None, None, TS, 0, 10 + i, i, 0)
+        for i in range(8)
+    ]
+    b2 = [
+        ("UPDATE", "public", "user", None, {"id": "3", "age": "99"},
+         {"id": "3", "age": "30"}, None, TS, 0, 100, 50, 0),
+        ("DELETE", "public", "user", None, None, {"id": "5", "age": "30"},
+         None, TS, 0, 110, 51, 0),
+    ]
+    sink.process_batch(spark.createDataFrame(b1, CHANGE_ENVELOPE_SCHEMA), 0)
+    before = {r.record["id"]: r.record["age"] for r in sink.state(spark).collect()}
+
+    real_publish = sink._publish
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash before manifest flip")
+    sink._publish = crash
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.process_batch(spark.createDataFrame(b2, CHANGE_ENVELOPE_SCHEMA), 1)
+    # old snapshot intact, no mixed-epoch rows, no data loss
+    after_crash = {r.record["id"]: r.record["age"] for r in sink.state(spark).collect()}
+    assert after_crash == before
+    # orphaned version dir exists but is unreferenced
+    orphans = [d for d in (tmp_path / "state").iterdir() if d.name.startswith("v-1-")]
+    assert orphans
+
+    # "restart": foreachBatch replays epoch 1
+    sink._publish = real_publish
+    sink.process_batch(spark.createDataFrame(b2, CHANGE_ENVELOPE_SCHEMA), 1)
+    got = {r.record["id"]: r.record["age"] for r in sink.state(spark).collect()}
+    assert got["3"] == "99" and "5" not in got and len(got) == 7
+    # crashed attempt's version dir got garbage-collected
+    manifest = sink._read_manifest()
+    live = set(manifest.values())
+    on_disk = {d.name for d in (tmp_path / "state").iterdir() if d.name.startswith("v-")}
+    assert on_disk == live
+
+
 def test_parquet_state_sink_streaming(spark, tmp_path):
     from walex_spark.streaming.materialize import ParquetStateSink
 

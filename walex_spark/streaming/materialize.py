@@ -9,13 +9,21 @@ a Delta/Iceberg `MERGE INTO` from `foreachBatch`; this container has
 plain parquet only, so the sink implements the same contract with
 hash-bucketed parquet and bucket-pruned rewrites:
 
-  - state lives under ``path/bucket=K/`` with K = pmod(hash(pk), N);
+  - state lives in versioned epoch dirs ``path/v-<epoch>-<nonce>/
+    bucket=K/`` with K = pmod(hash(pk), N); a MANIFEST file maps each
+    bucket to the version dir holding its current data;
   - each microbatch rewrites ONLY the buckets containing changed keys —
     at 100 TB the rewrite cost scales with the churn, not the table
     (the same access pattern a MERGE with bucketed clustering gives);
   - the merge itself is materialize_table_state over
     (existing ∪ batch): latest change per key wins by (lsn, change_idx),
-    DELETE drops the key;
+    DELETE drops the key, TRUNCATE tombstones its whole table;
+  - the swap is ATOMIC: new buckets are fully written before one
+    os.replace() flips the MANIFEST. A crash at any point leaves the
+    previous manifest — and therefore a complete, single-epoch
+    snapshot — readable (the same commit protocol as a Delta/Iceberg
+    version pointer). Orphaned version dirs from crashed attempts are
+    garbage-collected on the next successful publish;
   - replay safety: a batch re-delivered after a crash merges
     idempotently (same keys, same LSNs → same winners), matching the
     checkpoint-replay contract of foreachBatch (R12).
@@ -23,8 +31,10 @@ hash-bucketed parquet and bucket-pruned rewrites:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,19 +68,32 @@ class ParquetStateSink:
     _spark: SparkSession | None = field(default=None, init=False, repr=False)
 
     # -- layout ------------------------------------------------------------
-    def _bucket_dir(self, k: int) -> str:
-        return os.path.join(self.path, f"bucket={k}")
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "MANIFEST")
+
+    def _read_manifest(self) -> dict[str, str]:
+        """bucket id (str) → version dir name holding its current data."""
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)["buckets"]
+        except FileNotFoundError:
+            return {}
+
+    def _bucket_dirs(self, manifest: dict[str, str], buckets) -> list[str]:
+        return [
+            os.path.join(self.path, manifest[str(k)], f"__bucket={k}")
+            for k in buckets
+            if str(k) in manifest
+        ]
 
     def _bucket_col(self):
         return F.pmod(F.hash(_pk_expr(self.key_cols, self.record_col)), F.lit(self.num_buckets))
 
     def state(self, spark: SparkSession) -> DataFrame:
         """Current snapshot (envelope-shaped rows, one per live key)."""
-        dirs = [
-            os.path.join(self.path, d)
-            for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-            if d.startswith("bucket=")
-        ]
+        manifest = self._read_manifest()
+        dirs = self._bucket_dirs(manifest, sorted(int(b) for b in manifest))
         if not dirs:
             from walex_spark.model import CHANGE_ENVELOPE_SCHEMA
 
@@ -83,6 +106,7 @@ class ParquetStateSink:
 
         Only buckets referenced by the batch are read and rewritten —
         bucket pruning is what keeps the rewrite proportional to churn.
+        The publish is a single atomic manifest flip (see module doc).
         """
         spark = env.sparkSession
         batch = env.withColumn("__bucket", self._bucket_col())
@@ -90,21 +114,15 @@ class ParquetStateSink:
             F.collect_set("__bucket").alias("bs"),
             F.max(F.col("op") == "TRUNCATE").alias("has_trunc"),
         ).collect()[0]
-        changed = list(agg.bs)
+        changed = sorted(agg.bs)
         if not changed:
             return
+        manifest = self._read_manifest()
         if agg.has_trunc:
             # TRUNCATE wipes a whole table; its rows live in every
-            # bucket, so the merge must cover all existing ones
-            live = {
-                int(d.split("=", 1)[1])
-                for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-                if d.startswith("bucket=")
-            }
-            changed = sorted(live | set(changed))
-        existing_dirs = [
-            self._bucket_dir(k) for k in changed if os.path.isdir(self._bucket_dir(k))
-        ]
+            # bucket, so the merge must cover all live ones
+            changed = sorted({int(b) for b in manifest} | set(changed))
+        existing_dirs = self._bucket_dirs(manifest, changed)
         merged_input = batch.drop("__bucket")
         if existing_dirs:
             merged_input = spark.read.parquet(*existing_dirs).unionByName(merged_input)
@@ -112,19 +130,34 @@ class ParquetStateSink:
             merged_input, self.key_cols, self.record_col
         ).withColumn("__bucket", self._bucket_col())
 
-        tmp_root = os.path.join(self.path, f".tmp-epoch-{epoch_id}")
-        if os.path.isdir(tmp_root):
-            shutil.rmtree(tmp_root)
-        new_state.write.partitionBy("__bucket").parquet(tmp_root)
+        vdir = f"v-{epoch_id}-{uuid.uuid4().hex[:8]}"
+        new_state.write.partitionBy("__bucket").parquet(os.path.join(self.path, vdir))
+        self._publish(manifest, changed, vdir)
+
+    def _publish(self, manifest: dict[str, str], changed: list[int], vdir: str) -> None:
+        """Flip the manifest atomically, then GC unreferenced versions.
+
+        Everything before the os.replace is invisible to readers; a
+        crash anywhere leaves the previous single-epoch state intact
+        (the kill-mid-swap test pins this).
+        """
+        new_manifest = {
+            b: v for b, v in manifest.items() if int(b) not in set(changed)
+        }
         for k in changed:
-            live = self._bucket_dir(k)
-            tmp = os.path.join(tmp_root, f"__bucket={k}")
-            if os.path.isdir(live):
-                shutil.rmtree(live)
-            if os.path.isdir(tmp):
-                os.rename(tmp, live)
-            # bucket emptied entirely (all its keys deleted) → stays gone
-        shutil.rmtree(tmp_root, ignore_errors=True)
+            if os.path.isdir(os.path.join(self.path, vdir, f"__bucket={k}")):
+                new_manifest[str(k)] = vdir
+            # bucket emptied entirely (all its keys deleted) → drops out
+        tmp = f"{self._manifest_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"buckets": new_manifest}, f)
+        os.replace(tmp, self._manifest_path)
+        # best-effort GC: version dirs no longer referenced (including
+        # leftovers of crashed publishes) — a crash here is harmless
+        live = set(new_manifest.values())
+        for d in os.listdir(self.path):
+            if d.startswith("v-") and d not in live:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     # -- streaming attach ---------------------------------------------------
     def attach(
