@@ -178,3 +178,26 @@ def test_decode_envelope_feeds_transforms(spark, frames):
         "name": {"old_value": "alice", "new_value": "bob"}
     }
     assert row.lsn == "0/3E8"
+
+
+def test_stamp_transactions_block_parallel_equivalence(spark, frames):
+    """The two-pass block prefix scan must stamp identically at any
+    block size: block_size=2 forces BEGINs and their changes into
+    different blocks (cross-block carry) and several empty-carry
+    blocks; compare against the single-block degenerate case."""
+    from walex_spark.sources.pgoutput import (
+        collect_registry, decode_frames, stamp_transactions,
+    )
+
+    registry = collect_registry(frames)
+    decoded = decode_frames(frames, registry).cache()
+    key = ["op", "table", "xid", "lsn_lo", "change_idx"]
+    single = sorted(
+        (tuple(r[k] for k in key) for r in stamp_transactions(decoded, block_size=1 << 16).collect())
+    )
+    for bs in (1, 2, 3):
+        multi = sorted(
+            (tuple(r[k] for k in key) for r in stamp_transactions(decoded, block_size=bs).collect())
+        )
+        assert multi == single, f"block_size={bs} diverged"
+    assert single  # non-vacuous

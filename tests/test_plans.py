@@ -169,9 +169,15 @@ def test_ann_ivf_candidate_join_is_equi(reports):
 
 
 def test_pgoutput_stamp_isolates_serial_window(reports):
-    """The single-partition txn-stamp window only ever sees the narrow
-    metadata projection; wide record maps rejoin via an equi-join."""
+    """The txn-stamp carry-forward over the full frame metadata must be
+    PARTITIONED (by frame-idx block): a 100 TB WAL backfill would
+    serialize on an unpartitioned Window.orderBy. The only serial
+    window allowed is the per-block carry over the metadata-sized
+    block table. Wide record maps rejoin via an equi-join."""
     r = reports("q_cdc_pgoutput_decode")
     assert r.nested_loop_joins == 0
     tree = r.text.split("\n\n", 1)[0]
     assert "Window" in tree
+    # the block-partitioned window is present in the detail section:
+    # its partition spec names __blk
+    assert "__blk" in r.text

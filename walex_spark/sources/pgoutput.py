@@ -435,23 +435,59 @@ def decode_frames(
     return frames.mapInPandas(decode_part, _DECODED_SCHEMA)
 
 
-def stamp_transactions(decoded: DataFrame) -> DataFrame:
+def stamp_transactions(decoded: DataFrame, block_size: int = 1 << 16) -> DataFrame:
     """BEGIN/COMMIT bracketing → per-change (xid, commit_ts, lsn,
     change_idx), emitted as the canonical envelope.
 
-    The carry-forward window runs in frame order on a single partition —
-    WAL is one serial stream (SURVEY.md §7.4) — but ONLY over a narrow
-    metadata projection (frame_idx, op, xid, ts, lsn): the wide rows
-    (record maps, column arrays) never pass through the serial stage;
-    they rejoin the stamped metadata on (frame_idx, sub_idx), a plain
-    parallel equi-join. Only changes of COMMITTED transactions survive
-    (an unterminated tail is dropped, like the reference on restart)."""
-    meta = decoded.select("frame_idx", "sub_idx", "op", "xid", "commit_ts", "lsn")
-    w = Window.orderBy("frame_idx", "sub_idx").rowsBetween(
+    The BEGIN carry-forward is a two-pass prefix scan, so a 100 TB WAL
+    backfill never serializes on one partition:
+
+      1. frames bucket into fixed ``block_size`` ranges of frame_idx;
+         within each block a partitioned window carries the last BEGIN
+         forward — fully parallel across blocks;
+      2. each block's LAST BEGIN aggregates to one row per block
+         (metadata-sized: ≤ n_frames/block_size rows); a serial window
+         over that tiny table computes the carry entering each block,
+         which broadcast-joins back and fills rows before their block's
+         first BEGIN.
+
+    A microbatch-sized input (< block_size frames) collapses to a
+    single block — pass 2 degenerates to a one-row no-op. Only the
+    narrow metadata projection (frame_idx, op, xid, ts, lsn) flows
+    through the scan; wide rows (record maps, column arrays) rejoin the
+    stamped metadata on (frame_idx, sub_idx), a plain parallel
+    equi-join. Only changes of COMMITTED transactions survive (an
+    unterminated tail is dropped, like the reference on restart)."""
+    meta = decoded.select(
+        "frame_idx", "sub_idx", "op", "xid", "commit_ts", "lsn"
+    ).withColumn("__blk", (F.col("frame_idx") / F.lit(block_size)).cast("long"))
+    begin = F.when(F.col("op") == "BEGIN", F.struct("xid", "commit_ts", "lsn"))
+    wloc = Window.partitionBy("__blk").orderBy("frame_idx", "sub_idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    begin = F.when(F.col("op") == "BEGIN", F.struct("xid", "commit_ts", "lsn"))
-    stamped = meta.withColumn("__txn", F.last(begin, ignorenulls=True).over(w))
+    local = meta.withColumn("__txn_loc", F.last(begin, ignorenulls=True).over(wloc))
+    # pass 2: last BEGIN per block (tiny) → carry entering each block
+    blk_begin = (
+        meta.filter(F.col("op") == "BEGIN")
+        .groupBy("__blk")
+        .agg(
+            F.max_by(
+                F.struct("xid", "commit_ts", "lsn"),
+                F.struct("frame_idx", "sub_idx"),
+            ).alias("__blk_begin")
+        )
+    )
+    wblk = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        meta.select("__blk")
+        .distinct()
+        .join(blk_begin, "__blk", "left")
+        .withColumn("__carry", F.last("__blk_begin", ignorenulls=True).over(wblk))
+        .select("__blk", "__carry")
+    )
+    stamped = local.join(F.broadcast(carry), "__blk").withColumn(
+        "__txn", F.coalesce(F.col("__txn_loc"), F.col("__carry"))
+    )
     committed = (
         stamped.filter(F.col("op") == "COMMIT")
         .select(F.col("__txn.xid").alias("c_xid"))
