@@ -1,0 +1,68 @@
+"""IVF k-means training invariants (extensions/similarity.py).
+
+The correctness bar for the trained quantizer is ENGINE DETERMINISM:
+centroid component sums accumulate as DECIMAL(28,12) (exact,
+order-independent) and are never divided by the count (cosine is
+scale-invariant), so the same corpus must yield bit-identical
+centroids at any partitioning — that's what lets a DuckDB oracle
+replay the training (test_queries / q_emb_ann_ivf_trained pins the
+cross-engine half)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.extensions import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _train(df, iters=2):
+    cents = sim.train_ivf_centroids(
+        df, F.pmod(F.col("vec_id"), F.lit(25)) == 0, dim=64, iters=iters
+    )
+    return sorted(
+        (r.cell_id, tuple(r.cv), r.cent_norm) for r in cents.collect()
+    )
+
+
+def test_training_partitioning_invariant(emb):
+    """Bit-identical centroids whether the corpus is 1 or 8 partitions —
+    a raw double sum would differ in the last bits and flip argmins."""
+    assert _train(emb.repartition(1)) == _train(emb.repartition(8))
+
+
+def test_training_moves_centroids_and_keeps_schema(emb):
+    c0 = _train(emb, iters=0)
+    c2 = _train(emb, iters=2)
+    assert c0 and c2
+    # training actually updates the vectors (not a no-op pipeline)
+    assert c0 != c2
+    # cells only ever shrink (empty cells drop out), never grow
+    assert len(c2) <= len(c0)
+    assert all(len(cv) == 64 for _, cv, _ in c2)
+
+
+def test_trained_topk_shape(emb):
+    out = sim.ann_ivf_trained_topk(
+        emb.filter(F.col("vec_id") < 4), emb, dim=64, k=3,
+        init_ids=F.pmod(F.col("vec_id"), F.lit(25)) == 0,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rows in by_q.items():
+        assert len(rows) <= 3
+        assert all(r.neighbor_id != q for r in rows)
+        ranks = sorted(r.rnk for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_trained_requires_init():
+    with pytest.raises(ValueError):
+        sim.ann_ivf_trained_topk(None, None, dim=64)

@@ -268,6 +268,95 @@ def assign_ivf_cells(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    init_ids: list[int] | Column,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for the IVF coarse quantizer, as pure DataFrame
+    ops — deterministic at ANY parallelism, so the trained index is
+    reproducible and oracle-checkable.
+
+    Each iteration is (1) nearest-cell assignment via the broadcast
+    centroid table (no corpus shuffle) and (2) a single groupBy
+    computing per-cell component sums. Two deliberate deviations from
+    textbook Lloyd's make it engine-deterministic:
+
+      - centroids are represented by component-wise SUMS, never divided
+        by the count: cosine is scale-invariant, so ranking against the
+        sum vector equals ranking against the mean — and skipping the
+        division avoids engine-specific decimal-division rounding;
+      - the sums accumulate as DECIMAL(28,12) (exact, order-independent
+        addition), then cast to double — the repo's standard
+        determinism ruleset (queries.py docstring): a double sum would
+        vary with partition order.
+
+    A cell that captures no vectors drops out (k shrinks) — also
+    deterministic. Returns (cell_id, cv: array<double>, cent_norm).
+    """
+    dec = T.DecimalType(28, 12)
+    v = corpus.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    )
+    # init_ids: explicit seed ids, or a predicate over the corpus's own
+    # columns (e.g. pmod(vec_id, stride) == 0 — scales with the corpus
+    # without a driver-side collect)
+    seed = (
+        F.col(id_col).isin(init_ids)
+        if isinstance(init_ids, (list, tuple))
+        else init_ids
+    )
+    cents = corpus.filter(seed).select(
+        F.col(id_col).alias("cell_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    for _ in range(iters):
+        assigned = assign_ivf_cells(v, cents, rank=1, id_col="vid", vec_col="v")
+        sums = assigned.groupBy("cell_id").agg(
+            *[F.sum(F.col("v")[i].cast(dec)).alias(f"s{i}") for i in range(dim)]
+        )
+        cents = sums.select(
+            "cell_id",
+            F.array(*[F.col(f"s{i}").cast(T.DoubleType()) for i in range(dim)]).alias("cv"),
+        ).withColumn("cent_norm", l2_norm(F.col("cv")))
+    return cents
+
+
+def ann_ivf_trained_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    init_ids: list[int] | Column | None = None,
+    iters: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over k-means-trained cells (vs ann_ivf_topk's
+    sample-as-centroid quantizer): train with ``train_ivf_centroids``,
+    then the same probe/candidate plan — broadcast cell assignment,
+    equi-join on cell_id."""
+    if init_ids is None:
+        raise ValueError("ann_ivf_trained_topk requires explicit init_ids")
+    cents = train_ivf_centroids(
+        corpus, init_ids, dim, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    # materialize the trained index: centroids are metadata-sized (one
+    # row per cell) by construction, and both the corpus-assignment and
+    # query-probe subtrees consume them — without this the whole
+    # training lineage re-executes once per consumer. Doubles round-trip
+    # the driver exactly, so determinism is unaffected.
+    cents = corpus.sparkSession.createDataFrame(cents.collect(), cents.schema)
+    return _ivf_topk_over_cells(
+        queries, corpus, cents, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -297,6 +386,23 @@ def ann_ivf_topk(
         _to_double(F.col(vec_col)).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cent_norm"),
     )
+    return _ivf_topk_over_cells(
+        queries, corpus, cents, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _ivf_topk_over_cells(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF probe/candidate plan over a (cell_id, cv, cent_norm)
+    table: broadcast cell assignment, candidates meet via the cell_id
+    equi-join — the cell is the shuffle key, never a cross product."""
     c_side = assign_ivf_cells(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),

@@ -2184,6 +2184,87 @@ def q_emb_ann_ivf(spark, sf_dir):
     )
 
 
+def _ivf_sum_list_sql(dim: int = 64) -> str:
+    """Per-cell centroid as component-wise DECIMAL(28,12) sums cast to
+    DOUBLE — exact, order-independent addition, so Spark (any partition
+    order) and DuckDB agree bit-for-bit. Cosine is scale-invariant, so
+    the sum vector ranks identically to the mean and the count division
+    (whose rounding differs between engines) never happens."""
+    comps = ", ".join(
+        f"CAST(SUM(CAST(v.v[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"[{comps}]"
+
+
+def _ivf_assign_sql(cents: str, out: str, extra: str = "") -> str:
+    """One Lloyd's assignment step: nearest cell per vector by
+    dot(v, cv)/cent_norm, ties on cell_id (matches assign_ivf_cells)."""
+    return f"""
+    {out} AS (SELECT vec_id, cell_id FROM (
+      SELECT v.vec_id, {cents}.cell_id,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {_FOLD_DOT.format(a='v.v', b=f'{cents}.cv')}
+                                         / {cents}.cn DESC, {cents}.cell_id) AS rn
+      FROM v CROSS JOIN {cents}) WHERE rn = 1{extra})"""
+
+
+@_register(
+    "q_emb_ann_ivf_trained",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell_id, v AS cv,
+                  sqrt({_FOLD_DOT.format(a='v', b='v')}) AS cn
+           FROM v WHERE vec_id % 125 = 0),
+    {_ivf_assign_sql('c0', 'a0')},
+    s1 AS (SELECT a0.cell_id, {_ivf_sum_list_sql()} AS cv
+           FROM a0 JOIN v USING (vec_id) GROUP BY a0.cell_id),
+    c1 AS (SELECT cell_id, cv, sqrt({_FOLD_DOT.format(a='cv', b='cv')}) AS cn FROM s1),
+    {_ivf_assign_sql('c1', 'a1')},
+    s2 AS (SELECT a1.cell_id, {_ivf_sum_list_sql()} AS cv
+           FROM a1 JOIN v USING (vec_id) GROUP BY a1.cell_id),
+    c2 AS (SELECT cell_id, cv, sqrt({_FOLD_DOT.format(a='cv', b='cv')}) AS cn FROM s2),
+    {_ivf_assign_sql('c2', 'af')},
+    corpus AS (
+      SELECT af.vec_id AS neighbor_id, v.v AS c_vec,
+             sqrt({_FOLD_DOT.format(a='v.v', b='v.v')}) AS c_norm, af.cell_id
+      FROM af JOIN v USING (vec_id)),
+    probes AS (
+      SELECT r.vec_id AS query_id, v.v AS q_vec,
+             sqrt({_FOLD_DOT.format(a='v.v', b='v.v')}) AS q_norm, r.cell_id
+      FROM (SELECT vec_id, cell_id FROM (
+              SELECT v.vec_id, c2.cell_id,
+                     row_number() OVER (PARTITION BY v.vec_id
+                                        ORDER BY {_FOLD_DOT.format(a='v.v', b='c2.cv')}
+                                                 / c2.cn DESC, c2.cell_id) AS rn
+              FROM v CROSS JOIN c2) WHERE rn <= 2 AND vec_id < 32) r
+      JOIN v USING (vec_id)),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             {_FOLD_DOT.format(a='q_vec', b='c_vec')} / (q_norm * c_norm) AS cosine
+      FROM probes JOIN corpus USING (cell_id)
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_emb_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN over a k-means-TRAINED coarse quantizer: 2 Lloyd's
+    iterations as pure DataFrame ops (broadcast assignment + one
+    decimal-sum groupBy per iteration — see
+    extensions/similarity.py:train_ivf_centroids), seeded by the same
+    strided sample q_emb_ann_ivf uses raw. Engine-deterministic, so the
+    DuckDB oracle replays the identical two unrolled iterations."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_ivf_trained_topk(
+        emb.filter(F.col("vec_id") < 32), emb, dim=64, k=5,
+        init_ids=F.pmod(F.col("vec_id"), F.lit(125)) == 0, iters=2, n_probe=2,
+    )
+
+
 @_register(
     "q_emb_near_dup",
     f"""
