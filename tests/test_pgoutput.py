@@ -201,3 +201,21 @@ def test_stamp_transactions_block_parallel_equivalence(spark, frames):
         )
         assert multi == single, f"block_size={bs} diverged"
     assert single  # non-vacuous
+
+
+def test_arity_mismatch_fails_loud(spark):
+    """A data tuple whose arity disagrees with the registry (mid-stream
+    schema change) must fail the decode, not silently NULL the record."""
+    from walex_spark.sources.pgoutput import decode_envelope
+
+    payloads = [
+        frame_relation(rel_id=1, name="user"),  # 2 columns
+        frame_begin(lsn=1000, xid=700),
+        frame_insert(rel_id=1, cells=("1", "alice", "extra")),  # 3 cells
+        frame_commit(lsn=1000),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "frame_idx long, payload binary"
+    )
+    with pytest.raises(Exception, match="arity"):
+        decode_envelope(df).collect()

@@ -59,3 +59,18 @@ def test_salted_aggregate_two_stage_plan(spark):
     r = audit(out)
     # two aggregation exchanges: (k, salt) then (k)
     assert r.shuffle_exchanges == 2
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit each unmatched small-side row once per
+    salt bucket — the guard rejects them instead of silently duplicating."""
+    import pytest
+    from walex_spark.operators.skew import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, "k", "k", how=how)
+    # the supported spellings still construct
+    for how in ("inner", "left", "left_semi", "left_anti", "leftouter"):
+        salted_join(df, df, "k", "k", how=how)

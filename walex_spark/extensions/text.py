@@ -81,13 +81,23 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Marker-word language heuristic: argmax over per-language marker
     counts, 'und' (undetermined) when no marker hits. Deterministic
     tie-break by language code order."""
-    toks = _tokens(F.col(text_col))
+    # tokenize once in a child Project: the marker counts below reference
+    # the token array ~32 times, and an inlined split() would re-run at
+    # every site (CollapseProject keeps a multi-referenced non-cheap
+    # alias in its own Project)
+    base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    n_toks = F.size(toks)
     scores = []
     for lang in sorted(LANG_MARKERS):
-        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        scores.append(
-            (lang, F.size(F.filter(toks, lambda x: F.array_contains(markers, x))))
-        )
+        # multiplicity of marker m = size(toks) - size(array_remove(toks, m));
+        # plain collection expressions stay in whole-stage codegen where a
+        # higher-order F.filter lambda would run interpreted per row
+        count = None
+        for m in LANG_MARKERS[lang]:
+            c = n_toks - F.size(F.array_remove(toks, m))
+            count = c if count is None else count + c
+        scores.append((lang, count))
     best = F.lit("und")
     best_score = F.lit(0)
     # forward fold with strict > : alphabetically-first language wins ties
@@ -95,7 +105,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         cond = sc > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, sc).otherwise(best_score)
-    return df.select(F.col(id_col), best.alias("pred_lang"))
+    return base.select(F.col(id_col), best.alias("pred_lang"))
 
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single punctuation

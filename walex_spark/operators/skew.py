@@ -78,8 +78,20 @@ def salted_join(
     The large side salts deterministically from ``salt_col``; the small
     side explodes ×N (its size must tolerate the replication — this is
     the regime where it's too big to broadcast whole but N copies of
-    the HOT KEYS' rows are fine). Equivalent rows to a plain join.
+    the HOT KEYS' rows are fine). Equivalent rows to a plain join for
+    the supported ``how`` values: inner/left/left_semi/left_anti (large
+    side preserved exactly once). right/full would emit each unmatched
+    SMALL-side row once per salt bucket — rejected rather than silently
+    duplicated.
     """
+    if how.lower().replace("_", "") not in {
+        "inner", "left", "leftouter", "leftsemi", "leftanti"
+    }:
+        raise ValueError(
+            f"salted_join how={how!r}: only inner/left/left_semi/left_anti "
+            "preserve plain-join semantics (the exploded small side would "
+            "duplicate unmatched rows under right/full)"
+        )
     salt = F.pmod(
         F.hash(F.col(salt_col) if isinstance(salt_col, str) else salt_col),
         F.lit(num_salts),

@@ -139,14 +139,17 @@ def q01(spark, sf_dir):
 )
 def q02(spark, sf_dir):
     """Join + agg + top-k. Revenue summed in decimal so the top-10
-    selection is exact; tie-break on orderkey."""
+    selection is exact; tie-break on orderkey.
+
+    Aggregate-BEFORE-join: lineitem reduces to one row per orderkey
+    before meeting orders, so the join input shrinks ~4× and at scale
+    the shuffle moves per-order partials instead of raw lineitem."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _rate("l_discount")))
+    per_order = li.groupBy("l_orderkey").agg(rev.alias("rev_dec"))
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey")
-        .agg(rev.alias("rev_dec"))
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .orderBy(F.col("rev_dec").desc(), F.col("o_orderkey"))
         .limit(10)
         .select("o_orderkey", _dbl(F.col("rev_dec")).alias("revenue"))

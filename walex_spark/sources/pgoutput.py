@@ -314,8 +314,16 @@ def decode_frames(
         if cells is None:
             return None
         cols = rel["columns"]
-        if len(cells) != len(cols):  # arity mismatch → halt like the reference
-            return None
+        if len(cells) != len(cols):
+            # halt like the reference (publisher.ex zips positionally and
+            # crashes the supervisor on shape drift): silently returning
+            # NULL here would lose data without signal after a mid-stream
+            # schema change the collected registry didn't see
+            raise ValueError(
+                f"pgoutput tuple arity {len(cells)} != "
+                f"{rel['namespace']}.{rel['name']} registry arity {len(cols)}"
+                " — mid-stream schema change? re-collect the relation registry"
+            )
         return {c["name"]: v for c, v in zip(cols, cells)}
 
     def decode_part(batches: Iterator) -> Iterator:
