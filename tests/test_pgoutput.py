@@ -219,3 +219,36 @@ def test_arity_mismatch_fails_loud(spark):
     )
     with pytest.raises(Exception, match="arity"):
         decode_envelope(df).collect()
+
+
+def test_mid_stream_schema_change_versioned_registry(spark):
+    """A Relation re-sent mid-stream applies only to LATER frames:
+    earlier frames decode against the schema current at their position,
+    and a data frame arriving before any Relation announcement is
+    skipped (not decoded against a future schema)."""
+    from walex_spark.sources.pgoutput import decode_envelope
+
+    payloads = [
+        # frame 0: insert BEFORE any Relation frame → must be skipped
+        frame_begin(lsn=500, xid=699),
+        frame_insert(rel_id=1, cells=("0", "zed")),
+        frame_commit(lsn=500),
+        frame_relation(rel_id=1, name="user",
+                       cols=(("id", 23, True), ("name", 25, False))),
+        frame_begin(lsn=1000, xid=700),
+        frame_insert(rel_id=1, cells=("1", "alice")),
+        frame_commit(lsn=1000),
+        # schema change: second column renamed name → nickname
+        frame_relation(rel_id=1, name="user",
+                       cols=(("id", 23, True), ("nickname", 25, False))),
+        frame_begin(lsn=2000, xid=701),
+        frame_insert(rel_id=1, cells=("2", "bob")),
+        frame_commit(lsn=2000),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "frame_idx long, payload binary"
+    )
+    rows = {r.xid: r for r in decode_envelope(df).collect()}
+    assert 699 not in rows  # pre-announcement frame skipped
+    assert rows[700].record == {"id": "1", "name": "alice"}
+    assert rows[701].record == {"id": "2", "nickname": "bob"}

@@ -27,6 +27,7 @@ Unknown relation ids are dropped, matching publisher.ex:124-126.
 from __future__ import annotations
 
 import struct
+from bisect import bisect_right
 from datetime import datetime, timedelta, timezone
 from typing import Any, Iterator
 
@@ -242,29 +243,59 @@ def encode_truncate(rel_ids, options: int = 0) -> bytes:
     )
 
 
-def collect_registry(frames: DataFrame, payload_col: str = "payload") -> dict[int, dict]:
-    """Pass 1: Relation/Type frames → broadcastable relation registry.
+def collect_registry(
+    frames: DataFrame, payload_col: str = "payload", idx_col: str = "frame_idx"
+) -> dict[int, tuple[list[int], list[dict]]]:
+    """Pass 1: Relation/Type frames → broadcastable VERSIONED registry:
+    ``{relation_id: ([valid_from_idx...], [relation_msg...])}`` with
+    ascending validity bounds.
 
     'R'/'Y' frames are a vanishing fraction of the stream (one per
     table per session/schema-change), so collecting them to the driver
-    is metadata-sized regardless of stream volume."""
+    is metadata-sized regardless of stream volume. Keeping every
+    version (not last-wins) means a Relation re-sent after a mid-stream
+    schema change applies only to frames AFTER it — earlier frames
+    decode against the schema that was current when they were written,
+    exactly like the reference's sequential registry updates
+    (publisher.ex:79-95). Custom-type registrations ('Y') accumulate in
+    stream order and resolve OIDs for relation versions collected after
+    them."""
     tagged = frames.filter(
         F.substring(F.col(payload_col), 1, 1).isin([bytes([82]), bytes([89])])  # R, Y
     )
-    msgs = [decode_message(bytes(row[0])) for row in tagged.select(payload_col).collect()]
-    # custom-type registrations ('Y') resolve column type OIDs that the
-    # static OID table doesn't know (publisher.ex:79-95 applies the same
-    # accumulated types map)
-    custom_types = {
-        str(m["type_id"]): m["name"] for m in msgs if m["op"] == "TYPE"
-    }
-    registry: dict[int, dict] = {}
-    for msg in msgs:
-        if msg["op"] == "RELATION":
+    rows = sorted(
+        (row[0], bytes(row[1]))
+        for row in tagged.select(idx_col, payload_col).collect()
+    )
+    custom_types: dict[str, str] = {}
+    registry: dict[int, tuple[list[int], list[dict]]] = {}
+    for idx, buf in rows:
+        msg = decode_message(buf)
+        if msg["op"] == "TYPE":
+            custom_types[str(msg["type_id"])] = msg["name"]
+        elif msg["op"] == "RELATION":
             for col in msg["columns"]:
                 col["type"] = custom_types.get(col["type"], col["type"])
-            registry[msg["relation_id"]] = msg
+            bounds, versions = registry.setdefault(msg["relation_id"], ([], []))
+            bounds.append(idx)
+            versions.append(msg)
     return registry
+
+
+def registry_lookup(registry: dict, rel_id: int, frame_idx: int) -> dict | None:
+    """Relation version in effect at ``frame_idx`` — or the single
+    un-versioned dict when the caller supplied an out-of-band schema.
+    None when the relation is unknown (or not yet announced at this
+    position in the stream): the frame is skipped, like the reference's
+    unknown-relation drop (publisher.ex:124-126)."""
+    entry = registry.get(rel_id)
+    if entry is None:
+        return None
+    if isinstance(entry, dict):  # out-of-band schema, version-agnostic
+        return entry
+    bounds, versions = entry
+    pos = bisect_right(bounds, frame_idx) - 1
+    return versions[pos] if pos >= 0 else None
 
 
 _DECODED_SCHEMA = T.StructType(
@@ -299,7 +330,7 @@ _DECODED_SCHEMA = T.StructType(
 
 def decode_frames(
     frames: DataFrame,
-    registry: dict[int, dict],
+    registry: dict,
     payload_col: str = "payload",
     idx_col: str = "frame_idx",
 ) -> DataFrame:
@@ -307,7 +338,10 @@ def decode_frames(
     registry (Arrow-batched mapInPandas; no shuffle). Emits BEGIN/COMMIT
     marker rows (consumed by stamp_transactions) and data rows with
     positionally-zipped record maps (data_tuple_to_map,
-    publisher.ex:247-279). Unknown relations are skipped
+    publisher.ex:247-279). Each frame resolves the relation version in
+    effect at ITS stream position (registry_lookup) — a mid-stream
+    schema change never re-decodes earlier frames against the newer
+    schema. Unknown / not-yet-announced relations are skipped
     (publisher.ex:124-126)."""
 
     def zip_cells(rel: dict, cells: list | None):
@@ -373,7 +407,7 @@ def decode_frames(
                 # through to the golden-tested decode_message dispatch
                 if tag == 73 and buf[5] == 78:  # 'I' — rel_id, 'N', tuple
                     (rel_id,) = _s.unpack_from(">I", buf, 1)
-                    rel = registry.get(rel_id)
+                    rel = registry_lookup(registry, rel_id, idx)
                     if rel is None:
                         continue
                     cells, _ = _tuple_data(buf, 6)
@@ -386,7 +420,7 @@ def decode_frames(
                     continue
                 if tag == 85 and buf[5] == 78:  # 'U' without old/key tuple
                     (rel_id,) = _s.unpack_from(">I", buf, 1)
-                    rel = registry.get(rel_id)
+                    rel = registry_lookup(registry, rel_id, idx)
                     if rel is None:
                         continue
                     cells, _ = _tuple_data(buf, 6)
@@ -400,7 +434,7 @@ def decode_frames(
                 msg = decode_message(buf)
                 op = msg["op"]
                 if op in ("UPDATE", "DELETE"):
-                    rel = registry.get(msg["relation_id"])
+                    rel = registry_lookup(registry, msg["relation_id"], idx)
                     if rel is None:
                         continue
                     c_idx.append(idx); c_sub.append(0); c_op.append(op)
@@ -412,7 +446,7 @@ def decode_frames(
                     c_ts.append(None); c_lsn.append(None); c_xid.append(None)
                 elif op == "TRUNCATE":
                     for sub, rid in enumerate(msg["relation_ids"]):
-                        rel = registry.get(rid)
+                        rel = registry_lookup(registry, rid, idx)
                         if rel is None:
                             continue
                         c_idx.append(idx); c_sub.append(sub); c_op.append("TRUNCATE")
