@@ -458,6 +458,36 @@ def test_engine_per_event_dispatch(spark, env_df, tmp_path):
     assert len(fired) == 2 and all(f.startswith("user-") for f in fired)
 
 
+def test_engine_async_handlers_alongside_batch(spark, env_df, tmp_path):
+    """dsl.ex parity: the `functions` list fires per event (executor-
+    side) AND the do_block handler still receives the batch."""
+    outdir = tmp_path / "async"
+    outdir.mkdir()
+    path = str(outdir)
+
+    def notify(row):
+        with open(f"{path}/n-{row.name}-{row.lsn_ord}", "w") as f:
+            f.write(row.type)
+
+    def audit(row):
+        with open(f"{path}/a-{row.name}-{row.lsn_ord}", "w") as f:
+            f.write(row.type)
+
+    batch_counts: list[int] = []
+    eng = WalExEngine().on_insert(
+        "user",
+        lambda df, epoch: batch_counts.append(df.count()),
+        async_handlers=[notify, audit],
+    )
+    eng.process_batch(env_df.filter(F.col("op") != "COMMIT"))
+    fired = sorted(p.name for p in outdir.iterdir())
+    # 2 insert events x 2 async handlers, plus the batch handler once
+    assert len(fired) == 4
+    assert len([f for f in fired if f.startswith("n-")]) == 2
+    assert len([f for f in fired if f.startswith("a-")]) == 2
+    assert batch_counts == [2]
+
+
 def test_engine_runtime_reconfiguration(spark, env_df):
     """config.ex:71-104 analog: handler/subscription mutations apply on
     the next (micro)batch without restarting."""

@@ -33,6 +33,11 @@ class _Registration:
     unwatched_fields: list[str] | None = None
     unwatched_records: dict[str, str] | None = None
     per_event: bool = False  # handler receives each Event Row (executor-side)
+    # reference parity for dsl.ex `functions` (the [{Module, :function}]
+    # list dispatched via Task.start per event, ALONGSIDE the do_block):
+    # each callable here runs once per Event row on the executors, in
+    # addition to `handler` receiving the batch DataFrame
+    async_handlers: list[Callable] | None = None
 
 
 @dataclass
@@ -101,6 +106,19 @@ class WalExEngine:
                 unwatched_fields=reg.unwatched_fields,
                 db=self.db,
             )
+            if reg.async_handlers:
+                # dsl.ex's `functions` list: every callable fires per
+                # event row, executor-side, and the do_block (handler)
+                # still receives the batch below — same double dispatch
+                # as the reference. Handlers must be serializable +
+                # idempotent (batches replay on failure).
+                hs = list(reg.async_handlers)
+
+                def fan_out(row, _hs=hs):
+                    for h in _hs:
+                        h(row)
+
+                events.foreach(fan_out)
             if reg.per_event:
                 # the reference's async side-effect dispatch (dsl.ex:2-28:
                 # Task.start per event × function) — in Spark the per-row
