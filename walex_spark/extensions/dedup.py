@@ -291,9 +291,13 @@ def jaccard_pairs_from_tokens(
     toks = tokens
     if max_doc_freq is not None:
         freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        toks = toks.join(
-            F.broadcast(freq.filter(F.col("df") <= max_doc_freq).select("token")), "token"
-        )
+        # anti-join against the HOT tokens: that set is bounded (each
+        # member appears in > N docs, so there are at most
+        # total_occurrences/N of them) and broadcast-safe at any corpus
+        # size — where the keep-list (the tail vocabulary) scales with
+        # the corpus and must never be broadcast
+        hot = freq.filter(F.col("df") > max_doc_freq).select("token")
+        toks = toks.join(F.broadcast(hot), "token", "left_anti")
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.select(F.col("id").alias("id_a"), "token")
     b = toks.select(F.col("id").alias("id_b"), "token")

@@ -536,8 +536,12 @@ def stamp_transactions(decoded: DataFrame, block_size: int = 1 << 16) -> DataFra
         .distinct()
     )
     data_meta = stamped.filter(~F.col("op").isin("BEGIN", "COMMIT"))
+    # no broadcast hint: committed is one row per txn — microbatch-tiny
+    # in streaming (AQE broadcasts it), but WAL-sized on a backfill
+    # where a forced broadcast would OOM; the xid equi-join lets AQE
+    # pick per run
     data_meta = data_meta.join(
-        F.broadcast(committed), data_meta["__txn.xid"] == committed["c_xid"], "left_semi"
+        committed, data_meta["__txn.xid"] == committed["c_xid"], "left_semi"
     )
     wtxn = Window.partitionBy("__txn.xid").orderBy("frame_idx", "sub_idx")
     data_meta = data_meta.select(
