@@ -81,31 +81,36 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Marker-word language heuristic: argmax over per-language marker
     counts, 'und' (undetermined) when no marker hits. Deterministic
     tie-break by language code order."""
-    # tokenize once in a child Project: the marker counts below reference
-    # the token array ~32 times, and an inlined split() would re-run at
-    # every site (CollapseProject keeps a multi-referenced non-cheap
-    # alias in its own Project)
+    # explode + isin-filter + hash-aggregate, all whole-stage codegen —
+    # the same shape that beat per-element HOF lambdas 5× for MinHash
+    # signatures. The isin filter drops every non-marker token BEFORE
+    # the shuffle, so only marker hits (a vanishing fraction of the
+    # token stream) ever exchange; docs with zero hits rejoin as 'und'
+    # via the left join (counts is hit-doc-sized → AQE broadcasts it).
+    langs = sorted(LANG_MARKERS)
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
     base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
-    toks = F.col("__toks")
-    n_toks = F.size(toks)
-    scores = []
-    for lang in sorted(LANG_MARKERS):
-        # multiplicity of marker m = size(toks) - size(array_remove(toks, m));
-        # plain collection expressions stay in whole-stage codegen where a
-        # higher-order F.filter lambda would run interpreted per row
-        count = None
-        for m in LANG_MARKERS[lang]:
-            c = n_toks - F.size(F.array_remove(toks, m))
-            count = c if count is None else count + c
-        scores.append((lang, count))
+    hits = base.select(F.col(id_col), F.explode("__toks").alias("__tok")).filter(
+        F.col("__tok").isin(*all_markers)
+    )
+    counts = hits.groupBy(id_col).agg(
+        *[
+            F.sum(F.col("__tok").isin(*LANG_MARKERS[lang]).cast(T.IntegerType())).alias(
+                f"__n_{lang}"
+            )
+            for lang in langs
+        ]
+    )
+    joined = base.select(F.col(id_col)).join(counts, id_col, "left")
     best = F.lit("und")
-    best_score = F.lit(0)
+    best_score = F.lit(0).cast(T.LongType())
     # forward fold with strict > : alphabetically-first language wins ties
-    for lang, sc in scores:
+    for lang in langs:
+        sc = F.coalesce(F.col(f"__n_{lang}"), F.lit(0).cast(T.LongType()))
         cond = sc > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, sc).otherwise(best_score)
-    return base.select(F.col(id_col), best.alias("pred_lang"))
+    return joined.select(F.col(id_col), best.alias("pred_lang"))
 
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
