@@ -354,3 +354,72 @@ def simhash(
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return per_doc.select("id", sig.cast(T.LongType()).alias("simhash"))
+
+
+def duplicate_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters and pick survivors: the
+    final stage of a dedup pipeline (LSH candidates → Jaccard verify →
+    THIS → drop non-survivors).
+
+    Connected components by iterative min-label propagation: every doc
+    starts labeled with its own id; each round, labels flow across
+    edges and each node keeps the minimum seen. Converges in
+    O(component diameter) rounds — near-dup clusters are near-cliques
+    (diameter 2-3), so the bound is small and ``max_iters`` is a
+    safety net, with early exit the moment a round changes nothing.
+
+    Scale shape: one equi-join + one groupBy per round, both keyed on
+    doc id (narrow (id, label) rows); ``localCheckpoint`` truncates the
+    per-round lineage so the plan stays flat. Deterministic (min), so
+    cluster ids are stable and oracle-checkable: cluster_id = smallest
+    id in the component, survivor = the doc holding it.
+
+    Returns (id_col, cluster_id, is_survivor) for EVERY node —
+    singletons survive as their own cluster.
+    """
+    # materialize the edge list once: every propagation round joins
+    # against it, and without this the full candidate-generation
+    # lineage (shingle + inverted-index join) would re-execute per round
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(neigh, labels.id == neigh.dst, "left")
+            .select(
+                F.col("id"),
+                F.col("label").alias("__old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        labels = stepped.select("id", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).alias("is_survivor"),
+    )

@@ -1885,6 +1885,49 @@ def q_doc_trigram_jaccard(spark, sf_dir):
     return dd.jaccard_pairs_from_tokens(shingles, threshold=0.3)
 
 
+@_register(
+    "q_doc_dup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+                                   i -> substr(lower(text), i, 3))) AS g
+      FROM documents WHERE doc_id < 120 AND length(text) >= 3),
+    sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS it
+      FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.id = id_a
+      JOIN sz sb ON sb.id = id_b
+      WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 120),
+    walk(id, reach) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+    SELECT id AS doc_id, MIN(reach) AS cluster_id,
+           MIN(reach) = id AS is_survivor
+    FROM walk GROUP BY id
+    """,
+)
+def q_doc_dup_clusters(spark, sf_dir):
+    """Dedup RESOLUTION: near-dup pairs (trigram Jaccard ≥ 0.3 over the
+    same bounded corpus as q_doc_trigram_jaccard) → connected
+    components → survivor per cluster. Spark runs iterative min-label
+    propagation (extensions/dedup.py:duplicate_clusters); the oracle
+    replays it as a recursive transitive-closure CTE — both are
+    deterministic (min id wins), so cluster assignments compare
+    exactly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = dd.jaccard_pairs_from_tokens(dd.char_shingles(docs, 3), threshold=0.3)
+    return dd.duplicate_clusters(docs, pairs)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     aggs = ",\n           ".join(
         f"SUM(CASE WHEN (CAST(floor(h / {1 << j}) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS b{j}"
