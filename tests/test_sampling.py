@@ -1,0 +1,68 @@
+"""Sampling / shard-packing invariants (extensions/sampling.py).
+
+The contract is reproducibility: selection and shard assignment depend
+only on row CONTENT (md5 buckets, ordered running sums), never on
+partitioning, so replays, retries, and the DuckDB oracle agree."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.extensions import sampling as sp
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_sample_partitioning_invariant(docs):
+    a = {r.doc_id for r in sp.deterministic_sample(docs.repartition(1), 0.4, "doc_id").collect()}
+    b = {r.doc_id for r in sp.deterministic_sample(docs.repartition(7), 0.4, "doc_id").collect()}
+    assert a == b and a  # identical AND non-empty
+
+
+def test_sample_fraction_monotone(docs):
+    """A row kept at fraction f stays kept at every f' > f (nested
+    samples — the property that lets you grow a sample without
+    reshuffling data)."""
+    s20 = {r.doc_id for r in sp.deterministic_sample(docs, 0.2, "doc_id").collect()}
+    s60 = {r.doc_id for r in sp.deterministic_sample(docs, 0.6, "doc_id").collect()}
+    assert s20 <= s60
+    n = docs.count()
+    assert 0 < len(s20) < len(s60) < n
+
+
+def test_sample_rejects_bad_fraction(docs):
+    with pytest.raises(ValueError):
+        sp.deterministic_sample(docs, 1.5, "doc_id")
+    with pytest.raises(ValueError):
+        sp.stratified_sample(docs, {"en": -0.1}, "lang", "doc_id")
+
+
+def test_stratified_rates_apply_per_stratum(docs):
+    out = sp.stratified_sample(
+        docs, {"en": 0.0, "de": 1.0}, "lang", "doc_id", default_rate=0.0
+    ).collect()
+    langs = {r.lang for r in out}
+    assert langs == {"de"}  # en zeroed, others defaulted to 0
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert len(out) == n_de  # rate 1.0 keeps every row
+
+
+def test_pack_shards_budget_and_order(docs):
+    budget = 3000
+    out = sp.pack_shards(docs, budget, "n_chars", "lang", "doc_id").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.doc_id)
+        running = 0
+        for r in rows:
+            assert r.shard_idx == running // budget, (lang, r.doc_id)
+            running += r.cost
+        # shard ids are dense from 0
+        shards = sorted({r.shard_idx for r in rows})
+        assert shards[0] == 0

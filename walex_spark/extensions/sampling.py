@@ -1,0 +1,115 @@
+"""Sampling and shard-packing operators for training-data pipelines.
+
+No reference counterpart (walex is a CDC router) — these cover the
+data-mixing stage of an LLM pipeline: down-sample sources to target
+proportions, reproducibly, then pack the survivors into
+fixed-token-budget shards.
+
+Spark-first design rules shared with the dedup/text modules:
+
+  - determinism across engines AND runs: selection hashes md5(salt ||
+    key) rather than rand(), so a retry, a replay, or the DuckDB oracle
+    selects the identical rows (Spark's murmur3 `hash()` is not
+    portable; md5 is).
+  - no shuffle for sampling (a pure filter over the scan — predicate
+    evaluates map-side); one bounded window per partition key for
+    packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# first 8 md5 hex chars → uniform 32-bit bucket, same trick (and the
+# same DuckDB translation '0x'||substr(md5(..),1,8))::BIGINT) as the
+# MinHash/fingerprint operators
+_BUCKET_SPACE = 1 << 32
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    h = F.md5(F.concat(F.lit(salt), key.cast(T.StringType())))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast(T.LongType())
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    salt: str = "walex",
+) -> DataFrame:
+    """Bernoulli sample that keeps a row iff its key's hash bucket falls
+    below fraction·2³² — reproducible at any parallelism, stable under
+    replay/retry, and recomputable by any engine with md5 (unlike
+    ``df.sample``, whose selection depends on partitioning and seed
+    plumbing). The predicate is a plain filter: no shuffle, pushes to
+    the scan's map side.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    threshold = int(fraction * _BUCKET_SPACE)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    salt: str = "walex",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (the data-mixing knob: e.g. keep 100%
+    of low-resource languages, 20% of crawl English). Same md5-bucket
+    determinism as ``deterministic_sample``; strata not in ``rates``
+    get ``default_rate``. The rate table compiles into the filter
+    predicate (a CASE chain — metadata-sized by definition), so the
+    whole operator is still a map-side filter with no shuffle or join.
+    """
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate {rate} for stratum {stratum!r} outside [0, 1]")
+    threshold = F.lit(int(default_rate * _BUCKET_SPACE))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * _BUCKET_SPACE))
+        ).otherwise(threshold)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < threshold)
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int,
+    cost_col: str | Column,
+    part_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Assign each row to a training shard so consecutive rows (in
+    ``order_col`` order, within each ``part_col`` group) accumulate to
+    roughly ``budget`` cost units (tokens) per shard: shard k holds the
+    rows whose RUNNING cost starts in [k·budget, (k+1)·budget).
+
+    First-fit in a fixed order is what keeps this deterministic and
+    distributed: the only state is a per-partition running sum —
+    one window keyed by the partition column (bounded groups: a
+    language/source, never the whole corpus in one ordering).
+
+    Returns the input plus (cost, shard_idx).
+    """
+    cost = (F.col(cost_col) if isinstance(cost_col, str) else cost_col).cast(
+        T.LongType()
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_offset = F.sum(cost).over(w) - cost
+    # exact integer division via pmod: the numerator is an exact
+    # multiple of budget, so the double division is exact (a raw
+    # floor(a/b) could mis-round near shard boundaries at large sums)
+    shard = (start_offset - F.pmod(start_offset, F.lit(budget))) / F.lit(budget)
+    return df.withColumn("cost", cost).withColumn(
+        "shard_idx", shard.cast(T.LongType())
+    )

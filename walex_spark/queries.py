@@ -2422,3 +2422,78 @@ def q_multimodal_features(spark, sf_dir):
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(F.element_at("feature", 8), 6).alias("f7"),
     )
+
+
+# -------------------------------------------------------------------------
+# Sampling / data-mixing / shard-packing (extensions/sampling.py)
+# -------------------------------------------------------------------------
+
+_SAMPLE_BUCKET_SQL = (
+    "('0x' || substr(md5('walex' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+)
+
+
+@_register(
+    "q_doc_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_SAMPLE_BUCKET_SQL} < 1288490188
+    """,
+)
+def q_doc_sample(spark, sf_dir):
+    """Deterministic 30% Bernoulli sample keyed on md5(salt||doc_id):
+    identical selection at any parallelism, on replay, and in any
+    engine — a pure map-side filter, no shuffle."""
+    from walex_spark.extensions import sampling as sp
+
+    return sp.deterministic_sample(
+        _t(spark, sf_dir, "documents"), 0.3, "doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+_MIX_RATES = {"de": 1.0, "en": 0.2, "es": 0.5, "fr": 1.0, "zh": 0.5}
+_MIX_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {int(rate * (1 << 32))}"
+    for lang, rate in sorted(_MIX_RATES.items())
+) + " ELSE 0 END"
+
+
+@_register(
+    "q_doc_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_SAMPLE_BUCKET_SQL} < {_MIX_CASE_SQL}
+    """,
+)
+def q_doc_stratified_sample(spark, sf_dir):
+    """Data mixing: per-language sampling rates (keep all low-resource
+    de/fr, 20% of en, half of es/zh) — the rate table compiles into the
+    filter predicate, so stratification adds no join and no shuffle."""
+    from walex_spark.extensions import sampling as sp
+
+    return sp.stratified_sample(
+        _t(spark, sf_dir, "documents"), _MIX_RATES, "lang", "doc_id"
+    ).select("doc_id", "lang")
+
+
+@_register(
+    "q_doc_pack_shards",
+    """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS cost,
+           CAST(((SUM(n_chars) OVER w - n_chars)
+                 - ((SUM(n_chars) OVER w - n_chars) % 4000)) / 4000 AS BIGINT)
+             AS shard_idx
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_doc_pack_shards(spark, sf_dir):
+    """Shard packing: per-language running char budget (4000/shard),
+    first-fit in doc_id order — one bounded window per language, the
+    deterministic distributed version of 'pack docs into training
+    shards'."""
+    from walex_spark.extensions import sampling as sp
+
+    return sp.pack_shards(
+        _t(spark, sf_dir, "documents"), 4000, "n_chars", "lang", "doc_id"
+    ).select("doc_id", "lang", "cost", "shard_idx")
