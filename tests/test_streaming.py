@@ -513,3 +513,51 @@ def test_engine_runtime_reconfiguration(spark, env_df):
     eng.add_subscription("todo")
     eng.process_batch(data, 2)
     assert counts == {"user": 2, "todo": 2}
+
+
+def test_correlate_changes_stream_matches_batch(spark, tmp_path):
+    """Stream-stream join equivalence: correlate_changes over a file
+    stream (watermarked, range-bounded join state) produces exactly the
+    batch join's pairs once all data is processed."""
+    from walex_spark.streaming.windows import correlate_changes
+
+    t0 = dt.datetime(2024, 1, 15, 10, 0)
+    rows = [
+        ("INSERT", "public", "user", None, {"id": "1"}, None, None, t0, 0, 10, 1, 0),
+        ("UPDATE", "public", "user", None, {"id": "1"},
+         {"id": "1"}, None, t0 + dt.timedelta(minutes=5), 0, 20, 2, 0),
+        ("DELETE", "public", "user", None, None,
+         {"id": "1"}, None, t0 + dt.timedelta(minutes=30), 0, 30, 3, 0),
+        # different key: pairs with its own insert only
+        ("INSERT", "public", "user", None, {"id": "2"}, None, None,
+         t0 + dt.timedelta(minutes=1), 0, 40, 4, 0),
+        ("UPDATE", "public", "user", None, {"id": "2"},
+         {"id": "2"}, None, t0 + dt.timedelta(minutes=2), 0, 50, 5, 0),
+        # outside the 1h window: not paired
+        ("UPDATE", "public", "user", None, {"id": "1"},
+         {"id": "1"}, None, t0 + dt.timedelta(hours=3), 0, 60, 6, 0),
+    ]
+    env = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    batch = {
+        (r.op, r.pk, r.lsn_lo)
+        for r in correlate_changes(env, ["id"], within="1 hour").collect()
+    }
+    assert batch == {("UPDATE", "1", 20), ("DELETE", "1", 30), ("UPDATE", "2", 50)}
+
+    src = str(tmp_path / "corr_src")
+    env.write.parquet(src)
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=10)
+    out = correlate_changes(stream, ["id"], within="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("corr_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.op, r.pk, r.lsn_lo)
+            for r in spark.table("corr_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch

@@ -2497,3 +2497,70 @@ def q_doc_pack_shards(spark, sf_dir):
     return sp.pack_shards(
         _t(spark, sf_dir, "documents"), 4000, "n_chars", "lang", "doc_id"
     ).select("doc_id", "lang", "cost", "shard_idx")
+
+
+@_register(
+    "q_doc_vocab_topk",
+    f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT token, COUNT(*) AS df FROM toks
+    GROUP BY token ORDER BY df DESC, token LIMIT 100
+    """,
+)
+def q_doc_vocab_topk(spark, sf_dir):
+    """Vocabulary building (the counting pass of a BPE/vocab trainer):
+    top-k tokens by DOCUMENT frequency. tokenize_distinct runs above
+    the doc-id repartition (shuffle-before-fan-out), the df count is a
+    map-side-combined aggregate on the token key, and top-k is a
+    TakeOrdered — no global sort materialization. Ties break on the
+    token string so the cut is deterministic."""
+    from walex_spark.extensions import dedup as dd
+
+    toks = dd.tokenize_distinct(_t(spark, sf_dir, "documents"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+@_register(
+    "q_cdc_change_lag",
+    f"""
+    WITH env AS (
+      SELECT event_id, CAST(user_id AS VARCHAR) AS pk, ts,
+             {_ENVELOPE_CASE_SQL} AS op
+      FROM events),
+    i AS (SELECT pk, ts AS i_ts FROM env WHERE op = 'INSERT'),
+    c AS (SELECT pk, op, ts AS c_ts, event_id FROM env
+          WHERE op IN ('UPDATE', 'DELETE'))
+    SELECT c.op, c.pk,
+           CAST(floor(epoch(c.c_ts)) AS BIGINT) AS change_epoch,
+           CAST(floor(epoch(i.i_ts)) AS BIGINT) AS insert_epoch,
+           CAST(floor(epoch(c.c_ts)) AS BIGINT)
+             - CAST(floor(epoch(i.i_ts)) AS BIGINT) AS lag_seconds,
+           CAST(c.event_id AS BIGINT) AS lsn_lo
+    FROM c JOIN i
+      ON c.pk = i.pk AND c.c_ts >= i.i_ts
+     AND c.c_ts <= i.i_ts + INTERVAL 24 HOURS
+    """,
+)
+def q_cdc_change_lag(spark, sf_dir):
+    """CDC lineage enrichment: every UPDATE/DELETE paired with the
+    INSERT that created its key, within 24 h — the batch face of the
+    STREAM-STREAM range join in streaming/windows.py::correlate_changes
+    (whose watermark + range condition bound both join states; the
+    batch/stream equivalence test pins that the plans agree)."""
+    from walex_spark.streaming.windows import correlate_changes
+
+    env = events_as_envelope(spark, sf_dir)
+    out = correlate_changes(env, ["user_id"], within="24 hours")
+    return out.select(
+        "op",
+        "pk",
+        F.unix_timestamp("change_ts").alias("change_epoch"),
+        F.unix_timestamp("insert_ts").alias("insert_epoch"),
+        "lag_seconds",
+        "lsn_lo",
+    )

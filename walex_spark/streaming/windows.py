@@ -92,3 +92,73 @@ def dedup_replay_stream(env: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return env.withWatermark("commit_ts", watermark).dropDuplicatesWithinWatermark(
         ["lsn_hi", "lsn_lo", "change_idx"]
     )
+
+
+def correlate_changes(
+    env: DataFrame,
+    key_cols: list[str],
+    within: str = "1 hour",
+    record_col: str = "record",
+) -> DataFrame:
+    """Pair each UPDATE/DELETE with the INSERT that created its key —
+    CDC lineage enrichment as a STREAM-STREAM join.
+
+    Both sides are the same envelope stream split by op; they join on
+    (table, pk) with an event-time range (change within ``within`` of
+    the insert). In streaming, the watermarks plus the range constraint
+    bound BOTH join state stores (an insert can be dropped from state
+    once event time passes insert_ts + within) — without the range
+    condition the insert side would accumulate forever. In batch the
+    exact same plan runs as a plain range join, which is what the
+    DuckDB oracle replays.
+
+    Returns one row per (change, matching insert): op, table, pk,
+    change_ts, insert_ts, lag_seconds, change lsn ordering columns.
+    """
+    pk = F.concat_ws(
+        "\x00",
+        *[
+            F.coalesce(
+                F.coalesce(F.col(record_col), F.col("old_record")).getItem(k),
+                F.lit(""),
+            )
+            for k in key_cols
+        ],
+    )
+    base = env.withColumn("__pk", pk)
+    ins = base.filter(F.col("op") == "INSERT").select(
+        F.col("table").alias("i_table"),
+        F.col("__pk").alias("i_pk"),
+        F.col("commit_ts").alias("insert_ts"),
+    )
+    chg = base.filter(F.col("op").isin("UPDATE", "DELETE")).select(
+        "table",
+        "__pk",
+        "op",
+        F.col("commit_ts").alias("change_ts"),
+        "lsn_hi",
+        "lsn_lo",
+        "change_idx",
+    )
+    if env.isStreaming:
+        ins = ins.withWatermark("insert_ts", within)
+        chg = chg.withWatermark("change_ts", within)
+    cond = (
+        (F.col("table") == F.col("i_table"))
+        & (F.col("__pk") == F.col("i_pk"))
+        & (F.col("change_ts") >= F.col("insert_ts"))
+        & (F.col("change_ts") <= F.col("insert_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return chg.join(ins, cond).select(
+        "op",
+        "table",
+        F.col("__pk").alias("pk"),
+        "change_ts",
+        "insert_ts",
+        (
+            F.unix_timestamp("change_ts") - F.unix_timestamp("insert_ts")
+        ).alias("lag_seconds"),
+        "lsn_hi",
+        "lsn_lo",
+        "change_idx",
+    )
