@@ -149,3 +149,43 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 8), 16, 10).cast(T.LongType()).alias("fp_bucket"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of a doc's
+    word bigrams taken by its single most frequent bigram (repetitive
+    boilerplate / degenerate text scores high and gets filtered).
+
+    Shape: repartition by doc id BEFORE the bigram explode (the corpus
+    ships at raw-text size, and the groupBy(id, bigram) exchange is
+    elided by the existing partitioning), then two bounded hash
+    aggregates. The fraction is one int/int double division — exact and
+    engine-portable. Docs with < 2 tokens drop out (no bigrams).
+    """
+    from walex_spark.extensions.dedup import partition_by_doc
+
+    base = partition_by_doc(df, id_col).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    bigrams = F.zip_with(
+        F.slice(F.col("__toks"), 1, n - 1),
+        F.slice(F.col("__toks"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per = (
+        base.filter(n >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        (
+            F.max("c").cast(T.DoubleType())
+            / F.sum("c").cast(T.DoubleType())
+        ).alias("top_bigram_frac"),
+    )

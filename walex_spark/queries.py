@@ -2564,3 +2564,30 @@ def q_cdc_change_lag(spark, sf_dir):
         "lag_seconds",
         "lsn_lo",
     )
+
+
+@_register(
+    "q_doc_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2),
+    per AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signal: top-bigram fraction per
+    doc (extensions/text.py:repetition_stats) — boilerplate and
+    degenerate generations score high."""
+    return tx.repetition_stats(_t(spark, sf_dir, "documents"))
