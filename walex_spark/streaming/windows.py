@@ -125,20 +125,38 @@ def correlate_changes(
             for k in key_cols
         ],
     )
+    # time-bucket the join key: a ``within``-sized window spans at most
+    # 2 buckets of that size, so the change side probes exactly its own
+    # bucket and the previous one. This bounds join fan-out to
+    # per-(pk, bucket) groups — without it a hot key (one pk with many
+    # inserts AND many changes) degrades quadratically, and the
+    # streaming state store for a key never shards.
     base = env.withColumn("__pk", pk)
     ins = base.filter(F.col("op") == "INSERT").select(
         F.col("table").alias("i_table"),
         F.col("__pk").alias("i_pk"),
         F.col("commit_ts").alias("insert_ts"),
+        F.window("commit_ts", within).start.alias("i_bucket"),
     )
-    chg = base.filter(F.col("op").isin("UPDATE", "DELETE")).select(
-        "table",
-        "__pk",
-        "op",
-        F.col("commit_ts").alias("change_ts"),
-        "lsn_hi",
-        "lsn_lo",
-        "change_idx",
+    chg = (
+        base.filter(F.col("op").isin("UPDATE", "DELETE"))
+        .select(
+            "table",
+            "__pk",
+            "op",
+            F.col("commit_ts").alias("change_ts"),
+            "lsn_hi",
+            "lsn_lo",
+            "change_idx",
+            F.window("commit_ts", within).start.alias("__b0"),
+        )
+        .withColumn(
+            "i_bucket",
+            F.explode(
+                F.array(F.col("__b0"), F.col("__b0") - F.expr(f"INTERVAL {within}"))
+            ),
+        )
+        .drop("__b0")
     )
     if env.isStreaming:
         ins = ins.withWatermark("insert_ts", within)
@@ -146,6 +164,7 @@ def correlate_changes(
     cond = (
         (F.col("table") == F.col("i_table"))
         & (F.col("__pk") == F.col("i_pk"))
+        & (chg["i_bucket"] == ins["i_bucket"])
         & (F.col("change_ts") >= F.col("insert_ts"))
         & (F.col("change_ts") <= F.col("insert_ts") + F.expr(f"INTERVAL {within}"))
     )
