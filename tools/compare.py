@@ -100,6 +100,16 @@ def main() -> int:
         import __spark_entry__ as mod
 
         queries, oracles = mod.queries(), mod.oracle_sql()
+        if "/sf0.01" not in args.sf.rstrip("/"):
+            # entry oracles are self-contained for the driver's fixed
+            # sf0.01 (read_parquet paths baked in); comparing them at
+            # another sf would silently mix scales
+            print(
+                f"WARNING: --entry oracles read sf0.01 parquet; --sf {args.sf} "
+                "will mismatch on documents/embeddings queries "
+                "(use the view-based registry without --entry)",
+                file=sys.stderr,
+            )
     else:
         from walex_spark import queries as qmod
 
