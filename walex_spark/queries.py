@@ -2591,3 +2591,44 @@ def q_doc_repetition(spark, sf_dir):
     doc (extensions/text.py:repetition_stats) — boilerplate and
     degenerate generations score high."""
     return tx.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_doc_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    gr AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g
+      FROM t WHERE len(toks) >= 3),
+    bench AS (SELECT DISTINCT g FROM gr WHERE id % 50 = 0),
+    corpus AS (SELECT * FROM gr WHERE id % 50 <> 0),
+    sz AS (SELECT id, COUNT(*) AS n_grams FROM corpus GROUP BY id),
+    hit AS (SELECT c.id, COUNT(*) AS n_contaminated
+            FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.id)
+    SELECT sz.id AS doc_id,
+           CAST(sz.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(hit.n_contaminated, 0) AS DOUBLE)
+             / CAST(sz.n_grams AS DOUBLE) AS contamination_frac,
+           CAST(COALESCE(hit.n_contaminated, 0) AS DOUBLE)
+             / CAST(sz.n_grams AS DOUBLE) >= 0.5 AS is_contaminated
+    FROM sz LEFT JOIN hit ON sz.id = hit.id
+    """,
+)
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (extensions/decontam.py): every 50th
+    doc plays the held-out eval set; each remaining doc is scored by the
+    fraction of its distinct word trigrams that appear anywhere in that
+    set. The membership probe is a LEFT SEMI equi-join on the gram key —
+    no broadcast hint, so a corpus-sized 'benchmark' still executes."""
+    from walex_spark.extensions import decontam as dc
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dc.ngram_contamination(corpus, bench, n=3, threshold=0.5)
