@@ -240,31 +240,72 @@ def near_dup_pairs(
 
 def assign_ivf_cells(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids,
     rank: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "vec",
 ) -> DataFrame:
     """Nearest-`rank` IVF cells per vector by cosine against a (tiny)
-    centroid table.
+    centroid table — as a pure per-row expression: zero joins, zero
+    windows, ZERO shuffles.
 
-    The centroid side is broadcast (n_cells rows — metadata-sized at
-    any corpus scale), so assignment is a map-side nested-loop over
-    n_cells followed by a per-vector window on bounded cardinality:
-    no corpus shuffle. Scores are strict left folds; ties break on
-    cell id, so the argmin is deterministic in any engine.
+    The centroid table is metadata-sized (n_cells rows) at any corpus
+    scale, so it is collected once and inlined as a nested array
+    literal. Each row scores all cells with strict left folds, sorts
+    the (−score, cell_id) struct array (ascending = score DESC, ties
+    on cell id — deterministic in any engine), and keeps the first
+    `rank` entries. rank=1 is a plain projection; rank>1 fans out with
+    an in-partition explode. Either way the corpus never moves — the
+    prior shape (cross-join + per-vector window) shuffled
+    corpus×n_cells rows through the window Exchange.
+
+    ``centroids``: a (cell_id, cv, cent_norm) DataFrame, or the same
+    rows pre-collected (so multi-consumer callers collect once).
     """
-    in_cols = vectors.columns
-    scored = vectors.join(F.broadcast(centroids), F.lit(True)).select(
-        *in_cols,
-        "cell_id",
-        (dot_product(F.col(vec_col), F.col("cv")) / F.col("cent_norm")).alias("s"),
+    rows = (
+        centroids
+        if isinstance(centroids, list)
+        else centroids.select("cell_id", "cv", "cent_norm").collect()
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("cell_id").asc())
+    if not rows:
+        raise ValueError("assign_ivf_cells: empty centroid table")
+    in_cols = vectors.columns
+    # doubles round-trip the driver exactly, so inlining the collected
+    # values preserves bit-for-bit agreement with the oracle
+    cv_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["cv"]]) for r in rows]
+    )
+    ids_lit = F.array(
+        *[F.lit(int(r["cell_id"])).cast(T.LongType()) for r in rows]
+    )
+    norms_lit = F.array(*[F.lit(float(r["cent_norm"])) for r in rows])
+    v = _to_double(F.col(vec_col))
+    ranked = F.sort_array(
+        F.transform(
+            cv_lit,
+            lambda cv, i: F.struct(
+                (
+                    -(
+                        F.aggregate(
+                            F.zip_with(cv, v, lambda w, x: w * x),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / F.element_at(norms_lit, i + 1)
+                    )
+                ).alias("neg_s"),
+                F.element_at(ids_lit, i + 1).alias("cell_id"),
+            ),
+        )
+    )
+    if rank == 1:
+        return vectors.select(
+            *in_cols, F.element_at(ranked, 1)["cell_id"].alias("cell_id")
+        )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= rank)
-        .select(*in_cols, "cell_id")
+        vectors.withColumn("__cells", F.slice(ranked, 1, rank))
+        .select(*in_cols, F.explode("__cells").alias("__c"))
+        .select(*in_cols, F.col("__c.cell_id").alias("cell_id"))
     )
 
 
