@@ -1,12 +1,16 @@
 """Headline benchmark: runs the engine's query registry at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS].
 
-Each query is executed to completion (count-style action via a cheap
-collect of the already-small result; the heavy work happens in the
-plan, not the driver).
+Output contract (driver captures the LAST 2000 bytes of stdout):
+  - full per-query detail is written to BENCH_DETAIL.json next to this
+    file AND printed as the first stdout line (for humans / artifacts);
+  - the LAST stdout line is a compact JSON summary guaranteed to fit in
+    the tail window: {"metric", "value", "unit", "sf", "n_queries",
+    "n_errors", "queries": {slowest-first, truncated to byte budget}}.
+
+Per-query failures are caught and recorded (name -> "ERROR: ..."), so a
+single regressed query can never turn the whole round into a DNF.
 """
 
 from __future__ import annotations
@@ -16,11 +20,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
-# Headline subset: every operator family, excluding none — the registry
-# is the product. Queries returning large row counts still materialize
-# fully (toPandas would be driver-bound; count() keeps it distributed).
+# Queries whose results are large: materialize distributed via count()
+# instead of collect() (driver-bound).
 HEAVY_OUTPUT = {
     "q_window_running_total",
     "q_window_topn_per_group",
@@ -40,6 +44,30 @@ HEAVY_OUTPUT = {
     "q_cdc_tumbling_window",
 }
 
+# Keep the final summary line comfortably inside the driver's 2000-byte
+# tail capture.
+SUMMARY_BYTE_BUDGET = 1600
+
+
+def compact_summary(metric: str, total: float, sf, timings: dict, errors: dict) -> str:
+    """Build the last-line JSON; drop fastest queries until it fits."""
+    base = {
+        "metric": metric,
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    # slowest first so truncation drops the uninteresting fast tail
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    keep = dict(ranked)
+    while True:
+        line = json.dumps({**base, "queries": {k: v for k, v in keep.items()}})
+        if len(line.encode()) <= SUMMARY_BYTE_BUDGET or not keep:
+            return line
+        keep.pop(next(reversed(keep)))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,37 +77,49 @@ def main() -> None:
     spark = get_spark("walex-bench")
     # warm the JVM + parquet footers + Python worker pool once so
     # per-query numbers measure the queries, not session bootstrap
-    # (the first mapInPandas query would otherwise absorb 32 worker
-    # forks + pandas imports)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in QUERIES.items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        if name in HEAVY_OUTPUT:
-            df.count()
-        else:
-            df.collect()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        try:
+            df = fn(spark, sf_dir)
+            if name in HEAVY_OUTPUT:
+                df.count()
+            else:
+                df.collect()
+            timings[name] = round(time.time() - t0, 3)
+            total += timings[name]
+        except Exception as exc:  # noqa: BLE001 — bench must never DNF
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "walex_spark query-suite wall clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    sf_txt = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_txt)
+    except ValueError:
+        sf = None
+
+    metric = "walex_spark query-suite wall clock"
+    detail = {
+        "metric": metric,
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "errors": errors,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # detail first (head may be truncated by tail capture — that's fine),
+    # compact summary LAST so the tail window always contains one
+    # complete parseable JSON line.
+    print(json.dumps(detail))
+    sys.stdout.flush()
     spark.stop()
+    print(compact_summary(metric, total, sf, timings, errors))
 
 
 if __name__ == "__main__":

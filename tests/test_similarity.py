@@ -66,3 +66,66 @@ def test_trained_topk_shape(emb):
 def test_trained_requires_init():
     with pytest.raises(ValueError):
         sim.ann_ivf_trained_topk(None, None, dim=64)
+
+
+# ---------------------------------------------------------------------
+# assign_ivf_cells: two physical paths, one contract
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cents_rows(emb):
+    cents = emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0).select(
+        F.col("vec_id").alias("cell_id"),
+        sim._to_double(F.col("embedding")).alias("cv"),
+        sim.l2_norm(F.col("embedding")).alias("cent_norm"),
+    )
+    return cents.collect()
+
+
+def _assign_sorted(emb, cents_rows, rank, max_nodes):
+    out = sim.assign_ivf_cells(
+        emb.select("vec_id", "embedding"),
+        cents_rows,
+        rank=rank,
+        id_col="vec_id",
+        vec_col="embedding",
+        max_literal_nodes=max_nodes,
+    )
+    assert out.columns == ["vec_id", "embedding", "cell_id"]
+    return sorted((r.vec_id, r.cell_id) for r in out.collect())
+
+
+@pytest.mark.parametrize("rank", [1, 3])
+def test_assign_paths_agree(emb, cents_rows, rank):
+    """The literal (zero-shuffle) and broadcast-join (big-quantizer)
+    paths must return identical assignments, including tie order."""
+    lit = _assign_sorted(emb, cents_rows, rank, 10**9)  # force literal
+    jn = _assign_sorted(emb, cents_rows, rank, 0)  # force join path
+    assert lit == jn
+    assert len(lit) == (len(set(i for i, _ in lit)) * rank if rank > 1 else len(lit))
+
+
+def test_assign_literal_path_has_no_shuffle(emb, cents_rows):
+    """The round-2 contract: rank=1 literal assignment is a pure
+    projection — zero Exchange nodes in the physical plan."""
+    from walex_spark.plans import audit
+
+    out = sim.assign_ivf_cells(
+        emb.select("vec_id", "embedding"), cents_rows, rank=1,
+        id_col="vec_id", vec_col="embedding", max_literal_nodes=10**9,
+    )
+    assert audit(out).shuffle_exchanges == 0
+
+
+def test_assign_join_path_single_shuffle(emb, cents_rows):
+    """The scale path pays exactly one (map-side-combined) shuffle for
+    the argmin groupBy; the centroid side broadcasts."""
+    from walex_spark.plans import audit
+
+    out = sim.assign_ivf_cells(
+        emb.select("vec_id", "embedding"), cents_rows, rank=1,
+        id_col="vec_id", vec_col="embedding", max_literal_nodes=0,
+    )
+    r = audit(out)
+    assert r.shuffle_exchanges == 1
+    assert r.broadcast_exchanges >= 1

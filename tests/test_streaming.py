@@ -561,3 +561,61 @@ def test_correlate_changes_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_kill_mid_microbatch_partial_side_effects_replay(spark, tmp_path):
+    """Fault injection (database_test.exs:32-210 kill/recover analog):
+    a crash BETWEEN registrations inside one microbatch — the first
+    handler's side effect has fired, the second raises — must fail the
+    query; a restart from the same checkpoint REPLAYS the whole batch
+    (at-least-once: the first handler fires twice), and an idempotent
+    keyed sink converges to exactly-once state."""
+    src = str(tmp_path / "kill_src")
+    ckpt = str(tmp_path / "kill_ckpt")
+    effects = tmp_path / "effects.log"  # append-only side-effect journal
+    crashed = tmp_path / "crashed.flag"
+    t0 = dt.datetime(2024, 1, 15, 10, 0)
+    rows = [_env_row("INSERT", "user", i, t0) for i in (1, 2, 3)]
+    spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+
+    def journal(df, epoch):
+        with open(effects, "a") as f:
+            for r in df.select("lsn").collect():
+                # event projection formats the LSN as hi/lo hex
+                f.write(f"{int(r.lsn.split('/')[1], 16)}\n")
+
+    def crash_once(df, epoch):
+        df.count()  # force evaluation first, like a real downstream write
+        if not crashed.exists():
+            crashed.write_text("1")
+            raise RuntimeError("injected mid-batch failure")
+
+    def build():
+        return (
+            WalExEngine()
+            .on_event("*", journal)
+            .on_event("*", crash_once)
+        )
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = build().attach(read_envelope_stream(spark, src), checkpoint=ckpt)
+    with pytest.raises(StreamingQueryException, match="injected"):
+        q.processAllAvailable()
+    q.stop()
+    # the first registration's side effect is already durable: partial
+    # dispatch is REAL and the restart semantics must tolerate it
+    first_pass = effects.read_text().split()
+    assert sorted(first_pass) == ["1", "2", "3"]
+
+    q2 = build().attach(read_envelope_stream(spark, src), checkpoint=ckpt)
+    try:
+        q2.processAllAvailable()  # crash flag set -> second pass succeeds
+    finally:
+        q2.stop()
+    replayed = effects.read_text().split()
+    # at-least-once: the journaled handler fired again for the SAME rows
+    assert sorted(replayed) == ["1", "1", "2", "2", "3", "3"]
+    # the idempotent view of the journal (keyed dedup, what a real sink
+    # does via merge) is exactly the input set
+    assert sorted(set(replayed)) == ["1", "2", "3"]

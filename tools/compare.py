@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 
@@ -100,7 +101,7 @@ def main() -> int:
         import __spark_entry__ as mod
 
         queries, oracles = mod.queries(), mod.oracle_sql()
-        if "/sf0.01" not in args.sf.rstrip("/"):
+        if os.path.normpath(args.sf) != os.path.normpath("/root/testdata/sf0.01"):
             # entry oracles are self-contained for the driver's fixed
             # sf0.01 (read_parquet paths baked in); comparing them at
             # another sf would silently mix scales

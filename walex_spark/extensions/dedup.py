@@ -418,6 +418,17 @@ def duplicate_clusters(
         labels = stepped.select("id", "label")
         if changed == 0:
             break
+    else:
+        # the loop exhausted max_iters with labels still moving: the
+        # result would be silently WRONG (some components split across
+        # several labels). Fail loudly — callers pick a larger
+        # max_iters for pathological long-chain graphs.
+        raise RuntimeError(
+            f"duplicate_clusters: min-label propagation did not converge "
+            f"within max_iters={max_iters} ({changed} labels still "
+            f"changing) — component diameter exceeds the iteration "
+            f"budget; raise max_iters"
+        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),

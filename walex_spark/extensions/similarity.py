@@ -238,26 +238,47 @@ def near_dup_pairs(
     )
 
 
+# Expression-node budget for the literal (zero-shuffle) IVF assignment
+# path: the inlined centroid table costs ~n_cells x dim Catalyst nodes,
+# and janino compile time / the 64KB JVM method limit put a practical
+# wall around tens of thousands of nodes (SURVEY.md §9.4). Above the
+# budget the assignment switches to a broadcast nested-loop join +
+# min_by argmin (one map-side-combined shuffle, compact codegen).
+IVF_LITERAL_MAX_NODES = 16384
+
+
 def assign_ivf_cells(
     vectors: DataFrame,
     centroids,
     rank: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    max_literal_nodes: int = IVF_LITERAL_MAX_NODES,
 ) -> DataFrame:
     """Nearest-`rank` IVF cells per vector by cosine against a (tiny)
-    centroid table — as a pure per-row expression: zero joins, zero
-    windows, ZERO shuffles.
+    centroid table.
 
-    The centroid table is metadata-sized (n_cells rows) at any corpus
-    scale, so it is collected once and inlined as a nested array
-    literal. Each row scores all cells with strict left folds, sorts
-    the (−score, cell_id) struct array (ascending = score DESC, ties
-    on cell id — deterministic in any engine), and keeps the first
-    `rank` entries. rank=1 is a plain projection; rank>1 fans out with
-    an in-partition explode. Either way the corpus never moves — the
-    prior shape (cross-join + per-vector window) shuffled
-    corpus×n_cells rows through the window Exchange.
+    Two physical strategies behind one contract, picked by centroid
+    table size (n_cells x dim expression nodes vs ``max_literal_nodes``):
+
+    - **literal** (small quantizers, e.g. <=256 cells x 64 dims): the
+      centroid table is collected once and inlined as a nested array
+      literal; each row scores all cells with strict left folds and a
+      sort_array over (−score, cell_id) structs. Zero joins, zero
+      windows, ZERO shuffles — the corpus never moves.
+    - **broadcast-join** (real coarse quantizers, 4k–65k cells): a
+      giant literal would hit the janino compile wall, so instead the
+      centroid table (still metadata-sized) broadcast-nested-loop joins
+      against the corpus and the argmin is a ``groupBy(id).agg(min_by)``
+      — partial (map-side) aggregation collapses the n_cells fan-out to
+      one row per vector per partition before the single corpus-sized
+      shuffle. No window, no giant expression tree.
+
+    Both paths score with the identical left-fold expression, so they
+    agree bit-for-bit; ties break on cell_id — deterministic in any
+    engine. ``id_col`` must be unique per row (the join path groups on
+    it). rank=1 returns one cell per vector; rank>1 fans out to `rank`
+    rows per vector.
 
     ``centroids``: a (cell_id, cv, cent_norm) DataFrame, or the same
     rows pre-collected (so multi-consumer callers collect once).
@@ -269,6 +290,9 @@ def assign_ivf_cells(
     )
     if not rows:
         raise ValueError("assign_ivf_cells: empty centroid table")
+    dim = len(rows[0]["cv"])
+    if len(rows) * dim > max_literal_nodes:
+        return _assign_ivf_cells_join(vectors, rows, rank, id_col, vec_col)
     in_cols = vectors.columns
     # doubles round-trip the driver exactly, so inlining the collected
     # values preserves bit-for-bit agreement with the oracle
@@ -307,6 +331,70 @@ def assign_ivf_cells(
         .select(*in_cols, F.explode("__cells").alias("__c"))
         .select(*in_cols, F.col("__c.cell_id").alias("cell_id"))
     )
+
+
+def _assign_ivf_cells_join(
+    vectors: DataFrame,
+    rows: list,
+    rank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Scale path for assign_ivf_cells (big quantizers): broadcast
+    nested-loop join against the centroid table + min_by argmin.
+
+    The scoring expression is the same strict left fold as the literal
+    path (bit-for-bit identical doubles); the −score is materialized as
+    a column so min_by over (neg_s, cell_id) structs reproduces the
+    literal path's sort order exactly, including ties.
+    """
+    in_cols = vectors.columns
+    spark = vectors.sparkSession
+    cents_schema = T.StructType(
+        [
+            T.StructField("cell_id", T.LongType()),
+            T.StructField("cv", T.ArrayType(T.DoubleType())),
+            T.StructField("cent_norm", T.DoubleType()),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [(int(r["cell_id"]), [float(x) for x in r["cv"]], float(r["cent_norm"])) for r in rows],
+        cents_schema,
+    )
+    v = _to_double(F.col(vec_col))
+    neg_s = -(
+        F.aggregate(
+            F.zip_with(F.col("cv"), v, lambda w, x: w * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.col("cent_norm")
+    )
+    scored = (
+        vectors.join(F.broadcast(cents))
+        .withColumn("__neg_s", neg_s)
+        .drop("cv", "cent_norm")
+    )
+    order = F.struct(F.col("__neg_s"), F.col("cell_id"))
+    if rank == 1:
+        # payload rides inside min_by so one grouped aggregate yields the
+        # full row — partial aggregation keeps the shuffle corpus-sized
+        best = scored.groupBy(F.col(id_col).alias("__gid")).agg(
+            F.min_by(F.struct(*in_cols, "cell_id"), order).alias("__best")
+        )
+        return best.select(*[F.col(f"__best.{c}").alias(c) for c in [*in_cols, "cell_id"]])
+    ranked = scored.groupBy(F.col(id_col).alias("__gid")).agg(
+        F.min_by(F.struct(*in_cols), order).alias("__row"),
+        F.slice(
+            F.sort_array(F.collect_list(F.struct(F.col("__neg_s"), F.col("cell_id")))),
+            1,
+            rank,
+        ).alias("__cells"),
+    )
+    return ranked.select(
+        *[F.col(f"__row.{c}").alias(c) for c in in_cols],
+        F.explode("__cells").alias("__c"),
+    ).select(*in_cols, F.col("__c.cell_id").alias("cell_id"))
 
 
 def train_ivf_centroids(

@@ -80,7 +80,13 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic: argmax over per-language marker
     counts, 'und' (undetermined) when no marker hits. Deterministic
-    tie-break by language code order."""
+    tie-break by language code order.
+
+    Emits one row per DISTINCT ``id_col`` value: if the input has
+    duplicate ids, their token streams pool into a single prediction
+    (the groupBy is keyed on the id, not the row). Feed a unique doc id
+    — or pre-aggregate deliberately if pooling is what you want.
+    """
     # explode + isin-filter + hash-aggregate, all whole-stage codegen —
     # the same shape that beat per-element HOF lambdas 5× for MinHash
     # signatures. The isin filter drops every non-marker token BEFORE

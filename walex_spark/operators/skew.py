@@ -84,8 +84,10 @@ def salted_join(
     SMALL-side row once per salt bucket — rejected rather than silently
     duplicated.
     """
+    # normalized against every alias Spark's own JoinType accepts for
+    # these four join shapes ('semi' == 'left_semi' == 'leftsemi', etc.)
     if how.lower().replace("_", "") not in {
-        "inner", "left", "leftouter", "leftsemi", "leftanti"
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"
     }:
         raise ValueError(
             f"salted_join how={how!r}: only inner/left/left_semi/left_anti "

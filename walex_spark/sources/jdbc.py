@@ -22,6 +22,7 @@ real URL.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
@@ -43,6 +44,7 @@ class JdbcPollingSource:
     cursor_col: str
     user: str | None = None
     password: str | None = None
+    driver: str | None = None  # JDBC driver class, e.g. org.postgresql.Driver
     fetch_size: int = 10_000
     num_partitions: int = 8
     checkpoint_path: str | None = None  # durable "slot"; None = temporary
@@ -95,6 +97,8 @@ class JdbcPollingSource:
                 .option("upperBound", str(upper_bound))
                 .option("numPartitions", self.num_partitions)
             )
+        if self.driver:
+            reader = reader.option("driver", self.driver)
         if self.user:
             reader = reader.option("user", self.user)
         if self.password:
@@ -120,51 +124,52 @@ class JdbcPollingSource:
     def acquire_lock(self, stale_after_s: float = 300.0) -> None:
         """Take the slot's single-writer lock or raise SlotInUseError.
 
-        O_EXCL creation is the atomic claim; a lock whose owning pid is
-        dead or whose heartbeat is older than ``stale_after_s`` is
-        treated as abandoned and taken over (the reference's slot
-        retry-after-disconnect, server.ex:65-88).
-        """
-        while True:
-            try:
-                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
-                return
-            except FileExistsError:
-                if not self._lock_is_stale(stale_after_s):
-                    raise SlotInUseError(
-                        f"slot lock {self._lock_path} held by a live poller"
-                    ) from None
-                # abandoned: remove and re-race the O_EXCL create
-                try:
-                    os.unlink(self._lock_path)
-                except FileNotFoundError:
-                    pass
+        Ownership is a kernel ``flock(2)`` on the lock file — atomic
+        across racing pollers and auto-released when the owner dies, so
+        abandoned-slot takeover (the reference's retry-after-disconnect,
+        server.ex:65-88) needs no check-then-delete: a dead owner's
+        flock is already gone, and two pollers can never both win the
+        kernel lock. (The previous metadata-only protocol had a TOCTOU
+        between the staleness check and the unlink that could delete a
+        FRESH lock and admit two writers.)
 
-    def _lock_is_stale(self, stale_after_s: float) -> bool:
+        The JSON (pid, ts) payload in the file is observability
+        metadata only, never the ownership primitive; the lock file
+        itself is deliberately never unlinked (unlinking a lock file
+        reopens the race via path/inode divergence). ``stale_after_s``
+        is retained for API compatibility; with flock, liveness comes
+        from the kernel, not a heartbeat age.
+
+        Same-host scope is the honest contract here: on a multi-host
+        deployment, slot exclusivity is enforced server-side by the
+        database's replication slot itself.
+        """
+        fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR)
         try:
-            with open(self._lock_path) as f:
-                meta = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            return True  # vanished or torn write: claimable
-        if time.time() - meta.get("ts", 0) > stale_after_s:
-            return True
-        pid = meta.get("pid")
-        if pid is not None:
-            try:
-                os.kill(pid, 0)  # existence probe, no signal delivered
-            except ProcessLookupError:
-                return True
-            except PermissionError:
-                pass  # alive, owned by someone else
-        return False
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)
+            raise SlotInUseError(
+                f"slot lock {self._lock_path} held by a live poller"
+            ) from None
+        os.ftruncate(fd, 0)
+        os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
+        os.fsync(fd)
+        self._lock_fd = fd
 
     def release_lock(self) -> None:
+        fd = getattr(self, "_lock_fd", None)
+        if fd is None:
+            return
+        self._lock_fd = None
+        # truncate the metadata so a later reader sees "unowned", then
+        # drop the kernel lock; the file itself stays (see acquire_lock)
         try:
-            os.unlink(self._lock_path)
-        except FileNotFoundError:
+            os.ftruncate(fd, 0)
+        except OSError:
             pass
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
     def __enter__(self) -> "JdbcPollingSource":
         self.acquire_lock()
