@@ -1,0 +1,84 @@
+"""as-of join semantics (operators/asof.py): backward inclusive match,
+LEFT nulls, tolerance, and the one-shuffle plan contract."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.operators.asof import asof_join
+from walex_spark.plans import audit
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    state = spark.createDataFrame(
+        [
+            (1, _ts(10, 0), 1.0, "a"),
+            (1, _ts(11, 0), 2.0, "b"),
+            (2, _ts(10, 30), 5.0, "c"),
+        ],
+        "uid long, ts timestamp, val double, tag string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, 1, _ts(10, 30)),  # between state rows -> 10:00 match
+            (101, 1, _ts(11, 0)),   # exactly at state time -> inclusive
+            (102, 2, _ts(10, 0)),   # before any state -> NULL
+            (103, 3, _ts(12, 0)),   # key with no state at all -> NULL
+        ],
+        "pid long, uid long, ts timestamp",
+    )
+    return probes, state
+
+
+def test_backward_inclusive_left(frames):
+    probes, state = frames
+    out = {
+        r.pid: r
+        for r in asof_join(probes, state, on="uid").collect()
+    }
+    assert out[100].val_asof == 1.0 and out[100].tag_asof == "a"
+    assert out[100].ts_asof == _ts(10, 0)
+    # inclusive: state at exactly probe time matches
+    assert out[101].val_asof == 2.0 and out[101].tag_asof == "b"
+    # LEFT: probes with no preceding state survive with NULLs
+    assert out[102].val_asof is None and out[102].ts_asof is None
+    assert out[103].val_asof is None
+    # probe columns unchanged
+    assert sorted(out) == [100, 101, 102, 103]
+
+
+def test_tolerance_nulls_stale_matches(frames):
+    probes, state = frames
+    out = {
+        r.pid: r
+        for r in asof_join(
+            probes, state, on="uid", tolerance_seconds=600
+        ).collect()
+    }
+    # 100 matched 10:00, probe 10:30 -> 1800 s stale -> nulled
+    assert out[100].val_asof is None and out[100].ts_asof is None
+    # 101 matched at 0 s -> kept
+    assert out[101].val_asof == 2.0
+
+
+def test_no_payload_raises(spark, frames):
+    probes, _ = frames
+    bare = spark.createDataFrame([(1, _ts(9))], "uid long, ts timestamp")
+    with pytest.raises(ValueError):
+        asof_join(probes, bare, on="uid")
+
+
+def test_single_shuffle_plan(frames):
+    """The scale contract: one Exchange (the window partitionBy on the
+    key) — same as a sort-merge join would pay, no broadcast, no
+    row explosion."""
+    probes, state = frames
+    r = audit(asof_join(probes, state, on="uid"))
+    assert r.shuffle_exchanges == 1
+    assert r.broadcast_exchanges == 0

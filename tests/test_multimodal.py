@@ -39,7 +39,9 @@ def test_extract_features_shape(media):
 
 
 def test_resize_media_updates_meta_and_payload(media):
-    out = {r.media_id: r for r in resize_media(media, 8, 4).collect()}
+    # kernel pinned to the stub: these payloads are text bytes, not
+    # decodable images (the pil kernel has its own gated test below)
+    out = {r.media_id: r for r in resize_media(media, 8, 4, kernel="stub").collect()}
     assert all(len(r.payload) == 32 for r in out.values())
     assert out[1].meta.width == 8 and out[1].meta.height == 4
     assert out[1].meta.format == "png"  # untouched meta fields survive
@@ -64,3 +66,46 @@ def test_documents_adapter_schema(spark):
     assert [f.name for f in m.schema.fields] == ["media_id", "payload", "meta"]
     row = m.collect()[0]
     assert bytes(row.payload) == b"hello" and row.meta.format == "src1"
+
+
+def test_kernel_selection_contract():
+    """kernel='pil' must refuse loudly without Pillow; 'auto' must pick
+    the stub; unknown kernels are rejected."""
+    from walex_spark.extensions import multimodal as mm
+
+    if not mm.codec_available():
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG")
+
+
+def test_resize_rejects_unknown_kernel(media):
+    from walex_spark.extensions import multimodal as mm
+
+    with pytest.raises(ValueError):
+        mm.resize_media(media, 8, 4, kernel="ffmpeg")
+    if not mm.codec_available():
+        with pytest.raises(NotImplementedError):
+            mm.resize_media(media, 8, 4, kernel="pil")
+
+
+def test_pil_resize_real_kernel_same_arrow_path(spark):
+    """Runs ONLY where Pillow exists: a real PNG goes through the same
+    mapInPandas plumbing and comes out resized + re-encoded."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from walex_spark.extensions import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), (200, 10, 10)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, buf.getvalue(), {"format": "png", "width": 16, "height": 16,
+                              "duration_ms": None})],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.resize_media(media, 8, 4, kernel="pil").collect()[0]
+    img = Image.open(io.BytesIO(out.payload))
+    assert img.size == (8, 4)
+    assert out.meta.width == 8 and out.meta.height == 4

@@ -619,3 +619,56 @@ def test_kill_mid_microbatch_partial_side_effects_replay(spark, tmp_path):
     # the idempotent view of the journal (keyed dedup, what a real sink
     # does via merge) is exactly the input set
     assert sorted(set(replayed)) == ["1", "2", "3"]
+
+
+def test_record_field_evolution_without_restart(spark, tmp_path):
+    """Mid-stream upstream schema change (the reference's Relation
+    message case, database_test.exs restart-on-schema-change): the
+    envelope's record is MAP-typed, so a NEW column arriving from the
+    source shows up as a new map key in later microbatches — no stream
+    restart, no schema migration. This test pins that design contract:
+    the same running query dispatches both the old-shape and new-shape
+    rows, and a restart from checkpoint also handles the mix."""
+    src = str(tmp_path / "evo_src")
+    ckpt = str(tmp_path / "evo_ckpt")
+    t0 = dt.datetime(2024, 1, 15, 10, 0)
+    old = [_env_row("INSERT", "user", 1, t0)]
+    spark.createDataFrame(old, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+
+    seen: list[dict] = []
+
+    def grab(df, epoch):
+        for r in df.select("new_record").collect():
+            seen.append(dict(r.new_record))
+
+    eng = WalExEngine().on_event("*", grab)
+    q = eng.attach(read_envelope_stream(spark, src), checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+        # upstream ALTER TABLE ADD COLUMN email: new key appears in the
+        # record map of subsequent envelope rows — same running query
+        new = [
+            ("INSERT", "public", "user", None,
+             {"id": "2", "email": "x@y.z"}, None, None, t0, 0, 2, 1, 0),
+        ]
+        spark.createDataFrame(new, CHANGE_ENVELOPE_SCHEMA).write.parquet(
+            src, mode="append"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    by_id = {d["id"]: d for d in seen}
+    assert "email" not in by_id["1"] and by_id["2"]["email"] == "x@y.z"
+
+    # restart from checkpoint: mixed-shape history replays cleanly
+    later = [_env_row("UPDATE", "user", 3, t0)]
+    spark.createDataFrame(later, CHANGE_ENVELOPE_SCHEMA).write.parquet(src, mode="append")
+    seen2: list[dict] = []
+    eng2 = WalExEngine().on_event("*", lambda df, e: seen2.extend(
+        dict(r.new_record) for r in df.select("new_record").collect()))
+    q2 = eng2.attach(read_envelope_stream(spark, src), checkpoint=ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert [d["id"] for d in seen2] == ["3"]

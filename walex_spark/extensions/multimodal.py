@@ -51,10 +51,30 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+try:  # optional codec: present in equipped environments, absent here
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - container has no Pillow
+    _PILImage = None
+
+
+def codec_available() -> bool:
+    """True when a real image codec (Pillow) is importable."""
+    return _PILImage is not None
+
+
 def decode_image(payload: bytes) -> "object":
-    """STUB — image decode requires a codec library not in this
-    container. Replace with PIL.Image.open(io.BytesIO(payload))."""
-    raise NotImplementedError("image decode stubbed: no codec libs in container")
+    """Decode an image payload with Pillow when available; otherwise a
+    clearly-marked NotImplementedError (this container ships no codec
+    libraries — the Spark-side plumbing is tested with the stub kernels
+    below, and equipped environments exercise the real kernel through
+    the SAME Arrow path: tests/test_multimodal.py::test_pil_*)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decode requires Pillow (not in this container)"
+        )
+    import io
+
+    return _PILImage.open(io.BytesIO(payload))
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -113,17 +133,43 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     return payload[:target] + b"\x00" * max(0, target - len(payload))
 
 
-def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize kernel: decode with Pillow, resize, re-encode PNG
+    (deterministic encoder settings so output bytes are stable)."""
+    import io
+
+    if payload is None:
+        return None
+    img = _PILImage.open(io.BytesIO(payload))
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, format="PNG", optimize=False)
+    return buf.getvalue()
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, kernel: str = "auto"
+) -> DataFrame:
     """payload → resized payload with updated meta (1 row in, 1 row out).
 
     mapInPandas keeps the bytes in Arrow batches end to end; no shuffle.
-    The decode/encode kernel is the stub above — marked, swappable."""
+    ``kernel``: 'pil' = real decode/resize/re-encode (requires Pillow,
+    raises here where no codec ships), 'stub' = the deterministic fake,
+    'auto' = pil when importable else stub. Both kernels run through
+    the identical Arrow/mapInPandas plumbing — the only difference is
+    the per-row byte transform."""
     import pandas as pd
+
+    if kernel not in ("auto", "pil", "stub"):
+        raise ValueError(f"resize_media kernel={kernel!r}")
+    if kernel == "pil" and _PILImage is None:
+        raise NotImplementedError("kernel='pil' requires Pillow")
+    use_pil = kernel == "pil" or (kernel == "auto" and _PILImage is not None)
+    row_fn = _pil_resize if use_pil else _fake_resize
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = out["payload"].map(lambda b: _fake_resize(b, width, height))
+            out["payload"] = out["payload"].map(lambda b: row_fn(b, width, height))
             out["meta"] = out["meta"].map(
                 lambda m: {**(m or {}), "width": width, "height": height}
             )

@@ -2639,6 +2639,54 @@ def q_doc_decontaminate(spark, sf_dir):
 
 
 # =========================================================================
+@_register(
+    "q_cdc_asof_state",
+    """
+    WITH state AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events WHERE event_id % 10 <> 0 GROUP BY user_id, ts),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0)
+    SELECT p.event_id AS probe_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS probe_epoch,
+           s.value AS value_asof,
+           CAST(floor(epoch(s.ts)) AS BIGINT) AS asof_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(s.ts)) AS BIGINT) AS staleness_seconds
+    FROM p ASOF LEFT JOIN state s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q_cdc_asof_state(spark, sf_dir):
+    """Point-in-time state lookup (operators/asof.py): every 10th event
+    plays a feature-store probe; the rest form the keyed change state
+    (deduped to one row per (user_id, ts) via max_by so ties are
+    deterministic in both engines). Backward-inclusive as-of semantics,
+    LEFT — probes before any state get NULLs. The DuckDB oracle is a
+    native ASOF LEFT JOIN; the Spark plan is the union + windowed
+    last-value decomposition (one shuffle on the key)."""
+    from walex_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    state = (
+        ev.filter(F.col("event_id") % 10 != 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    probes = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("probe_id"), "user_id", "ts"
+    )
+    out = asof_join(probes, state, on="user_id", probe_time="ts", state_time="ts")
+    return out.select(
+        "probe_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("probe_epoch"),
+        "value_asof",
+        F.unix_timestamp("ts_asof").alias("asof_epoch"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")).alias("staleness_seconds"),
+    )
+
+
+# =========================================================================
 # Driver correctness window ordering
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -2668,8 +2716,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_cdc_event_projection", "q_cdc_changes_diff",
     "q_cdc_unwatched_filters", "q_cdc_dedup_replay",
     "q_cdc_tumbling_window",
-    # (c) relational representatives — one per shape family (9)
-    "q01_pricing_summary", "q03_shipping_priority", "q06_forecast_revenue",
+    # (b2) new in round 4 — no green history, needs a hard driver row
+    "q_cdc_asof_state",
+    # (c) relational representatives — one per shape family (8)
+    "q01_pricing_summary", "q03_shipping_priority",
     "q_window_topn_per_group", "q_rollup_lineitem", "q_semi_join",
     "q_distinct_agg", "q_pivot_status_priority", "q21_sole_late_supplier",
 ]
@@ -2679,6 +2729,9 @@ def _reorder_registry() -> None:
     prio = [n for n in _DRIVER_WINDOW_PRIORITY if n in QUERIES]
     missing = set(_DRIVER_WINDOW_PRIORITY) - set(prio)
     assert not missing, f"priority list names unknown queries: {missing}"
+    # the driver gate stops at 50: a longer priority list silently
+    # pushes its own tail out of the checked window
+    assert len(prio) <= 50, f"driver window overflow: {len(prio)} > 50"
     rest = [n for n in QUERIES if n not in set(prio)]
     ordered = {n: QUERIES[n] for n in prio + rest}
     QUERIES.clear()
