@@ -42,6 +42,7 @@ HEAVY_OUTPUT = {
     "q_cdc_event_json",
     "q_cdc_sessionize",
     "q_cdc_tumbling_window",
+    "q_doc_chunks",
 }
 
 # Keep the final summary line comfortably inside the driver's 2000-byte

@@ -1,0 +1,140 @@
+"""Document chunking + term scoring — the retrieval-prep half of a
+training/RAG data pipeline (split long documents into overlapping
+token windows; score terms by frequency × inverse document frequency).
+
+Driver-mandated extension family (no reference counterpart). Both
+operators are Spark-first:
+
+- chunking is an in-partition explode: each doc row fans out to its
+  chunk rows inside the partition that already holds the text — ZERO
+  shuffles, no UDF (sequence + transform + slice on the token array);
+- term scoring is two hash aggregates (term counts per doc, doc
+  frequency per term) joined on the term key — the term is the shuffle
+  key, fan-out bounded by vocabulary size per doc.
+
+Determinism note (the repo's oracle ruleset): idf here is the RAW
+ratio n_docs/df, not log(n_docs/df). Both engines compute the same
+IEEE-754 double for an integer ratio and product, so results are
+bit-exact cross-engine; a log would differ in the last ulp between
+libm implementations and break the hash gate. The ranking is identical
+for any monotone transform at fixed tf, and the log variant is a
+one-line change where cross-engine exactness is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from walex_spark.extensions.text import _tokens
+
+__all__ = ["chunk_documents", "term_scores"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    Returns (id_col, chunk_idx, n_chunks, chunk_text, n_chunk_tokens):
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final window is the (possibly
+    short) remainder; empty docs yield zero rows. Chunk ids are
+    (doc_id, chunk_idx) — deterministic and replay-stable, so
+    downstream dedup/embedding stages can key on them.
+
+    Scale shape: tokenize → sequence(0, n_chunks-1) → explode → slice,
+    all inside the partition that holds the doc (no shuffle, no UDF).
+    The payload fan-out is bounded by len/stride per doc; chunk rows
+    drop the full text immediately (only the slice survives).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: overlap {overlap} must be < chunk_tokens {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    # ceil((n - overlap) / stride) windows, at least 1 for non-empty docs
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(stride)).cast(T.IntegerType()),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            n_chunks.alias("n_chunks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.col("n_chunks"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size(F.col("__toks")) - F.col("chunk_idx") * stride,
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def term_scores(
+    df: DataFrame,
+    top_k: int = 3,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` terms per document by tf × (n_docs/df) inverse-
+    document-frequency score (log-free — see module docstring).
+
+    Returns (id_col, term, tf, df, score, rnk), rnk 1..top_k per doc,
+    ties broken by term order (deterministic in any engine).
+
+    Scale shape: explode → per-(doc, term) count (map-side combined) →
+    doc-frequency aggregate on the term key → equi-join on term →
+    per-doc top-k window (bounded partitions: one per doc). n_docs is
+    a scalar broadcast join (one-row aggregate), never a collect.
+    """
+    base = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+    tf = base.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            F.col("df"),
+            (
+                F.col("tf").cast(T.DoubleType())
+                * (F.col("n_docs").cast(T.DoubleType()) / F.col("df").cast(T.DoubleType()))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+    )

@@ -195,3 +195,40 @@ def repetition_stats(
             / F.sum("c").cast(T.DoubleType())
         ).alias("top_bigram_frac"),
     )
+
+
+# -- PII redaction -----------------------------------------------------
+
+# Shared Java-regex / RE2 subset (no lookaround, no backrefs) so the
+# exact same pattern strings run in Spark and in the DuckDB oracle.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+}
+PII_ORDER = ("url", "email", "phone")  # urls first: they may embed emails
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub common PII shapes (urls, emails, phone-like digit runs)
+    before a corpus enters training: each match is replaced with a
+    typed tag (``<URL>``/``<EMAIL>``/``<PHONE>``), applied in
+    PII_ORDER so URL-embedded emails count once as urls.
+
+    Returns (id, redacted_text, n_urls, n_emails, n_phones) with
+    counts measured on the text as each stage sees it (post-prior-
+    stage), matching what was actually replaced. Pure regexp column
+    expressions — narrow map, zero shuffle, codegen'd.
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    counts = []
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(f"n_{kind}s", F.regexp_count(F.col("__t"), F.lit(pat)))
+        out = out.withColumn("__t", F.regexp_replace(F.col("__t"), pat, f"<{kind.upper()}>"))
+        counts.append(f"n_{kind}s")
+    return out.select(
+        F.col(id_col),
+        F.col("__t").alias("redacted_text"),
+        *[F.col(c).cast(T.LongType()).alias(c) for c in counts],
+    )

@@ -2687,6 +2687,105 @@ def q_cdc_asof_state(spark, sf_dir):
 
 
 # =========================================================================
+@_register(
+    "q_doc_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             GREATEST(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx, n_chunks,
+           array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+           CAST(LEAST(64, n - i*48) AS INT) AS n_chunk_tokens
+    FROM c, unnest(generate_series(0, n_chunks - 1)) u(i)
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (extensions/chunking.py):
+    64-token windows, 16-token overlap, deterministic (doc_id,
+    chunk_idx) keys. In-partition explode — zero shuffles."""
+    from walex_spark.extensions.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+# =========================================================================
+@_register(
+    "q_doc_term_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(nd.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM s)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_doc_term_scores(spark, sf_dir):
+    """Top-3 distinguishing terms per doc by tf x (n_docs/df) — the
+    log-free idf variant (chunking.py docstring: IEEE-exact cross-
+    engine, same ranking as log-idf at fixed tf)."""
+    from walex_spark.extensions.chunking import term_scores
+
+    out = term_scores(_t(spark, sf_dir, "documents"), top_k=3)
+    return out.select(
+        "doc_id", "term",
+        F.col("tf").cast(T.LongType()).alias("tf"),
+        F.col("df").cast(T.LongType()).alias("df"),
+        "score",
+        F.col("rnk").cast(T.LongType()).alias("rnk"),
+    )
+
+
+# =========================================================================
+def _redact_oracle() -> str:
+    from walex_spark.extensions.text import PII_ORDER, PII_PATTERNS
+
+    t = "text"
+    cols = []
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        cols.append(
+            f"CAST(len(regexp_extract_all({t}, '{pat}')) AS BIGINT) AS n_{kind}s"
+        )
+        t = f"regexp_replace({t}, '{pat}', '<{kind.upper()}>', 'g')"
+    return f"""
+    SELECT doc_id, {t} AS redacted_text, {', '.join(cols)}
+    FROM documents
+    """
+
+
+@_register("q_doc_redact", _redact_oracle())
+def q_doc_redact(spark, sf_dir):
+    """PII scrub (extensions/text.py::redact_pii): urls/emails/phone
+    digit runs replaced by typed tags, counts per kind. The pattern
+    strings are the shared Java-regex/RE2 subset, so the oracle runs
+    the literal same patterns."""
+    from walex_spark.extensions.text import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
 # Driver correctness window ordering
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only

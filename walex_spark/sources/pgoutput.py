@@ -199,7 +199,12 @@ def encode_begin(lsn: int, ts_micros_pg: int, xid: int) -> bytes:
 
 
 def encode_commit(lsn: int, ts_micros_pg: int) -> bytes:
-    return b"C" + struct.pack(">BQQQ", 0, lsn, lsn + 8, ts_micros_pg)
+    # end_lsn is the next byte past the commit record (+8 here, the
+    # synthetic record length); uint64-wrap like pg_lsn arithmetic so
+    # a max-valued lsn can't overflow the pack (hypothesis-found edge)
+    return b"C" + struct.pack(
+        ">BQQQ", 0, lsn, (lsn + 8) & 0xFFFFFFFFFFFFFFFF, ts_micros_pg
+    )
 
 
 def encode_relation(
