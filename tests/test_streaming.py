@@ -672,3 +672,54 @@ def test_record_field_evolution_without_restart(spark, tmp_path):
     finally:
         q2.stop()
     assert [d["id"] for d in seen2] == ["3"]
+
+
+def test_parse_json_envelope_quarantines_poison_pills(spark):
+    """Corrupt JSON in a Kafka-style stream must not poison the
+    pipeline: the reject side captures the raw strings for a
+    dead-letter sink, the valid side parses cleanly."""
+    from walex_spark.sources.envelope import parse_json_envelope_with_rejects
+
+    rows = [
+        ('{"op": "INSERT", "table": "user", "record": {"id": "1"}, "lsn_lo": 5}',),
+        ("{not json at all",),
+        ('{"unrelated": 1}',),  # valid JSON, wrong shape -> no op
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    valid, rejects = parse_json_envelope_with_rejects(df)
+    v = valid.collect()
+    assert len(v) == 1 and v[0].op == "INSERT" and v[0].record["id"] == "1"
+    r = sorted(x.raw for x in rejects.collect())
+    assert r == ["", '{"unrelated": 1}', "{not json at all"]
+
+
+def test_jdbc_retry_backoff_policy(tmp_path):
+    """Reference slot-contention policy parity (server.ex:16-17,
+    134-135): exponential backoff doubling from 1s, bounded retries,
+    then SlotInUseError; an early release lets a retry succeed."""
+    from walex_spark.sources.jdbc import SlotInUseError
+
+    ckpt = str(tmp_path / "cursor.json")
+    holder = JdbcPollingSource(url="jdbc:x", table="t", cursor_col="lsn", checkpoint_path=ckpt)
+    waiter = JdbcPollingSource(url="jdbc:x", table="t", cursor_col="lsn", checkpoint_path=ckpt)
+    holder.acquire_lock()
+    sleeps: list[float] = []
+    try:
+        with pytest.raises(SlotInUseError):
+            waiter.acquire_lock_with_retry(max_retries=4, sleep=sleeps.append)
+        # 3 backoffs for 4 attempts, doubling from 1s
+        assert sleeps == [1.0, 2.0, 4.0]
+
+        # retry succeeds once the holder releases mid-backoff
+        sleeps.clear()
+
+        def release_then_note(s):
+            sleeps.append(s)
+            if len(sleeps) == 2:
+                holder.release_lock()
+
+        waiter.acquire_lock_with_retry(max_retries=10, sleep=release_then_note)
+        assert sleeps == [1.0, 2.0]  # acquired on the 3rd attempt
+    finally:
+        waiter.release_lock()

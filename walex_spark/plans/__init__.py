@@ -1,1 +1,1 @@
-from walex_spark.plans.audit import PlanReport, audit  # noqa: F401
+from walex_spark.plans.audit import PlanReport, audit, formatted_plan  # noqa: F401

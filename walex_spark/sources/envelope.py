@@ -45,8 +45,37 @@ def read_envelope_stream(
 
 def parse_json_envelope(df: DataFrame, json_col: str = "value") -> DataFrame:
     """Kafka-style ingestion: a string column of JSON envelopes →
-    typed envelope columns (R1 decode as a from_json select)."""
+    typed envelope columns (R1 decode as a from_json select).
+
+    Malformed JSON yields all-null rows (from_json PERMISSIVE mode);
+    use ``parse_json_envelope_with_rejects`` to split them out instead
+    of silently carrying nulls downstream.
+    """
     parsed = df.select(
         F.from_json(F.col(json_col).cast("string"), CHANGE_ENVELOPE_SCHEMA).alias("e")
     )
     return parsed.select("e.*")
+
+
+def parse_json_envelope_with_rejects(
+    df: DataFrame, json_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Parse + quarantine: returns (valid envelope rows, reject rows).
+
+    A row is a reject when from_json cannot produce an `op` (corrupt
+    JSON, wrong shape, empty payload). Rejects keep the ORIGINAL raw
+    string (plus nothing else) so a dead-letter sink can persist them
+    for replay after a fix — the poison-pill pattern; the valid side
+    is exactly parse_json_envelope's output. One pass each side, no
+    shuffle; Catalyst shares the from_json subtree across the two
+    filters."""
+    raw = F.col(json_col).cast("string")
+    parsed = df.select(
+        raw.alias("__raw"),
+        F.from_json(raw, CHANGE_ENVELOPE_SCHEMA).alias("e"),
+    )
+    valid = parsed.filter(F.col("e.op").isNotNull()).select("e.*")
+    rejects = parsed.filter(F.col("e.op").isNull()).select(
+        F.col("__raw").alias("raw")
+    )
+    return valid, rejects

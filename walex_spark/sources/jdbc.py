@@ -157,6 +157,32 @@ class JdbcPollingSource:
         os.fsync(fd)
         self._lock_fd = fd
 
+    def acquire_lock_with_retry(
+        self,
+        max_retries: int = 10,
+        initial_backoff_s: float = 1.0,
+        sleep=time.sleep,
+    ) -> None:
+        """The reference's slot-contention policy (server.ex:16-17,
+        99-139): retry the exclusive claim up to ``max_retries`` times
+        with exponential backoff (1s, 2s, 4s, ... doubling each
+        attempt, server.ex:134-135), then give up with SlotInUseError —
+        the caller's supervisor schedules the next check (the
+        schedule_slot_check analog, server.ex:208-211).
+
+        ``sleep`` is injectable for tests (and for async callers that
+        want a cooperative wait).
+        """
+        backoff = initial_backoff_s
+        for attempt in range(max_retries):
+            try:
+                return self.acquire_lock()
+            except SlotInUseError:
+                if attempt == max_retries - 1:
+                    raise
+                sleep(backoff)
+                backoff *= 2
+
     def release_lock(self) -> None:
         fd = getattr(self, "_lock_fd", None)
         if fd is None:
