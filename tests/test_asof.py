@@ -82,3 +82,37 @@ def test_single_shuffle_plan(frames):
     r = audit(asof_join(probes, state, on="uid"))
     assert r.shuffle_exchanges == 1
     assert r.broadcast_exchanges == 0
+
+
+def test_asof_enrichment_in_streaming_microbatch(spark, tmp_path, frames):
+    """The streaming face of the as-of join: each microbatch of a
+    change stream is enriched point-in-time against a versioned state
+    table inside foreachBatch (batch asof per epoch — the same pattern
+    a feature-store lookup uses; pure stream-stream asof would need
+    full history in state, which is exactly what the versioned table
+    already is)."""
+    import datetime as dt
+
+    probes, state = frames
+    src = str(tmp_path / "asof_src")
+    probes.write.parquet(src)
+    got = []
+
+    def enrich(batch_df, epoch):
+        out = asof_join(batch_df, state, on="uid")
+        got.extend((r.pid, r.val_asof) for r in out.collect())
+
+    q = (
+        spark.readStream.schema(probes.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    by_pid = dict(got)
+    assert by_pid[100] == 1.0 and by_pid[101] == 2.0
+    assert by_pid[102] is None and by_pid[103] is None

@@ -2890,12 +2890,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_cdc_event_projection", "q_cdc_changes_diff",
     "q_cdc_unwatched_filters", "q_cdc_dedup_replay",
     "q_cdc_tumbling_window",
-    # (b2) new in round 4 — no green history, needs a hard driver row
-    "q_cdc_asof_state",
-    # (c) relational representatives — one per shape family (8)
+    # (b2) new in round 4 — no green history, each needs a hard driver
+    # row more than a fourth TPC-H variant does (those carry 3 rounds
+    # of green driver history and stay under the identical local gate)
+    "q_cdc_asof_state", "q_doc_chunks", "q_doc_term_scores",
+    "q_doc_redact", "q_quantiles", "q_range_join_bands",
+    # (c) relational representatives (3)
     "q01_pricing_summary", "q03_shipping_priority",
-    "q_window_topn_per_group", "q_rollup_lineitem", "q_semi_join",
-    "q_distinct_agg", "q_pivot_status_priority", "q21_sole_late_supplier",
+    "q_window_topn_per_group",
 ]
 
 
