@@ -81,3 +81,55 @@ def test_redact_pii_kinds_and_order(spark):
     assert out[2].n_phones == 1 and "<PHONE>" in out[2].redacted_text
     assert out[3].redacted_text == "clean text only"
     assert (out[3].n_urls, out[3].n_emails, out[3].n_phones) == (0, 0, 0)
+
+
+def test_hash_embed_sparse_dense_consistency(spark):
+    from walex_spark.extensions.chunking import hash_embed, hash_embed_dense
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "cherry"), (3, "")],
+        "doc_id long, text string",
+    )
+    sparse = hash_embed(docs, dim=8).collect()
+    dense = {r.doc_id: r.embedding for r in hash_embed_dense(docs, dim=8).collect()}
+    # every sparse entry appears at the right dense position
+    for r in sparse:
+        assert dense[r.doc_id][r.bucket] == float(r.weight)
+    # dense non-zeros are exactly the sparse entries
+    nnz = {(r.doc_id, r.bucket) for r in sparse}
+    for did, vec in dense.items():
+        for i, v in enumerate(vec):
+            assert (v != 0.0) == ((did, i) in nnz)
+    # norm matches the dense vector
+    import math
+
+    for did in dense:
+        got = {r.norm for r in sparse if r.doc_id == did}
+        assert got == {math.sqrt(sum(v * v for v in dense[did]))}
+    # empty doc: no rows at all
+    assert 3 not in dense and all(r.doc_id != 3 for r in sparse)
+    # determinism: same input, same bytes
+    again = hash_embed(docs, dim=8).collect()
+    assert sorted(map(tuple, sparse)) == sorted(map(tuple, again))
+
+
+def test_hash_embed_feeds_similarity_ops(spark):
+    """The bridge contract: hash_embed_dense output plugs straight
+    into the embedding operators."""
+    from walex_spark.extensions.chunking import hash_embed_dense
+    from walex_spark.extensions.similarity import brute_force_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown foxes"),
+            (3, "entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hash_embed_dense(docs, dim=16)
+    top = brute_force_topk(
+        emb.filter(F.col("doc_id") == 1), emb, k=2, id_col="doc_id", vec_col="embedding"
+    ).collect()
+    # doc 2 (3 shared tokens) ranks above doc 3
+    assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rnk)] == [2, 3]

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from walex_spark.extensions.text import _tokens
 
-__all__ = ["chunk_documents", "term_scores"]
+__all__ = ["chunk_documents", "term_scores", "hash_embed", "hash_embed_dense"]
 
 
 def chunk_documents(
@@ -137,4 +137,81 @@ def term_scores(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= top_k)
+    )
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hashing-trick text vectorizer (feature hashing, a
+    la HashingTF + signs): every token hashes to one of ``dim``
+    buckets with a +/-1 sign; a document's vector is the signed
+    occurrence count per bucket. No model, no vocabulary, byte-stable
+    across runs and engines — the bridge from the text operators to
+    the embedding operators (ANN / near-dup) when no learned
+    embeddings exist.
+
+    Returns SPARSE rows (id, bucket, weight, norm): weight is an exact
+    integer sum, norm = sqrt(sum of squared weights) per doc — sqrt of
+    an integer, correctly rounded, so cross-engine comparison is
+    bit-exact. Use ``hash_embed_dense`` for an array<double> column.
+
+    Shape: explode → one md5 per token split into two halves
+    (bucket / sign — the Kirsch-Mitzenmacher idiom from
+    dedup.minhash_signature) → map-side-combined groupBy on
+    (id, bucket) → per-doc window for the norm. Empty docs yield no
+    rows (a zero vector has no sparse entries).
+    """
+    from pyspark.sql import Window
+
+    md5 = F.md5(F.col("__tok"))
+    h1 = F.conv(F.substring(md5, 1, 13), 16, 10).cast(T.LongType())
+    h2 = F.conv(F.substring(md5, 14, 13), 16, 10).cast(T.LongType())
+    sums = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok"))
+        .select(
+            F.col(id_col),
+            F.pmod(h1, F.lit(dim)).alias("bucket"),
+            F.when(h2 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("__sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__sign").alias("weight"))
+    )
+    w = Window.partitionBy(id_col)
+    return sums.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.col("weight").cast(T.LongType()).alias("weight"),
+        F.sqrt(F.sum(F.col("weight") * F.col("weight")).over(w).cast(T.DoubleType())).alias("norm"),
+    )
+
+
+def hash_embed_dense(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense companion of ``hash_embed``: (id, embedding array<double>)
+    ready for the similarity operators (brute_force_topk / ann_* /
+    near_dup_pairs take any array column). Missing buckets are 0.0;
+    docs with no tokens are absent (no zero-vector rows)."""
+    sparse = hash_embed(df, dim=dim, text_col=text_col, id_col=id_col)
+    entries = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+        ).alias("__m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return entries.select(
+        F.col(id_col),
+        F.transform(
+            idx,
+            lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0)).cast(
+                T.DoubleType()
+            ),
+        ).alias("embedding"),
     )

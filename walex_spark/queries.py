@@ -2861,6 +2861,37 @@ def q_range_join_bands(spark, sf_dir):
 
 
 # =========================================================================
+@_register(
+    "q_doc_hash_embed",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 13))::BIGINT % 16 AS bucket,
+             CASE WHEN ('0x' || substr(md5(tok), 14, 13))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM toks),
+    s AS (SELECT doc_id, bucket, SUM(sign) AS w FROM h GROUP BY doc_id, bucket)
+    SELECT doc_id, bucket, CAST(w AS BIGINT) AS weight,
+           sqrt(CAST(SUM(w * w) OVER (PARTITION BY doc_id) AS DOUBLE)) AS norm
+    FROM s
+    """,
+)
+def q_doc_hash_embed(spark, sf_dir):
+    """Hashing-trick text vectorizer (extensions/chunking.py::
+    hash_embed): signed feature hashing over 16 buckets, sparse
+    output (doc_id, bucket, weight, norm) — the model-free bridge
+    from text to the embedding/ANN operators. Integer weights and a
+    sqrt-of-integer norm keep the comparison bit-exact."""
+    from walex_spark.extensions.chunking import hash_embed
+
+    return hash_embed(_t(spark, sf_dir, "documents"), dim=16)
+
+
+# =========================================================================
 # Driver correctness window ordering
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -2895,9 +2926,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # of green driver history and stay under the identical local gate)
     "q_cdc_asof_state", "q_doc_chunks", "q_doc_term_scores",
     "q_doc_redact", "q_quantiles", "q_range_join_bands",
-    # (c) relational representatives (3)
-    "q01_pricing_summary", "q03_shipping_priority",
-    "q_window_topn_per_group",
+    "q_doc_hash_embed",
+    # (c) relational representatives (2)
+    "q01_pricing_summary", "q_window_topn_per_group",
 ]
 
 
