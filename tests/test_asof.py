@@ -116,3 +116,37 @@ def test_asof_enrichment_in_streaming_microbatch(spark, tmp_path, frames):
     by_pid = dict(got)
     assert by_pid[100] == 1.0 and by_pid[101] == 2.0
     assert by_pid[102] is None and by_pid[103] is None
+
+
+def test_forward_direction(frames):
+    """direction='forward' picks the nearest state AT or AFTER the
+    probe (pandas merge_asof parity), inclusive, LEFT."""
+    probes, state = frames
+    out = {
+        r.pid: r
+        for r in asof_join(probes, state, on="uid", direction="forward").collect()
+    }
+    # probe 10:30 -> next state 11:00
+    assert out[100].val_asof == 2.0 and out[100].ts_asof == _ts(11, 0)
+    # exactly at 11:00 -> inclusive
+    assert out[101].val_asof == 2.0
+    # uid 2 probe 10:00 -> forward match at 10:30 (backward had NULL)
+    assert out[102].val_asof == 5.0
+    # key with no state at all stays NULL
+    assert out[103].val_asof is None
+    with pytest.raises(ValueError):
+        asof_join(probes, state, on="uid", direction="nearest")
+
+
+def test_forward_tolerance(frames):
+    probes, state = frames
+    out = {
+        r.pid: r
+        for r in asof_join(
+            probes, state, on="uid", direction="forward", tolerance_seconds=600
+        ).collect()
+    }
+    # 100 matched 11:00 from 10:30 -> 1800s ahead -> nulled
+    assert out[100].val_asof is None
+    # 101 matched at 0s -> kept
+    assert out[101].val_asof == 2.0

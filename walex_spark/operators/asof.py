@@ -44,11 +44,13 @@ def asof_join(
     state_time: str = "ts",
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join: each probe row gains the state
-    row with the same ``on`` key and the greatest ``state_time`` <=
-    ``probe_time`` (NULLs when no state precedes the probe — LEFT
-    semantics).
+    """Inclusive as-of join: each probe row gains one state row with
+    the same ``on`` key — ``direction='backward'`` (default) picks the
+    greatest ``state_time`` <= ``probe_time``, ``'forward'`` (pandas
+    merge_asof parity) the smallest ``state_time`` >= ``probe_time``;
+    NULLs when no such state exists (LEFT semantics).
 
     Every probe column survives unchanged; every non-key, non-time
     state column arrives suffixed (``value`` -> ``value_asof``), plus
@@ -60,9 +62,12 @@ def asof_join(
     row per (key, time) (e.g. ``max_by``), which is also what makes a
     SQL oracle's ASOF deterministic.
 
-    ``tolerance_seconds``: matches older than this are nulled out
-    (pandas ``merge_asof`` tolerance parity).
+    ``tolerance_seconds``: matches farther than this from the probe
+    (older for backward, later for forward) are nulled out (pandas
+    ``merge_asof`` tolerance parity).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction={direction!r}")
     payload_cols = [c for c in state.columns if c not in (on, state_time)]
     if not payload_cols:
         raise ValueError("asof_join: state side has no payload columns")
@@ -87,10 +92,13 @@ def asof_join(
         *[F.col(c).alias(f"__s_{c}") for c in payload_cols],
         F.col(state_time).alias("__s_t"),
     )
-    # state rows order before probe rows at equal time -> inclusive match
+    # state rows order before probe rows at equal time -> inclusive
+    # match; forward scans time DESCENDING so "last state seen" is the
+    # nearest state at-or-after the probe
+    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(t_ord, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = p.unionByName(s).select(
@@ -104,13 +112,14 @@ def asof_join(
     )
     out = carried.filter(F.col("__side") == 1).drop("__side")
     if tolerance_seconds is not None:
-        # null out matches that are too old, including their timestamp
-        fresh = (
-            F.col(matched_time).isNotNull()
-            & (
-                F.col(probe_time) - F.col(matched_time)
-                <= F.expr(f"INTERVAL {float(tolerance_seconds)} SECONDS")
-            )
+        # null out matches beyond the tolerance, including their timestamp
+        gap = (
+            F.col(probe_time) - F.col(matched_time)
+            if direction == "backward"
+            else F.col(matched_time) - F.col(probe_time)
+        )
+        fresh = F.col(matched_time).isNotNull() & (
+            gap <= F.expr(f"INTERVAL {float(tolerance_seconds)} SECONDS")
         )
         out = out.select(
             *probe_cols,
