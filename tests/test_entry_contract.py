@@ -54,6 +54,27 @@ def test_oracle_runs_in_driver_duckdb(driver_duck, name):
     driver_duck.execute(f"EXPLAIN {sql}")
 
 
+def test_driver_window_rotation():
+    """r05 window pin: the driver's hard gate reads only the first 50
+    queries() entries. This round rotates the 36 relational/TPC-H +
+    window-shape queries (last hard-witnessed in r02) back into the
+    window, alongside representatives of r05-touched operators. The
+    ordering must apply ONLY at the __spark_entry__ surface — the
+    registry itself keeps natural declaration order for bench/profiler
+    consumers."""
+    from walex_spark.queries import DRIVER_ORDER, QUERIES
+
+    window = list(entrymod.queries())[:50]
+    assert window[: len(DRIVER_ORDER)] == DRIVER_ORDER
+    relational = [n for n in window if n.startswith("q0") or n.startswith("q1") or n.startswith("q2")]
+    assert len(relational) == 22, relational  # all TPC-H variants in-window
+    # registry keeps natural declaration order (no import-time mutation)
+    assert list(QUERIES)[:2] == ["q01_pricing_summary", "q02_top_revenue_orders"]
+    # oracle ordering mirrors query ordering for the shared keys
+    os_head = [n for n in entrymod.oracle_sql() if n in set(window)][:50]
+    assert os_head == [n for n in window if n in set(entrymod.oracle_sql())]
+
+
 def test_extension_oracles_are_self_contained():
     os_ = entrymod.oracle_sql()
     ext = [n for n in os_ if n.startswith(("q_doc_", "q_emb_", "q_multimodal_"))]

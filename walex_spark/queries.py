@@ -2892,57 +2892,63 @@ def q_doc_hash_embed(spark, sf_dir):
 
 
 # =========================================================================
-# Driver correctness window ordering
+# Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
-# the FIRST 50 registry entries. Rounds 1-3 listed the relational/CDC
-# queries first, so the 27 extension-layer queries (q_doc_* / q_emb_* /
-# q_multimodal_* + q_approx_distinct + q_cdc_change_lag) never received a
-# hard driver row. Reorder so those queries — plus the full CDC layer
-# (the product's core, incl. the round-4-fixed q_cdc_sessionize) and a
-# representative relational subset — occupy the checked window.
-# Long-green TPC-H variants (3 rounds of driver history) fall back to
-# the identical local oracle gate in tests/test_queries.py.
-_DRIVER_WINDOW_PRIORITY = [
-    # (a) never driver-checked (27)
-    "q_doc_exact_dedup", "q_doc_minhash_pairs", "q_doc_trigram_jaccard",
-    "q_doc_dup_clusters", "q_doc_simhash", "q_doc_token_stats",
-    "q_doc_quality", "q_doc_langid", "q_doc_fingerprint",
-    "q_doc_subword_tokens", "q_emb_cosine_topk", "q_emb_ann_lsh",
-    "q_emb_ann_multiprobe", "q_emb_ann_ivf", "q_emb_ann_ivf_trained",
-    "q_emb_near_dup", "q_multimodal_meta", "q_multimodal_frames",
-    "q_approx_distinct", "q_multimodal_features", "q_doc_sample",
-    "q_doc_stratified_sample", "q_doc_pack_shards", "q_doc_vocab_topk",
-    "q_cdc_change_lag", "q_doc_repetition", "q_doc_decontaminate",
-    # (b) CDC layer — the product's core semantics (14)
+# the FIRST 50 registry entries, so with 84 queries the window must
+# rotate across rounds for every query to periodically get a hard
+# driver row under the CURRENT code + Spark environment. History:
+#   r01-r03: relational/CDC first → extension layer never checked
+#   r04:     extension + CDC first (all green) → relational out
+#   r05:     the 34 relational/TPC-H queries (last hard-witnessed in
+#            r02) + 16 representatives of r05-touched operators
+# Unlike r04's import-time registry mutation, the ordering is now
+# applied ONLY in __spark_entry__.queries()/oracle_sql() — bench.py,
+# the profiler, and tests iterate the natural declaration order.
+DRIVER_ORDER = [
+    # (a) relational/TPC-H + window/rollup/set-op shapes: local-green
+    # every session but without a hard driver row since r02 — both the
+    # code and the Spark environment have moved since (exactly the
+    # drift that silently broke q_cdc_sessionize in r03).
+    "q01_pricing_summary", "q02_top_revenue_orders",
+    "q03_shipping_priority", "q04_order_priority", "q05_region_volume",
+    "q06_forecast_revenue", "q07_nation_volume", "q08_market_share",
+    "q09_profit_by_nation", "q10_returned_items", "q11_important_parts",
+    "q12_ship_priority_lag", "q13_order_distribution", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_part_stock_suppliers",
+    "q21_sole_late_supplier", "q22_idle_customers",
+    "q_window_topn_per_group", "q_window_running_total",
+    "q_window_lag_lead", "q_rollup_lineitem", "q_cube_orders",
+    "q_grouping_sets", "q_semi_join", "q_anti_join", "q_set_ops",
+    "q_distinct_agg", "q_scalar_funcs", "q_date_funcs", "q_case_having",
+    "q_pivot_status_priority",
+    # (b) representatives of operators touched in round 5 (IVF rework,
+    # dup-clusters action fusion, as-of tolerance branch, multimodal
+    # real-kernel path) + drift-sensitive CDC cores — each needs a
+    # current-environment witness more than an untouched r04-green
+    # extension query does; the rest stay on the identical local gate.
+    "q_emb_ann_ivf", "q_emb_ann_ivf_trained", "q_doc_dup_clusters",
+    "q_cdc_asof_state", "q_multimodal_meta", "q_multimodal_frames",
     "q_cdc_sessionize", "q_cdc_pgoutput_decode", "q_cdc_txn_assembly",
-    "q_cdc_txn_stats", "q_cdc_toast_resolve", "q_cdc_event_json",
-    "q_cdc_pg_cast", "q_cdc_latest_state", "q_cdc_filter_events",
-    "q_cdc_event_projection", "q_cdc_changes_diff",
-    "q_cdc_unwatched_filters", "q_cdc_dedup_replay",
-    "q_cdc_tumbling_window",
-    # (b2) new in round 4 — no green history, each needs a hard driver
-    # row more than a fourth TPC-H variant does (those carry 3 rounds
-    # of green driver history and stay under the identical local gate)
-    "q_cdc_asof_state", "q_doc_chunks", "q_doc_term_scores",
-    "q_doc_redact", "q_quantiles", "q_range_join_bands",
-    "q_doc_hash_embed",
-    # (c) relational representatives (2)
-    "q01_pricing_summary", "q_window_topn_per_group",
+    "q_doc_minhash_pairs", "q_range_join_bands", "q_quantiles",
+    "q_doc_hash_embed", "q_cdc_change_lag",
 ]
 
 
-def _reorder_registry() -> None:
-    prio = [n for n in _DRIVER_WINDOW_PRIORITY if n in QUERIES]
-    missing = set(_DRIVER_WINDOW_PRIORITY) - set(prio)
-    assert not missing, f"priority list names unknown queries: {missing}"
+def driver_ordered(mapping: dict) -> dict:
+    """Return ``mapping`` reordered so DRIVER_ORDER occupies the head.
+
+    Consumed only by __spark_entry__ (the driver-facing surface where
+    the first-50 window matters); every other consumer sees the
+    natural registry order.
+    """
+    prio = [n for n in DRIVER_ORDER if n in mapping]
+    missing = set(DRIVER_ORDER) - set(prio)
+    assert not missing, f"DRIVER_ORDER names unknown queries: {missing}"
     # the driver gate stops at 50: a longer priority list silently
     # pushes its own tail out of the checked window
     assert len(prio) <= 50, f"driver window overflow: {len(prio)} > 50"
-    rest = [n for n in QUERIES if n not in set(prio)]
-    ordered = {n: QUERIES[n] for n in prio + rest}
-    QUERIES.clear()
-    QUERIES.update(ordered)
-
-
-_reorder_registry()
+    rest = [n for n in mapping if n not in set(prio)]
+    return {n: mapping[n] for n in prio + rest}
