@@ -16,6 +16,9 @@ design:
 
 from __future__ import annotations
 
+import json
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -238,12 +241,16 @@ def near_dup_pairs(
     )
 
 
-# Expression-node budget for the literal (zero-shuffle) IVF assignment
-# path: the inlined centroid table costs ~n_cells x dim Catalyst nodes,
-# and janino compile time / the 64KB JVM method limit put a practical
-# wall around tens of thousands of nodes (SURVEY.md §9.4). Above the
+# Size budget (n_cells x dim values) for the literal (zero-shuffle) IVF
+# assignment path. Since the r05 from_json rewrite the inlined centroid
+# table is ONE constant-folded literal — the old janino/64KB compile
+# wall from n_cells x dim Catalyst nodes no longer exists — but the
+# folded array constant is serialized into the task binary of every
+# stage that references it, so a real coarse quantizer (65k cells x
+# 64 dims ≈ 33 MB of doubles) would bloat the plan broadcast. Above the
 # budget the assignment switches to a broadcast nested-loop join +
-# min_by argmin (one map-side-combined shuffle, compact codegen).
+# min_by argmin (the centroid table ships once as a proper broadcast
+# relation; one map-side-combined shuffle, compact codegen).
 IVF_LITERAL_MAX_NODES = 16384
 
 
@@ -291,18 +298,36 @@ def assign_ivf_cells(
     if not rows:
         raise ValueError("assign_ivf_cells: empty centroid table")
     dim = len(rows[0]["cv"])
-    if len(rows) * dim > max_literal_nodes:
+    finite = all(
+        math.isfinite(x) for r in rows for x in [*r["cv"], r["cent_norm"]]
+    )
+    if len(rows) * dim > max_literal_nodes or not finite:
+        # join path: giant quantizers (see budget note above) and the
+        # non-finite corner JSON cannot round-trip portably
         return _assign_ivf_cells_join(vectors, rows, rank, id_col, vec_col)
     in_cols = vectors.columns
-    # doubles round-trip the driver exactly, so inlining the collected
-    # values preserves bit-for-bit agreement with the oracle
-    cv_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r["cv"]]) for r in rows]
+    # Inline the centroid table as ONE string literal parsed with
+    # from_json: ConstantFolding collapses it to a single array
+    # constant during optimization (verified: no from_json survives in
+    # the optimized plan), so analysis/codegen cost is O(1) in
+    # n_cells x dim where the old F.array(F.lit(...) x 1024) tree made
+    # Catalyst walk thousands of nodes per rule batch — that tree was
+    # the measured 0.7-0.8 s/side driver-side floor on this query.
+    # json.dumps emits shortest-round-trip doubles and Jackson parses
+    # them back to the identical bits, so oracle agreement is
+    # unaffected (bit-equality re-verified against the old path).
+    cv_lit = F.from_json(
+        F.lit(json.dumps([[float(x) for x in r["cv"]] for r in rows])),
+        "array<array<double>>",
     )
-    ids_lit = F.array(
-        *[F.lit(int(r["cell_id"])).cast(T.LongType()) for r in rows]
+    ids_lit = F.from_json(
+        F.lit(json.dumps([int(r["cell_id"]) for r in rows])),
+        "array<bigint>",
     )
-    norms_lit = F.array(*[F.lit(float(r["cent_norm"])) for r in rows])
+    norms_lit = F.from_json(
+        F.lit(json.dumps([float(r["cent_norm"]) for r in rows])),
+        "array<double>",
+    )
     v = _to_double(F.col(vec_col))
     ranked = F.sort_array(
         F.transform(
@@ -508,10 +533,10 @@ def ann_ivf_trained_topk(
     )
     # materialize the trained index: centroids are metadata-sized (one
     # row per cell) by construction, and both the corpus-assignment and
-    # query-probe subtrees consume them — without this the whole
-    # training lineage re-executes once per consumer. Doubles round-trip
-    # the driver exactly, so determinism is unaffected.
-    cents = corpus.sparkSession.createDataFrame(cents.collect(), cents.schema)
+    # query-probe subtrees consume them — collecting once stops the
+    # whole training lineage re-executing per consumer. Doubles
+    # round-trip the driver exactly, so determinism is unaffected.
+    cents = cents.collect()
     return _ivf_topk_over_cells(
         queries, corpus, cents, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )
@@ -563,6 +588,12 @@ def _ivf_topk_over_cells(
     """Shared IVF probe/candidate plan over a (cell_id, cv, cent_norm)
     table: broadcast cell assignment, candidates meet via the cell_id
     equi-join — the cell is the shuffle key, never a cross product."""
+    # collect the (metadata-sized) centroid table ONCE — both the
+    # corpus-assignment and query-probe subtrees consume the same rows,
+    # and assign_ivf_cells would otherwise run its own collect job
+    # (plus a duplicate parquet scan of the centroid subtree) per side
+    if not isinstance(cents, list):
+        cents = cents.select("cell_id", "cv", "cent_norm").collect()
     c_side = assign_ivf_cells(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
