@@ -390,7 +390,7 @@ def duplicate_clusters(
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # round 1's action materializes it
     )
     labels = (
         nodes.select(F.col(id_col).alias("id"))
@@ -403,6 +403,11 @@ def duplicate_clusters(
             .groupBy(F.col("dst"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # lazy localCheckpoint + the convergence count as the ONE
+        # action per round: the count's first pass over `stepped`
+        # materializes the checkpoint as a side effect, so lineage is
+        # still truncated but the old eager-checkpoint-then-count
+        # pattern's second job per round is gone (2 jobs/round -> 1).
         stepped = (
             labels.join(neigh, labels.id == neigh.dst, "left")
             .select(
@@ -412,7 +417,7 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
         labels = stepped.select("id", "label")
