@@ -50,11 +50,23 @@ HEAVY_OUTPUT = {
 SUMMARY_BYTE_BUDGET = 1600
 
 
+def headline_value(total: float, errors: dict):
+    """The headline wall-clock, or None when any query failed.
+
+    A crashed query contributes 0 to the sum, so a regression that
+    BREAKS a query would otherwise read as a speedup to any consumer
+    comparing "value" across rounds. null is unambiguous: a
+    partially-failed run can never beat a clean one; per-query timings
+    and n_errors still carry the detail.
+    """
+    return None if errors else round(total, 3)
+
+
 def compact_summary(metric: str, total: float, sf, timings: dict, errors: dict) -> str:
     """Build the last-line JSON; drop fastest queries until it fits."""
     base = {
         "metric": metric,
-        "value": round(total, 3),
+        "value": headline_value(total, errors),
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
@@ -106,9 +118,10 @@ def main() -> None:
     metric = "walex_spark query-suite wall clock"
     detail = {
         "metric": metric,
-        "value": round(total, 3),
+        "value": headline_value(total, errors),
         "unit": "sec",
         "sf": sf,
+        "total_ok_sec": round(total, 3),  # sum over SUCCEEDED queries only
         "queries": timings,
         "errors": errors,
     }

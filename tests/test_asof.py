@@ -67,6 +67,27 @@ def test_tolerance_nulls_stale_matches(frames):
     assert out[101].val_asof == 2.0
 
 
+def test_tolerance_with_numeric_time_columns(spark):
+    """Epoch/long time columns work throughout asof_join; tolerance
+    must too (the gap is then a number, not an INTERVAL)."""
+    state = spark.createDataFrame(
+        [(1, 1000, 1.0), (1, 2000, 2.0)], "uid long, ts long, val double"
+    )
+    probes = spark.createDataFrame(
+        [(100, 1, 1300), (101, 1, 2100)], "pid long, uid long, ts long"
+    )
+    out = {
+        r.pid: r
+        for r in asof_join(
+            probes, state, on="uid", tolerance_seconds=200
+        ).collect()
+    }
+    # 100 matched ts=1000, gap 300 > 200 -> nulled
+    assert out[100].val_asof is None and out[100].ts_asof is None
+    # 101 matched ts=2000, gap 100 <= 200 -> kept
+    assert out[101].val_asof == 2.0 and out[101].ts_asof == 2000
+
+
 def test_no_payload_raises(spark, frames):
     probes, _ = frames
     bare = spark.createDataFrame([(1, _ts(9))], "uid long, ts timestamp")

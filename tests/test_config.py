@@ -34,6 +34,20 @@ def test_url_config_merges_over_fields():
     assert cfg.jdbc_url() == "jdbc:postgresql://h:5433/d"
 
 
+def test_url_conflicting_discrete_field_raises():
+    """url + an explicitly different discrete field is ambiguous: the
+    dataclass arg LOOKS authoritative, so silently letting the url win
+    (the old behavior) surprises callers. Matching or default-valued
+    fields still merge fine."""
+    import pytest
+
+    with pytest.raises(ValueError, match="port=6432 conflicts"):
+        WalExConfig(url="postgres://u@h:5433/d", port=6432)
+    # explicitly passing the SAME value as the url is not a conflict
+    cfg = WalExConfig(url="postgres://u@h:5433/d", port=5433)
+    assert cfg.port == 5433
+
+
 def test_all_tables_is_none():
     cfg = WalExConfig(database="d")
     assert cfg.subscriptions is None

@@ -723,3 +723,8 @@ def test_jdbc_retry_backoff_policy(tmp_path):
         assert sleeps == [1.0, 2.0]  # acquired on the 3rd attempt
     finally:
         waiter.release_lock()
+
+    # max_retries=0 would skip the loop and return WITHOUT the lock —
+    # silently admitting a second writer; it must refuse instead
+    with pytest.raises(ValueError, match="max_retries"):
+        waiter.acquire_lock_with_retry(max_retries=0)

@@ -65,9 +65,21 @@ class WalExConfig:
     def __post_init__(self) -> None:
         if self.url:
             parsed = parse_db_url(self.url)
+            defaults = {"hostname": None, "port": 5432, "username": None,
+                        "password": None, "database": None}
             for k, v in parsed.items():
-                if v is not None:
-                    setattr(self, k if k != "port" else "port", v)
+                if v is None:
+                    continue
+                # a discrete field explicitly set alongside url is an
+                # ambiguous config — dataclass args LOOK authoritative,
+                # so silently letting the url win surprises callers
+                cur = getattr(self, k)
+                if cur != defaults[k] and cur != v:
+                    raise ValueError(
+                        f"WalExConfig: {k}={cur!r} conflicts with "
+                        f"url-parsed {k}={v!r} — pass one or the other"
+                    )
+                setattr(self, k, v)
 
     # -- runtime reconfiguration (config.ex:71-104) ------------------------
     def add_config(self, key: str, value) -> "WalExConfig":

@@ -74,6 +74,17 @@ OID_TO_NAME: dict[int, str] = {
     3905: "_int4range", 3907: "_numrange", 3909: "_tsrange",
     3911: "_tstzrange", 3913: "_daterange", 3927: "_int8range",
     4073: "_jsonpath", 2287: "_record", 2249: "record",
+    # obsolete / internal PG types, carried solely for byte-exact
+    # name_for_type_id parity with oid_database.ex:22-164 — all decode
+    # through the lenient string passthrough (no typed cast exists for
+    # them in any engine)
+    210: "smgr", 702: "abstime", 703: "reltime", 704: "tinterval",
+    1006: "_int2vector", 1008: "_regproc", 1023: "_abstime",
+    1024: "_reltime", 1025: "_tinterval", 1263: "_cstring",
+    2207: "_regprocedure", 2208: "_regoper", 2209: "_regoperator",
+    2210: "_regclass", 2211: "_regtype", 2949: "_txid_snapshot",
+    3644: "_gtsvector", 3735: "_regconfig", 3770: "_regdictionary",
+    4090: "_regnamespace", 4097: "_regrole",
 }
 NAME_TO_OID = {v: k for k, v in OID_TO_NAME.items()}
 

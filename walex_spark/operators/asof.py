@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join"]
 
@@ -118,9 +119,15 @@ def asof_join(
             if direction == "backward"
             else F.col(matched_time) - F.col(probe_time)
         )
-        fresh = F.col(matched_time).isNotNull() & (
-            gap <= F.expr(f"INTERVAL {float(tolerance_seconds)} SECONDS")
-        )
+        # timestamp columns subtract to an INTERVAL; numeric (epoch
+        # seconds) columns — which the rest of asof_join handles
+        # transparently — subtract to a number, so the bound must
+        # match the column type or the comparison throws AnalysisException
+        if isinstance(probes.schema[probe_time].dataType, T.NumericType):
+            bound = F.lit(float(tolerance_seconds))
+        else:
+            bound = F.expr(f"INTERVAL {float(tolerance_seconds)} SECONDS")
+        fresh = F.col(matched_time).isNotNull() & (gap <= bound)
         out = out.select(
             *probe_cols,
             *[F.when(fresh, F.col(oc)).alias(oc) for oc in out_payload],

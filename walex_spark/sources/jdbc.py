@@ -23,6 +23,7 @@ real URL.
 from __future__ import annotations
 
 import fcntl
+import logging
 import json
 import os
 import time
@@ -173,6 +174,10 @@ class JdbcPollingSource:
         ``sleep`` is injectable for tests (and for async callers that
         want a cooperative wait).
         """
+        if max_retries < 1:
+            # range(0) would skip the loop and return WITHOUT the lock,
+            # silently admitting a second writer to the slot
+            raise ValueError(f"max_retries must be >= 1, got {max_retries}")
         backoff = initial_backoff_s
         for attempt in range(max_retries):
             try:
@@ -192,8 +197,12 @@ class JdbcPollingSource:
         # drop the kernel lock; the file itself stays (see acquire_lock)
         try:
             os.ftruncate(fd, 0)
-        except OSError:
-            pass
+        except OSError as e:
+            # non-fatal: the flock below (or process death) still
+            # releases ownership; stale metadata only misleads readers
+            logging.getLogger(__name__).warning(
+                "release_lock: could not truncate %s: %s", self._lock_path, e
+            )
         fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
 
