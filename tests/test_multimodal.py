@@ -88,6 +88,85 @@ def test_resize_rejects_unknown_kernel(media):
             mm.resize_media(media, 8, 4, kernel="pil")
 
 
+def _ppm(width, height, rgb):
+    """Assemble a P6 payload by hand (independent of ppm_codec)."""
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(rgb) * (width * height)
+
+
+def test_ppm_codec_roundtrip_and_errors():
+    from walex_spark.extensions.ppm_codec import (
+        PpmError, ppm_decode, ppm_encode, ppm_mean_rgb, ppm_resize,
+    )
+
+    payload = _ppm(4, 2, (10, 20, 30))
+    w, h, px = ppm_decode(payload)
+    assert (w, h) == (4, 2) and len(px) == 24
+    assert ppm_encode(w, h, px) == payload
+    assert ppm_mean_rgb(payload) == [10.0, 20.0, 30.0]
+    # comments + arbitrary header whitespace per the netpbm spec
+    commented = b"P6 # a comment\n# another\n 4\t2 \n255\n" + bytes((10, 20, 30)) * 8
+    assert ppm_decode(commented)[:2] == (4, 2)
+    shrunk = ppm_resize(payload, 2, 1)
+    assert ppm_decode(shrunk) == (2, 1, bytes((10, 20, 30)) * 2)
+    for bad in (b"", b"P5\n1 1\n255\n\x00", b"P6\n2 2\n255\nxy", b"P6\n1 1\n65535\n" + b"\x00" * 6):
+        with pytest.raises(PpmError):
+            ppm_decode(bad)
+
+
+def test_decode_image_real_path_via_ppm_codec():
+    """A REAL decode executes in this codec-less container: P6 payloads
+    resolve through the pure-python micro-codec."""
+    from walex_spark.extensions import multimodal as mm
+
+    img = mm.decode_image(_ppm(4, 2, (1, 2, 3)))
+    assert (img.width, img.height, img.mode) == (4, 2, "RGB")
+    assert img.tobytes() == bytes((1, 2, 3)) * 8
+
+
+def test_ppm_resize_real_kernel_same_arrow_path(spark):
+    """The non-stub kernel through the SAME mapInPandas plumbing, no
+    Pillow required: decode → nearest-neighbor resample → re-encode."""
+    from walex_spark.extensions import multimodal as mm
+    from walex_spark.extensions.ppm_codec import ppm_decode
+
+    media = spark.createDataFrame(
+        [
+            (1, _ppm(16, 16, (200, 10, 10)),
+             {"format": "ppm", "width": 16, "height": 16, "duration_ms": None}),
+            (2, None,
+             {"format": "ppm", "width": None, "height": None, "duration_ms": None}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_media(media, 8, 4, kernel="ppm").collect()}
+    w, h, px = ppm_decode(bytes(out[1].payload))
+    assert (w, h) == (8, 4) and px == bytes((200, 10, 10)) * 32
+    assert out[1].meta.width == 8 and out[1].meta.height == 4
+    assert out[2].payload is None  # null payload survives the kernel
+
+
+def test_auto_kernel_sniffs_per_row(spark):
+    """kernel='auto' without Pillow: P6 rows take the real codec, other
+    payloads fall back to the stub — in the same batch."""
+    from walex_spark.extensions import multimodal as mm
+    from walex_spark.extensions.ppm_codec import ppm_decode
+
+    if mm.codec_available():
+        pytest.skip("Pillow present: auto resolves to the pil kernel")
+    media = spark.createDataFrame(
+        [
+            (1, _ppm(4, 4, (9, 9, 9)),
+             {"format": "ppm", "width": 4, "height": 4, "duration_ms": None}),
+            (2, b"not an image",
+             {"format": "bin", "width": None, "height": None, "duration_ms": None}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_media(media, 2, 2, kernel="auto").collect()}
+    assert ppm_decode(bytes(out[1].payload))[:2] == (2, 2)  # real kernel
+    assert len(out[2].payload) == 4  # stub kernel: 2*2 byte fake
+
+
 def test_pil_resize_real_kernel_same_arrow_path(spark):
     """Runs ONLY where Pillow exists: a real PNG goes through the same
     mapInPandas plumbing and comes out resized + re-encoded."""
