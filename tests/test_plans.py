@@ -181,3 +181,43 @@ def test_pgoutput_stamp_isolates_serial_window(reports):
     # the block-partitioned window is present in the detail section:
     # its partition spec names __blk
     assert "__blk" in r.text
+
+
+def test_scd2_single_shuffle(reports):
+    """SCD2 contract: one exchange (the per-key window); the interval
+    close is a lead in the same pass — no self-join, no second
+    shuffle."""
+    r = reports("q_cdc_scd2")
+    assert r.shuffle_exchanges == 1
+    assert r.sort_merge_joins == 0 and r.nested_loop_joins == 0
+
+
+def test_apply_deltas_key_partitioned_merge(reports):
+    """MERGE contract: latest-per-key window + full-outer join, both on
+    the merge key; neither side is broadcast (both scale with data)."""
+    r = reports("q_cdc_apply_deltas")
+    assert r.broadcast_exchanges == 0
+    assert r.nested_loop_joins == 0
+    assert r.shuffle_exchanges <= 3  # changelog window + two join sides
+
+
+def test_normalize_zero_shuffle(reports):
+    r = reports("q_doc_normalize")
+    assert r.shuffle_exchanges == 0
+
+
+def test_profile_exact_vs_approx_expand(spark):
+    """The documented trade: exact=True replicates the input through
+    Spark's Expand (fine at oracle SF, wrong at 100 TB); the default
+    HLL path must plan a single ordinary aggregate — no Expand, one
+    shuffle of sketch bytes."""
+    from walex_spark.extensions.profile import profile_columns
+    from walex_spark.plans import audit
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cols = ["o_orderkey", "o_orderstatus"]
+    exact = audit(profile_columns(df, cols, exact=True))
+    approx = audit(profile_columns(df, cols))
+    assert "Expand" in exact.text
+    assert "Expand" not in approx.text
+    assert approx.shuffle_exchanges == 1

@@ -1,0 +1,97 @@
+"""SCD Type-2 history + snapshot MERGE semantics
+(operators/scd.py) on hand-built envelopes: interval chaining,
+DELETE-close + re-open, and all four MERGE cases."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.model import CHANGE_ENVELOPE_SCHEMA
+from walex_spark.operators.scd import apply_cdc_snapshot, scd2_history
+
+TS = dt.datetime(2024, 1, 15, 10, 30)
+
+
+def _change(op, lsn, rec, old=None, key="1"):
+    rec = dict(rec or {}, id=key) if op != "DELETE" else None
+    old = dict(old or {}, id=key) if op == "DELETE" else old
+    return ("" + op, "public", "user", None, rec, old, None, TS, 0, lsn, 900 + lsn, 0)
+
+
+@pytest.fixture(scope="module")
+def history_env(spark):
+    rows = [
+        # key 1: insert -> update -> delete -> re-insert (still open)
+        _change("INSERT", 100, {"v": "a"}),
+        _change("UPDATE", 110, {"v": "b"}),
+        _change("DELETE", 120, None, old={"v": "b"}),
+        _change("INSERT", 130, {"v": "c"}),
+        # key 2: single insert, never touched again
+        _change("INSERT", 105, {"v": "x"}, key="2"),
+    ]
+    return spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+
+
+def test_scd2_intervals_chain_and_reopen(history_env):
+    h = (
+        scd2_history(history_env, ["id"])
+        .select(
+            F.col("record").getItem("id").alias("id"),
+            F.col("record").getItem("v").alias("v"),
+            "valid_from_lsn", "valid_to_lsn", "closed_by_delete", "is_current",
+        )
+        .collect()
+    )
+    by_from = {r.valid_from_lsn: r for r in h}
+    # key 1 emits three versions (the DELETE itself emits none)
+    assert sorted(r.valid_from_lsn for r in h if r.id == "1") == [100, 110, 130]
+    assert by_from[100].valid_to_lsn == 110 and not by_from[100].closed_by_delete
+    assert by_from[110].valid_to_lsn == 120 and by_from[110].closed_by_delete
+    assert by_from[130].valid_to_lsn is None and by_from[130].is_current
+    # singleton key 2 is one open version
+    assert by_from[105].is_current and by_from[105].valid_to_lsn is None
+    # exactly one row per key is current
+    assert sum(r.is_current for r in h if r.id == "1") == 1
+
+
+def test_scd2_delete_only_key_emits_nothing(spark):
+    env = spark.createDataFrame(
+        [_change("DELETE", 200, None, old={"v": "gone"}, key="9")],
+        CHANGE_ENVELOPE_SCHEMA,
+    )
+    assert scd2_history(env, ["id"]).count() == 0
+
+
+@pytest.fixture(scope="module")
+def merge_env(spark):
+    rows = [
+        # key 1 in base: updated twice -> latest wins
+        _change("UPDATE", 100, {"v": "old"}),
+        _change("UPDATE", 140, {"v": "new"}),
+        # key 2 in base: deleted
+        _change("DELETE", 110, None, old={"v": "x"}, key="2"),
+        # key 4 NOT in base: inserted
+        _change("INSERT", 120, {"v": "fresh"}, key="4"),
+        # key 5 NOT in base: inserted then deleted -> absent from output
+        _change("INSERT", 125, {"v": "tmp"}, key="5"),
+        _change("DELETE", 135, None, old={"v": "tmp"}, key="5"),
+    ]
+    return spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+
+
+def test_apply_cdc_snapshot_merge_cases(spark, merge_env):
+    base = spark.createDataFrame(
+        [("1", "base1"), ("2", "base2"), ("3", "base3")], ["id", "v"]
+    )
+    out = {
+        r.id: r
+        for r in apply_cdc_snapshot(base, merge_env, ["id"], ["v"]).collect()
+    }
+    assert set(out) == {"1", "3", "4"}          # 2 deleted, 5 insert+delete
+    assert out["1"].v == "new"                   # latest change wins
+    assert out["1"].merge_op == "UPDATE"
+    assert out["3"].v == "base3"                 # untouched base row
+    assert out["3"].merge_op == "UNCHANGED"
+    assert out["4"].v == "fresh"                 # pure insert
+    assert out["4"].merge_op == "INSERT"

@@ -232,3 +232,37 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.col("__t").alias("redacted_text"),
         *[F.col(c).cast(T.LongType()).alias(c) for c in counts],
     )
+
+
+# -- normalization -----------------------------------------------------
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization ahead of dedup/tokenization:
+    lowercase, strip ASCII control chars, collapse all whitespace runs
+    to single spaces, trim. The same document with incidental
+    formatting differences (tabs, CRLF, double spaces, case) maps to
+    one canonical string, so exact dedup after normalization catches
+    what byte-exact dedup misses.
+
+    Patterns live in the shared Java-regex/RE2 subset (no lookaround)
+    so the DuckDB oracle runs the literal same strings. Pure column
+    expressions — narrow map, zero shuffle, whole-stage codegen'd.
+
+    Returns (id, norm_text, n_chars_norm, norm_fingerprint) where the
+    fingerprint is the md5 of the canonical string — the join key a
+    normalized exact-dedup pass would shuffle on.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[\x00-\x1f\x7f]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.length(norm).cast(T.LongType()).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_fingerprint"),
+    )

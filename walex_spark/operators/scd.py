@@ -1,0 +1,137 @@
+"""History materialization over the CDC envelope: SCD Type-2 and
+snapshot+delta MERGE.
+
+The reference routes change events to callbacks and stops there
+(lib/walex/event/event.ex:43-122 — no downstream state); these two
+operators are what a warehouse consumer of those events builds FIRST:
+
+  scd2_history        — every change becomes a validity-interval row
+                        (valid_from/valid_to/is_current), the
+                        dimension-table history shape.
+  apply_cdc_snapshot  — MERGE the latest change per key onto an
+                        existing base snapshot (upsert + delete), the
+                        incremental-materialization shape.
+
+Scale posture (100 TB):
+  * scd2_history is ONE shuffle — the window partitionBy(key); the
+    interval close is a `lead` in the same window pass, no self-join.
+  * apply_cdc_snapshot shuffles the changelog once (latest-per-key
+    window) and joins base on the same key — a sort-merge join that
+    reuses the key partitioning; skew is AQE's job. No broadcast of
+    either side: both scale with the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from walex_spark.operators.transforms import lsn_column
+
+
+def _key_col(record_col: str, key: str):
+    return F.coalesce(F.col(record_col), F.col("old_record")).getItem(key)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    record_col: str = "record",
+) -> DataFrame:
+    """CDC envelope → SCD Type-2 validity intervals.
+
+    Each INSERT/UPDATE opens a version carrying that event's record;
+    the next change for the same key (any op, including DELETE) closes
+    it. Output adds:
+
+      valid_from_lsn   — the opening event's 64-bit LSN ordinal
+      valid_to_lsn     — the closing event's LSN (NULL = still open)
+      closed_by_delete — the closing event was a DELETE
+      is_current       — open interval (key's live version)
+
+    DELETE events close the prior version but emit no row themselves;
+    a later INSERT for the key re-opens history naturally. Exactly one
+    shuffle (the per-key window); `lead` closes intervals in the same
+    pass — no self-join, no second shuffle.
+    """
+    keyed = df.withColumn("__lsn", lsn_column()).withColumn(
+        "__pk",
+        F.concat_ws(
+            "\x00",
+            *[F.coalesce(_key_col(record_col, k), F.lit("")) for k in key_cols],
+        ),
+    )
+    w = Window.partitionBy("__pk").orderBy(
+        F.col("__lsn").asc(), F.col("change_idx").asc()
+    )
+    nxt_lsn = F.lead(F.col("__lsn")).over(w)
+    nxt_op = F.lead(F.col("op")).over(w)
+    return (
+        keyed.withColumn("valid_to_lsn", nxt_lsn)
+        .withColumn("closed_by_delete", F.coalesce(nxt_op == "DELETE", F.lit(False)))
+        .filter(F.col("op") != "DELETE")
+        .withColumn("valid_from_lsn", F.col("__lsn"))
+        .withColumn("is_current", F.col("valid_to_lsn").isNull())
+        .drop("__lsn", "__pk")
+    )
+
+
+def apply_cdc_snapshot(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    record_col: str = "record",
+) -> DataFrame:
+    """MERGE the latest change per key onto a base snapshot.
+
+    ``base`` must carry ``key_cols`` and ``value_cols`` as real
+    (string-typed) columns; ``changes`` is the canonical envelope with
+    the same fields inside its record map. Semantics are MERGE INTO:
+
+      key only in base                → base row survives unchanged
+      key in both, latest op ≠ DELETE → change values win
+      key in both, latest op = DELETE → row dropped
+      key only in changes (≠ DELETE)  → inserted
+
+    Two shuffles total, both on the merge key: the latest-per-key
+    window over the changelog, then the full-outer sort-merge join —
+    which reuses the window's hash partitioning (no extra exchange for
+    the changelog side). Nothing is broadcast: both sides scale.
+    """
+    latest = (
+        changes.withColumn("__lsn", lsn_column())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(
+                    *[_key_col(record_col, k).alias(k) for k in key_cols]
+                ).orderBy(F.col("__lsn").desc(), F.col("change_idx").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[_key_col(record_col, k).alias(k) for k in key_cols],
+            F.col("op").alias("__op"),
+            *[
+                F.col(record_col).getItem(v).alias(f"__new_{v}")
+                for v in value_cols
+            ],
+        )
+    )
+    merged = base.join(latest, on=key_cols, how="full_outer")
+    merged = merged.filter(
+        F.col("__op").isNull() | (F.col("__op") != "DELETE")
+    )
+    out = merged.select(
+        *key_cols,
+        *[
+            F.when(F.col("__op").isNotNull(), F.col(f"__new_{v}"))
+            .otherwise(F.col(v))
+            .alias(v)
+            for v in value_cols
+        ],
+        F.coalesce(F.col("__op"), F.lit("UNCHANGED")).alias("merge_op"),
+    )
+    return out

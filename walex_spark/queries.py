@@ -2892,6 +2892,305 @@ def q_doc_hash_embed(spark, sf_dir):
 
 
 # =========================================================================
+# Round 5: history materialization, MERGE, normalization, profiling,
+# cluster survivors, semantic dedup
+# =========================================================================
+
+
+@_register(
+    "q_cdc_scd2",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             {_ENVELOPE_CASE_SQL} AS op
+      FROM events),
+    seq AS (
+      SELECT event_id, user_id, event_type, k, op,
+             lead(event_id) OVER w AS nxt_lsn,
+             lead(op)       OVER w AS nxt_op
+      FROM env WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+    SELECT user_id, event_type, k,
+           CAST(event_id AS BIGINT) AS valid_from,
+           CAST(nxt_lsn AS BIGINT) AS valid_to,
+           COALESCE(nxt_op = 'DELETE', FALSE) AS closed_by_delete,
+           nxt_lsn IS NULL AS is_current
+    FROM seq WHERE op <> 'DELETE'
+    """,
+)
+def q_cdc_scd2(spark, sf_dir):
+    """SCD Type-2 history build over the CDC envelope
+    (operators/scd.py::scd2_history): every I/U change opens a
+    validity interval, the next change for the key (incl. DELETE)
+    closes it — the dimension-history shape a warehouse consumer of
+    walex events materializes first (the reference stops at dispatch,
+    event.ex:43-122). Exactly one shuffle: the per-key window; the
+    close is a `lead` in the same pass, no self-join."""
+    from walex_spark.operators.scd import scd2_history
+
+    env = events_as_envelope(spark, sf_dir)
+    h = scd2_history(env, ["user_id"])
+    return h.select(
+        F.col("record").getItem("user_id").cast(T.LongType()).alias("user_id"),
+        F.col("record").getItem("event_type").alias("event_type"),
+        F.col("record").getItem("k").cast(T.IntegerType()).alias("k"),
+        F.col("valid_from_lsn").alias("valid_from"),
+        F.col("valid_to_lsn").alias("valid_to"),
+        "closed_by_delete",
+        "is_current",
+    )
+
+
+@_register(
+    "q_cdc_apply_deltas",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, event_type,
+             json_extract_string(props, '$.k') AS k,
+             {_ENVELOPE_CASE_SQL} AS op
+      FROM events),
+    latest AS (
+      SELECT user_id, op, event_type, k FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM env) WHERE rn = 1),
+    base AS (
+      SELECT c_custkey AS user_id, 'seed' AS event_type,
+             CAST(c_nationkey AS VARCHAR) AS k
+      FROM customer WHERE c_custkey < 100)
+    SELECT CAST(COALESCE(b.user_id, l.user_id) AS BIGINT) AS user_id,
+           CASE WHEN l.user_id IS NOT NULL THEN l.event_type
+                ELSE b.event_type END AS event_type,
+           CAST(CASE WHEN l.user_id IS NOT NULL THEN l.k
+                     ELSE b.k END AS INTEGER) AS k,
+           COALESCE(l.op, 'UNCHANGED') AS merge_op
+    FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+    WHERE l.op IS NULL OR l.op <> 'DELETE'
+    """,
+)
+def q_cdc_apply_deltas(spark, sf_dir):
+    """Incremental MERGE (operators/scd.py::apply_cdc_snapshot): the
+    latest change per key upserts onto a base snapshot, DELETE drops
+    the row, untouched base rows survive — the materialized-view
+    maintenance shape downstream of the CDC stream. Two key-partitioned
+    shuffles (latest-per-key window + full-outer SMJ), nothing
+    broadcast: both sides scale."""
+    from walex_spark.operators.scd import apply_cdc_snapshot
+
+    env = events_as_envelope(spark, sf_dir)
+    base = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").cast(T.StringType()).alias("user_id"),
+        F.lit("seed").alias("event_type"),
+        F.col("c_nationkey").cast(T.StringType()).alias("k"),
+    )
+    merged = apply_cdc_snapshot(base, env, ["user_id"], ["event_type", "k"])
+    return merged.select(
+        F.col("user_id").cast(T.LongType()).alias("user_id"),
+        "event_type",
+        F.col("k").cast(T.IntegerType()).alias("k"),
+        "merge_op",
+    )
+
+
+@_register(
+    "q_doc_normalize",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT doc_id, norm_text,
+           CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+           md5(norm_text) AS norm_fingerprint
+    FROM n
+    """,
+)
+def q_doc_normalize(spark, sf_dir):
+    """Canonical text normalization (extensions/text.py::normalize_text):
+    lowercase + control-char strip + whitespace collapse + trim, plus
+    the md5 fingerprint a normalized exact-dedup pass would shuffle on.
+    Patterns are in the shared Java/RE2 regex subset so the oracle runs
+    the literal same strings. Zero shuffle, whole-stage codegen'd."""
+    return tx.normalize_text(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_profile_orders",
+    """
+    SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL FROM orders
+    """,
+)
+def q_profile_orders(spark, sf_dir):
+    """Column profiling (extensions/profile.py::profile_columns):
+    null counts, cardinalities, numeric ranges in ONE aggregation pass
+    over the table. exact=True here so the oracle can replay it; the
+    default approx path (HyperLogLog sketches, no Expand replication)
+    is the 100 TB shape — documented at the operator."""
+    from walex_spark.extensions.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+        exact=True,
+    )
+
+
+_CLUSTERS_120_SQL = """
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+                                   i -> substr(lower(text), i, 3))) AS g
+      FROM documents WHERE doc_id < 120 AND length(text) >= 3),
+    sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS it
+      FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.id = id_a
+      JOIN sz sb ON sb.id = id_b
+      WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 120),
+    walk(id, reach) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    clusters AS (
+      SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
+"""
+
+
+@_register(
+    "q_doc_cluster_survivors",
+    f"""
+    WITH RECURSIVE {_CLUSTERS_120_SQL},
+    q AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct
+      FROM documents WHERE doc_id < 120),
+    f AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+             CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio
+      FROM q),
+    scored AS (
+      SELECT doc_id,
+             0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.3 END)
+               + 0.3 * least(stopword_ratio * 4, 1.0)
+               + 0.3 * (1.0 - least(punct_ratio * 10, 1.0)) AS quality_score
+      FROM f),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, s.quality_score,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY s.quality_score DESC, c.doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN scored s ON s.doc_id = c.doc_id)
+    SELECT cluster_id, doc_id AS survivor_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           quality_score AS best_quality
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def q_doc_cluster_survivors(spark, sf_dir):
+    """Quality-aware dedup resolution: duplicate clusters (same bounded
+    corpus + threshold as q_doc_dup_clusters) KEEP the highest-quality
+    member instead of the min-id one — the retention policy a real
+    training pipeline wants (drop the worse copies, not arbitrary
+    ones). Ties break on doc_id so the pick is deterministic. Cluster
+    labels + quality are both already oracle-exact, so the composition
+    hash-checks."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = dd.jaccard_pairs_from_tokens(dd.char_shingles(docs, 3), threshold=0.3)
+    clusters = dd.duplicate_clusters(docs, pairs)
+    quality = tx.quality_score(docs).select("doc_id", "quality_score")
+    ranked = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_members").cast(T.LongType()).alias("n_members"),
+            F.col("quality_score").alias("best_quality"),
+        )
+    )
+
+
+@_register(
+    "q_emb_semantic_dedup",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {{HYPERPLANE}} AS bucket
+      FROM embeddings),
+    prs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               {{DOT_AB}}
+                 / (sqrt({{DOT_AA}}) * sqrt({{DOT_BB}})) AS cosine
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      WHERE cosine >= 0.35),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    nodes AS (SELECT vec_id AS id FROM embeddings),
+    walk(id, reach) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+    SELECT id AS vec_id, MIN(reach) AS cluster_id,
+           MIN(reach) = id AS is_survivor
+    FROM walk GROUP BY id
+    """.replace("{HYPERPLANE}", _hyperplane_sql())
+       .replace("{DOT_AB}", _FOLD_DOT.format(a="a.v", b="b2.v"))
+       .replace("{DOT_AA}", _FOLD_DOT.format(a="a.v", b="a.v"))
+       .replace("{DOT_BB}", _FOLD_DOT.format(a="b2.v", b="b2.v")),
+)
+def q_emb_semantic_dedup(spark, sf_dir):
+    """Semantic (embedding-space) dedup end-to-end: LSH-bucketed
+    cosine near-dup pairs (threshold 0.35 — this corpus's near-dup
+    band) → connected components → min-id survivors. The embedding
+    analog of q_doc_dup_clusters; candidate generation stays bucketed
+    (never the corpus cross product), components are narrow
+    (id, label) rows — the 100 TB shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.near_dup_pairs(emb, dim=64, threshold=0.35)
+    return dd.duplicate_clusters(emb, pairs, id_col="vec_id")
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -2924,16 +3223,18 @@ DRIVER_ORDER = [
     "q_grouping_sets", "q_semi_join", "q_anti_join", "q_set_ops",
     "q_distinct_agg", "q_scalar_funcs", "q_date_funcs", "q_case_having",
     "q_pivot_status_priority",
-    # (b) representatives of operators touched in round 5 (IVF rework,
+    # (b) the six round-5 NEW queries — zero driver history, highest
+    # marginal value for a hard row.
+    "q_cdc_scd2", "q_cdc_apply_deltas", "q_doc_normalize",
+    "q_profile_orders", "q_doc_cluster_survivors", "q_emb_semantic_dedup",
+    # (c) representatives of operators touched in round 5 (IVF rework,
     # dup-clusters action fusion, as-of tolerance branch, multimodal
     # real-kernel path) + drift-sensitive CDC cores — each needs a
     # current-environment witness more than an untouched r04-green
     # extension query does; the rest stay on the identical local gate.
     "q_emb_ann_ivf", "q_emb_ann_ivf_trained", "q_doc_dup_clusters",
     "q_cdc_asof_state", "q_multimodal_meta", "q_multimodal_frames",
-    "q_cdc_sessionize", "q_cdc_pgoutput_decode", "q_cdc_txn_assembly",
-    "q_doc_minhash_pairs", "q_range_join_bands", "q_quantiles",
-    "q_doc_hash_embed", "q_cdc_change_lag",
+    "q_cdc_sessionize", "q_cdc_pgoutput_decode",
 ]
 
 
