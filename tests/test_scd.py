@@ -95,3 +95,56 @@ def test_apply_cdc_snapshot_merge_cases(spark, merge_env):
     assert out["3"].merge_op == "UNCHANGED"
     assert out["4"].v == "fresh"                 # pure insert
     assert out["4"].merge_op == "INSERT"
+
+
+def test_scd2_stream_emits_closed_intervals(spark, tmp_path):
+    """Streaming SCD2 across two microbatches: intervals close exactly
+    once, the open version survives in state between batches, DELETE
+    drops state and a later INSERT re-opens."""
+    import json
+
+    from walex_spark.model import CHANGE_ENVELOPE_SCHEMA
+    from walex_spark.sources.envelope import read_envelope_stream
+    from walex_spark.streaming.scd import scd2_stream
+
+    src = str(tmp_path / "env")
+    batch1 = spark.createDataFrame(
+        [_change("INSERT", 100, {"v": "a"}), _change("UPDATE", 110, {"v": "b"})],
+        CHANGE_ENVELOPE_SCHEMA,
+    )
+    batch1.write.parquet(src)
+    stream = read_envelope_stream(spark, src)
+    q = (
+        scd2_stream(stream, ["id"])
+        .writeStream.format("memory")
+        .queryName("scd_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("scd_out").collect()
+        # only 100->110 closed; 110 stays open in state
+        assert [(r.valid_from_lsn, r.valid_to_lsn, r.closed_by_delete) for r in got] == [
+            (100, 110, False)
+        ]
+        assert json.loads(got[0].record_json)["v"] == "a"
+        # second drop: delete closes 110, re-insert opens 130 (unemitted)
+        batch2 = spark.createDataFrame(
+            [
+                _change("DELETE", 120, None, old={"v": "b"}),
+                _change("INSERT", 130, {"v": "c"}),
+            ],
+            CHANGE_ENVELOPE_SCHEMA,
+        )
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(
+            spark.table("scd_out").collect(), key=lambda r: r.valid_from_lsn
+        )
+        assert [(r.valid_from_lsn, r.valid_to_lsn, r.closed_by_delete) for r in got] == [
+            (100, 110, False),
+            (110, 120, True),
+        ]
+    finally:
+        q.stop()

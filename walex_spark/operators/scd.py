@@ -135,3 +135,26 @@ def apply_cdc_snapshot(
         F.coalesce(F.col("__op"), F.lit("UNCHANGED")).alias("merge_op"),
     )
     return out
+
+
+def table_state_as_of(
+    df: DataFrame,
+    key_cols: list[str],
+    as_of_lsn,
+    record_col: str = "record",
+) -> DataFrame:
+    """Point-in-time snapshot reconstruction ("time travel"): the table
+    state as of ``as_of_lsn`` — every change with a later LSN is
+    ignored, then latest-per-key wins exactly as in
+    materialize_table_state. ``as_of_lsn`` is a 64-bit LSN ordinal or
+    a Column (e.g. a broadcast scalar derived from the stream itself).
+
+    The LSN predicate is a plain filter BELOW the per-key shuffle, so
+    time travel costs the same single shuffle as the current-state
+    materialization — and at 100 TB the filter prunes at the scan when
+    the changelog is stored LSN-sorted (parquet min/max row groups).
+    """
+    from walex_spark.operators.transforms import lsn_column, materialize_table_state
+
+    bounded = df.filter(lsn_column() <= as_of_lsn)
+    return materialize_table_state(bounded, key_cols, record_col=record_col)

@@ -2993,6 +2993,46 @@ def q_cdc_apply_deltas(spark, sf_dir):
 
 
 @_register(
+    "q_cdc_time_travel",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             {_ENVELOPE_CASE_SQL} AS op
+      FROM events),
+    cut AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS cut FROM env),
+    b AS (SELECT e.* FROM env e, cut WHERE e.event_id <= cut.cut)
+    SELECT user_id, event_type AS last_event_type, k AS last_k,
+           CAST(event_id AS BIGINT) AS last_event_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) AS rn
+          FROM b)
+    WHERE rn = 1 AND op <> 'DELETE'
+    """,
+)
+def q_cdc_time_travel(spark, sf_dir):
+    """Point-in-time snapshot (operators/scd.py::table_state_as_of):
+    the table state AS OF the changelog's LSN midpoint — every later
+    change ignored, then latest-per-key wins. The cutoff is derived
+    from the stream itself (one-row aggregate, broadcast); the LSN
+    bound is a plain filter BELOW the single per-key shuffle, so time
+    travel costs the same as current-state materialization."""
+    from walex_spark.operators.scd import table_state_as_of
+
+    env = events_as_envelope(spark, sf_dir)
+    cut = env.agg(F.floor(F.max("lsn_lo") / 2).cast(T.LongType()).alias("__cut"))
+    bounded = env.crossJoin(F.broadcast(cut))
+    state = table_state_as_of(bounded, ["user_id"], F.col("__cut")).drop("__cut")
+    rec = F.coalesce(F.col("record"), F.col("old_record"))
+    return state.select(
+        rec.getItem("user_id").cast(T.LongType()).alias("user_id"),
+        rec.getItem("event_type").alias("last_event_type"),
+        rec.getItem("k").cast(T.IntegerType()).alias("last_k"),
+        F.col("xid").alias("last_event_id"),
+    )
+
+
+@_register(
     "q_doc_normalize",
     r"""
     WITH n AS (
@@ -3225,16 +3265,17 @@ DRIVER_ORDER = [
     "q_pivot_status_priority",
     # (b) the six round-5 NEW queries — zero driver history, highest
     # marginal value for a hard row.
-    "q_cdc_scd2", "q_cdc_apply_deltas", "q_doc_normalize",
-    "q_profile_orders", "q_doc_cluster_survivors", "q_emb_semantic_dedup",
+    "q_cdc_scd2", "q_cdc_apply_deltas", "q_cdc_time_travel",
+    "q_doc_normalize", "q_profile_orders", "q_doc_cluster_survivors",
+    "q_emb_semantic_dedup",
     # (c) representatives of operators touched in round 5 (IVF rework,
     # dup-clusters action fusion, as-of tolerance branch, multimodal
     # real-kernel path) + drift-sensitive CDC cores — each needs a
     # current-environment witness more than an untouched r04-green
     # extension query does; the rest stay on the identical local gate.
     "q_emb_ann_ivf", "q_emb_ann_ivf_trained", "q_doc_dup_clusters",
-    "q_cdc_asof_state", "q_multimodal_meta", "q_multimodal_frames",
-    "q_cdc_sessionize", "q_cdc_pgoutput_decode",
+    "q_cdc_asof_state", "q_multimodal_meta", "q_cdc_sessionize",
+    "q_cdc_pgoutput_decode",
 ]
 
 
