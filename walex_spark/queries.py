@@ -3230,6 +3230,175 @@ def q_emb_semantic_dedup(spark, sf_dir):
     return dd.duplicate_clusters(emb, pairs, id_col="vec_id")
 
 
+@_register(
+    "q_events_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN event_id END) AS s_id
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT e.user_id, MIN(e.event_id) AS v_id
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.event_id > s.s_id GROUP BY e.user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.event_id) AS c_id
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.event_id > v.v_id GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.event_id) AS p_id
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.event_id > c.c_id GROUP BY e.user_id)
+    SELECT 1 AS stage, 'signup' AS stage_name,
+           CAST(COUNT(s_id) AS BIGINT) AS n_users FROM s
+    UNION ALL
+    SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM v
+    UNION ALL
+    SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (signup → view → click → purchase): how many
+    users progress through each stage IN ORDER. One shuffle: events
+    group to their user, the per-user ordered walk is a JVM-side
+    `aggregate` fold over the sorted (event_id, type) array — the
+    state machine runs inside codegen, no Python, no self-joins (the
+    oracle's four staged joins are the same semantics expressed
+    relationally). At 100 TB: narrow rows, map-side combine into
+    collect_list, per-user arrays bounded by per-user activity."""
+    ev = _events(spark, sf_dir)
+    stages = ["signup", "view", "click", "purchase"]
+    per_user = (
+        ev.select("user_id", "event_id", "event_type")
+        .filter(F.col("event_type").isin(stages))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("event_id", "event_type"))).alias("evs"))
+    )
+    # fold: state = (stage_reached, id_of_last_hit); an event advances
+    # the state iff it is the next stage's type and comes after the
+    # last hit
+    fold = F.aggregate(
+        F.col("evs"),
+        F.struct(F.lit(0).alias("stage"), F.lit(-1).cast(T.LongType()).alias("at")),
+        lambda acc, e: F.when(
+            (acc.stage == 0) & (e.event_type == "signup"),
+            F.struct(F.lit(1).alias("stage"), e.event_id.alias("at")),
+        )
+        .when(
+            (acc.stage == 1) & (e.event_type == "view") & (e.event_id > acc.at),
+            F.struct(F.lit(2).alias("stage"), e.event_id.alias("at")),
+        )
+        .when(
+            (acc.stage == 2) & (e.event_type == "click") & (e.event_id > acc.at),
+            F.struct(F.lit(3).alias("stage"), e.event_id.alias("at")),
+        )
+        .when(
+            (acc.stage == 3) & (e.event_type == "purchase") & (e.event_id > acc.at),
+            F.struct(F.lit(4).alias("stage"), e.event_id.alias("at")),
+        )
+        .otherwise(acc),
+    )
+    reached = per_user.select(fold.getField("stage").alias("reached"))
+    counts = reached.groupBy().agg(
+        *[
+            F.sum((F.col("reached") >= i).cast(T.LongType())).alias(f"n{i}")
+            for i in range(1, 5)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(s).alias("stage_name"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages, start=1)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@_register(
+    "q_events_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, CAST(MIN(CASE WHEN event_type = 'signup' THEN ts END) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, c.cohort_day,
+             date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN cohort c ON c.user_id = e.user_id
+      WHERE c.cohort_day IS NOT NULL
+        AND CAST(e.ts AS DATE) >= c.cohort_day)
+    SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort_day, day_offset
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-signup day, activity
+    counted per day offset — the engagement-decay table every product
+    pipeline builds. Shuffle-wise: one agg keyed by user (cohort), a
+    key-partitioned join back (same key), then the distinct + final
+    agg on (cohort, offset) — all bounded keys. The cohort side is
+    user-cardinality, NOT broadcast."""
+    ev = _events(spark, sf_dir)
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            .cast(T.DateType())
+            .alias("cohort_day")
+        )
+        .filter(F.col("cohort_day").isNotNull())
+    )
+    act = (
+        ev.join(cohort, "user_id")
+        .withColumn("day", F.col("ts").cast(T.DateType()))
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@_register(
+    "q_window_rank_funcs",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           ntile(4)       OVER w AS quartile
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_rank_funcs(spark, sf_dir):
+    """Distribution window functions (percent_rank / cume_dist /
+    ntile): the remaining ANSI window family the relational layer
+    hadn't covered. Deterministic: the order key carries o_orderkey as
+    tie-break, and both engines compute percent_rank/cume_dist as
+    exact integer ratios in double."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
