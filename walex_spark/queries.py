@@ -3399,6 +3399,46 @@ def q_window_rank_funcs(spark, sf_dir):
     )
 
 
+@_register(
+    "q_skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_agg(spark, sf_dir):
+    """Skew-safe aggregation (operators/skew.py::salted_aggregate) on a
+    genuinely skewed key: l_returnflag has ~3 values over the whole
+    lineitem table, so a plain groupBy funnels everything into 3
+    reducer partitions. The salted two-stage spreads each hot group
+    over 16 salts; results are EXACTLY a plain aggregation's (the
+    oracle is the plain SQL), and the salt is hash-derived — replays
+    deterministic. The shape AQE cannot fix (it does not split a
+    hash-aggregate partition)."""
+    from walex_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum(_dec("l_quantity")),
+            "n_items": F.count(F.lit(1)),
+            "max_price": F.max("l_extendedprice"),
+        },
+        salt_col="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        _dbl(F.col("sum_qty")).alias("sum_qty"),
+        F.col("n_items").cast(T.LongType()).alias("n_items"),
+        F.col("max_price").cast(T.DoubleType()).alias("max_price"),
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
