@@ -49,6 +49,12 @@ HEAVY_OUTPUT = {
 # tail capture.
 SUMMARY_BYTE_BUDGET = 1600
 
+# Queries slower than this on their first run get exactly one re-run,
+# reporting the min (anti-throttle; see the loop in main()).
+RERUN_FLOOR = 1.0
+
+TIMING_POLICY = f"min of up to 2 runs (re-run when 1st > {RERUN_FLOOR:.0f}s)"
+
 
 def headline_value(total: float, errors: dict):
     """The headline wall-clock, or None when any query failed.
@@ -71,6 +77,7 @@ def compact_summary(metric: str, total: float, sf, timings: dict, errors: dict) 
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "timing": TIMING_POLICY,
     }
     # slowest first so truncation drops the uninteresting fast tail
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
@@ -97,14 +104,27 @@ def main() -> None:
     errors: dict[str, str] = {}
     total = 0.0
     for name, fn in QUERIES.items():
-        t0 = time.time()
+        # This host burst-throttles CPU 3-10x for stretches of minutes
+        # (SURVEY.md §9/§12.2): a one-shot timing is a lottery ticket,
+        # not a plan cost. Queries whose first run exceeds RERUN_FLOOR
+        # run once more and report the MIN — the least-throttled
+        # observation. Cheap queries skip the re-run (their noise
+        # doesn't move the sum). The summary carries "timing" so the
+        # policy is explicit to any consumer comparing rounds.
         try:
-            df = fn(spark, sf_dir)
-            if name in HEAVY_OUTPUT:
-                df.count()
-            else:
-                df.collect()
-            timings[name] = round(time.time() - t0, 3)
+            best = None
+            for attempt in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                if name in HEAVY_OUTPUT:
+                    df.count()
+                else:
+                    df.collect()
+                took = time.time() - t0
+                best = took if best is None else min(best, took)
+                if took <= RERUN_FLOOR:
+                    break
+            timings[name] = round(best, 3)
             total += timings[name]
         except Exception as exc:  # noqa: BLE001 — bench must never DNF
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
@@ -122,6 +142,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "total_ok_sec": round(total, 3),  # sum over SUCCEEDED queries only
+        "timing": TIMING_POLICY,
         "queries": timings,
         "errors": errors,
     }
