@@ -221,3 +221,11 @@ def test_profile_exact_vs_approx_expand(spark):
     assert "Expand" in exact.text
     assert "Expand" not in approx.text
     assert approx.shuffle_exchanges == 1
+
+
+def test_simhash_pairs_equi_join_on_band(reports):
+    """SimHash pairing: candidates meet via the (band, key) equi-join —
+    never a nested-loop cross product — and the Hamming verify is a
+    post-join filter on the already-matched row."""
+    r = reports("q_doc_simhash_pairs")
+    assert r.nested_loop_joins == 0

@@ -335,7 +335,14 @@ def simhash(
     Returns (id, simhash BIGINT).
     """
     toks = tokenize_distinct(df, text_col, id_col)
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(T.LongType())
+    # token-hash width follows the signature width (4 bits per hex
+    # char): a narrower hash would pin the high signature bits to a
+    # constant majority, making the top bands degenerate all-match
+    # keys downstream (simhash_hamming_pairs would cross-product there)
+    hex_chars = max(8, (bits + 3) // 4)
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, hex_chars), 16, 10).cast(
+        T.LongType()
+    )
     toks = toks.withColumn("h", h)
     # bit test as shiftright+mask, majority vote as sum(2·bit − 1):
     # keeps each aggregate a handful of integer ops. This matters
@@ -438,4 +445,73 @@ def duplicate_clusters(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("id")).alias("is_survivor"),
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRING: banded candidate generation + exact
+    Hamming verify — the downstream half of the simhash() signature
+    (signatures alone don't dedup anything).
+
+    Pigeonhole guarantee: with ``bits/band_bits`` bands, any pair
+    within ``max_hamming <= bands - 1`` differing bits must agree on
+    at least one whole band, so banding has EXACT recall at the
+    threshold — no probabilistic miss, unlike MinHash banding.
+
+    Scale shape: signatures are one narrow row per doc; banding
+    explodes x(bands) and candidates meet via an equi-join on
+    (band, band_key) — bucket-bounded, never the corpus cross product
+    (the same shape as minhash_candidate_pairs). The Hamming verify is
+    a single xor+bit_count on the already-joined row. Returns
+    (id_a, id_b, hamming) with id_a < id_b, deduped across bands.
+    """
+    n_bands = bits // band_bits
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"bands-1={n_bands - 1}; add bands (lower band_bits) or lower "
+            "the threshold"
+        )
+    sigs = simhash(df, text_col, id_col, bits=bits)
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast(T.LongType()).alias("hamming"),
+        )
+        .distinct()
     )

@@ -1938,9 +1938,12 @@ def _simhash_oracle(bits: int = 32) -> str:
         for j in range(bits)
     )
     sig = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    # token-hash width follows the signature width — mirrors
+    # extensions/dedup.py::simhash (see the degenerate-band note there)
+    hex_chars = max(8, (bits + 3) // 4)
     return f"""
     WITH toks AS ({_TOKS_SQL}),
-    h AS (SELECT id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM toks),
+    h AS (SELECT id, ('0x' || substr(md5(token), 1, {hex_chars}))::BIGINT AS h FROM toks),
     per_doc AS (SELECT id, {aggs} FROM h GROUP BY id)
     SELECT id, CAST({sig} AS BIGINT) AS simhash FROM per_doc
     """
@@ -3436,6 +3439,62 @@ def q_skew_salted_agg(spark, sf_dir):
         _dbl(F.col("sum_qty")).alias("sum_qty"),
         F.col("n_items").cast(T.LongType()).alias("n_items"),
         F.col("max_price").cast(T.DoubleType()).alias("max_price"),
+    )
+
+
+@_register(
+    "q_doc_simhash_pairs",
+    f"""
+    WITH sigs AS ({{SIG48}}),
+    bounded AS (SELECT * FROM sigs WHERE id < 120),
+    banded AS (
+      SELECT id, simhash, t.b AS band, (simhash >> (t.b * 8)) & 255 AS key
+      FROM bounded CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) t)
+    SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b2
+      ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id
+    WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+    """.replace("{SIG48}", _simhash_oracle(48).strip()),
+)
+def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairing (dedup.py::simhash_hamming_pairs):
+    banded candidate generation with the pigeonhole EXACT-recall
+    guarantee (hamming ≤ bands-1 must share a band) + xor/bit_count
+    verify — the downstream half the simhash signature query lacked.
+    Same bounded corpus as the other cluster queries. Candidates meet
+    via the (band, key) equi-join — bucket-bounded, never the corpus
+    cross product."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return dd.simhash_hamming_pairs(docs, bits=48, band_bits=8, max_hamming=3)
+
+
+@_register(
+    "q_doc_normalized_dedup",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    SELECT fp AS norm_fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM n GROUP BY fp
+    """,
+)
+def q_doc_normalized_dedup(spark, sf_dir):
+    """Normalization-aware exact dedup: group on the canonical-text
+    fingerprint (extensions/text.py::normalize_text) instead of the
+    raw bytes, so case/whitespace/control-char variants of the same
+    document collapse into one group with a deterministic keeper.
+    Single shuffle on the fingerprint — the md5 is computed map-side,
+    so the exchange carries 32-byte keys, not document text."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = tx.normalize_text(docs)
+    return norm.groupBy("norm_fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
     )
 
 
