@@ -148,3 +148,27 @@ def test_scd2_stream_emits_closed_intervals(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_maintain_group_counts_retraction_algebra(spark):
+    """Delta maintenance equals state-rebuild aggregation on the nasty
+    sequences: group move via UPDATE, DELETE retraction, and re-INSERT
+    of a live key (upsert — must retract the previous version)."""
+    from walex_spark.operators.scd import maintain_group_counts
+
+    rows = [
+        _change("INSERT", 100, {"g": "a"}, key="1"),
+        _change("UPDATE", 110, {"g": "b"}, key="1"),   # a -> b
+        _change("INSERT", 120, {"g": "a"}, key="2"),
+        _change("DELETE", 130, None, old={"g": "a"}, key="2"),  # retract
+        _change("INSERT", 140, {"g": "a"}, key="3"),
+        _change("INSERT", 150, {"g": "b"}, key="3"),   # upsert a -> b
+        _change("DELETE", 160, None, old={"g": "x"}, key="9"),  # no-op
+    ]
+    env = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    got = {
+        r.g: r.n_rows
+        for r in maintain_group_counts(env, ["id"], "g").collect()
+    }
+    # live state: key 1 -> b, key 3 -> b
+    assert got == {"b": 2}

@@ -3498,6 +3498,40 @@ def q_doc_normalized_dedup(spark, sf_dir):
     )
 
 
+@_register(
+    "q_cdc_incremental_agg",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, event_type,
+             {_ENVELOPE_CASE_SQL} AS op
+      FROM events),
+    state AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM env) WHERE rn = 1 AND op <> 'DELETE')
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM state GROUP BY event_type
+    """,
+)
+def q_cdc_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance
+    (operators/scd.py::maintain_group_counts): current-state counts per
+    group computed from +1/-1 CHANGELOG deltas — UPDATE moves a unit
+    between groups, DELETE retracts — while the oracle rebuilds the
+    state and aggregates it directly. Equality proves the retraction
+    algebra. The group-keyed shuffle carries one int per
+    (partition, group); only the per-key lag pays data-sized cost, and
+    only on backfill."""
+    from walex_spark.operators.scd import maintain_group_counts
+
+    env = events_as_envelope(spark, sf_dir)
+    out = maintain_group_counts(env, ["user_id"], "event_type")
+    return out.select(
+        "event_type", F.col("n_rows").cast(T.LongType()).alias("n_rows")
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
