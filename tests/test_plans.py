@@ -229,3 +229,12 @@ def test_simhash_pairs_equi_join_on_band(reports):
     post-join filter on the already-matched row."""
     r = reports("q_doc_simhash_pairs")
     assert r.nested_loop_joins == 0
+
+
+def test_pq_adc_joins_are_equi(reports):
+    """PQ/ADC: codebook assignment and LUT scoring meet via equi-joins
+    (m / (m, code)) against metadata-sized broadcast tables — never a
+    corpus cross product; the corpus moves only as (vid, m, code)."""
+    r = reports("q_emb_ann_pq")
+    assert r.nested_loop_joins == 0
+    assert r.broadcast_exchanges >= 1

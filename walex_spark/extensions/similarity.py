@@ -688,3 +688,193 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a strict left fold over zip — identical
+    evaluation order to the oracle's list_reduce, so doubles match
+    bit-for-bit (0.0 + x == x exactly, so the init makes no bits)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(df: DataFrame, dim: int, n_sub: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, m, sv): the vector split into n_sub contiguous subvectors."""
+    d = dim // n_sub
+    v = _to_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.array(*[F.slice(v, m * d + 1, d) for m in range(n_sub)])
+        ).alias("m", "sv"),
+    )
+
+
+def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codeword per (vid, m): broadcast the (tiny) codebook,
+    argmin via one grouped min over (dist, code) structs — partial
+    aggregation collapses the K-way fan-out map-side, so the single
+    shuffle carries one row per (vid, m). Ties break on code id."""
+    scored = sub.join(F.broadcast(codebook), "m").withColumn(
+        "__d", _sq_l2(F.col("sv"), F.col("cw"))
+    )
+    best = scored.groupBy("vid", "m").agg(
+        F.min(F.struct(F.col("__d"), F.col("code"))).alias("__best")
+    )
+    return best.select("vid", "m", F.col("__best.code").alias("code"))
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    seed_ids: list[int],
+    dim: int,
+    n_sub: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace k-means codebooks (Lloyd's), engine-deterministic:
+
+      - init: the seed rows' own subvectors (code id = seed id, so
+        ties are reproducible);
+      - update: component-wise DECIMAL(28,12) sums (exact,
+        order-independent) divided by the count as DOUBLE — the
+        repo's standard exact-mean pattern. Unlike the cosine IVF
+        trainer the division is required: L2 is not scale-invariant,
+        so the sum vector would NOT rank like the mean;
+      - a codeword that captures no subvectors drops out.
+
+    Returns (m, code, cw: array<double>) — n_sub x K rows, metadata-
+    sized by construction (the corpus never shuffles wider than
+    (vid, m, code))."""
+    d = dim // n_sub
+    sub = _pq_subvectors(corpus, dim, n_sub, id_col, vec_col)
+    cb = (
+        _pq_subvectors(
+            corpus.filter(F.col(id_col).isin(seed_ids)), dim, n_sub, id_col, vec_col
+        )
+        .select("m", F.col("vid").alias("code"), F.col("sv").alias("cw"))
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(sub, cb)
+        # Member-ID-ORDERED double summation instead of decimal
+        # accumulation: casting an arbitrary double to DECIMAL rounds
+        # differently across engines at the 12th-place boundary (Spark
+        # rounds the shortest decimal repr, DuckDB the exact binary
+        # expansion — observed: 1 divergent codeword component in ~30k
+        # casts), while folding the raw doubles in an explicit member
+        # order is bit-exact everywhere AND deterministic at any
+        # parallelism. Memory is bounded by codeword population — PQ
+        # codebooks train on a bounded sample at any real scale.
+        members = assigned.join(sub, ["vid", "m"]).groupBy("m", "code").agg(
+            F.array_sort(F.collect_list(F.struct("vid", "sv"))).alias("__mem"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        def _comp_mean(i: int):
+            return (
+                F.aggregate(
+                    F.col("__mem"),
+                    F.lit(0.0),
+                    lambda acc, st: acc + F.element_at(st["sv"], i + 1),
+                )
+                / F.col("__n")
+            )
+
+        cb = members.select(
+            "m",
+            "code",
+            F.array(*[_comp_mean(i) for i in range(d)]).alias("cw"),
+        )
+    return cb
+
+
+def ann_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    seed_ids: list[int],
+    n_sub: int = 8,
+    k: int = 5,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC).
+
+    The corpus is compressed to ``n_sub`` small codes per vector (here
+    8 codes ≈ 8 bytes vs 64 float dims = 32x memory compression — the
+    reason PQ is THE billion-scale ANN representation); each query
+    builds a (m, code) → partial-distance lookup table against the
+    trained codebooks, and a neighbor's approximate distance is the
+    m-ordered sum of 8 table lookups instead of a 64-dim dot product.
+
+    Scale shape: codebooks and the per-query LUT are metadata-sized
+    (n_sub x K and |Q| x n_sub x K); the corpus moves only as
+    (vid, m, code) triples. The LUT join fans each corpus code row by
+    |Q| — at real scale you batch queries or pre-restrict candidates
+    with an IVF cell key (IVF-PQ), which this operator composes with.
+    The final distance folds the 8 contributions in m order (via a
+    sorted collect) so the double addition sequence — and therefore
+    every bit of the result — matches the oracle.
+
+    Returns (query_id, neighbor_id, approx_dist, rnk), rnk <= k by
+    ascending ADC distance, ties on neighbor_id.
+    """
+    cb = train_pq_codebooks(
+        corpus, seed_ids, dim, n_sub=n_sub, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    # metadata-sized; consumed by both the encode and LUT subtrees —
+    # collect once so the training lineage doesn't re-execute
+    cb = corpus.sparkSession.createDataFrame(
+        [(int(r["m"]), int(r["code"]), [float(x) for x in r["cw"]]) for r in cb.collect()],
+        T.StructType(
+            [
+                T.StructField("m", T.IntegerType()),
+                T.StructField("code", T.LongType()),
+                T.StructField("cw", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    codes = _pq_assign(
+        _pq_subvectors(corpus, dim, n_sub, id_col, vec_col), cb
+    ).withColumnRenamed("vid", "neighbor_id")
+    qsub = _pq_subvectors(queries, dim, n_sub, id_col, vec_col)
+    lut = (
+        qsub.join(F.broadcast(cb), "m")
+        .select(
+            F.col("vid").alias("query_id"),
+            "m",
+            "code",
+            _sq_l2(F.col("sv"), F.col("cw")).alias("contrib"),
+        )
+    )
+    pairs = codes.join(F.broadcast(lut), ["m", "code"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dists = (
+        pairs.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "contrib"))),
+                F.lit(0.0),
+                lambda acc, st: acc + st["contrib"],
+            ).alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rnk")
+    )

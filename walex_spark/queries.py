@@ -3532,6 +3532,88 @@ def q_cdc_incremental_agg(spark, sf_dir):
     )
 
 
+_PQ_SEEDS = [0, 63, 126, 189, 252, 315, 378, 441]
+
+_SQL_SQ_L2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2])), (p, q) -> p + q)"
+)
+
+
+def _pq_mean_sql(d: int = 8) -> str:
+    # member-ID-ordered double fold, NOT a decimal sum: double→decimal
+    # rounding differs across engines at the precision boundary, while
+    # an explicitly ordered fold is bit-exact (mirrors
+    # similarity.py::train_pq_codebooks)
+    comps = ", ".join(
+        f"list_reduce(list(sv[{i + 1}] ORDER BY sub.vec_id), (p, q) -> p + q)"
+        f" / COUNT(*)"
+        for i in range(d)
+    )
+    return f"[{comps}]"
+
+
+@_register(
+    "q_emb_ann_pq",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, t.m AS m, v[(t.m * 8 + 1):(t.m * 8 + 8)] AS sv
+      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) t),
+    cb0 AS (SELECT m, vec_id AS code, sv AS cw FROM sub
+            WHERE vec_id IN ({", ".join(str(s) for s in _PQ_SEEDS)})),
+    a0 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_SQL_SQ_L2.format(a='s.sv', b='c.cw')} ASC,
+                                           c.code) AS rn
+        FROM sub s JOIN cb0 c ON c.m = s.m) WHERE rn = 1),
+    cb1 AS (
+      SELECT a0.m, a0.code, {_pq_mean_sql()} AS cw
+      FROM a0 JOIN sub ON sub.vec_id = a0.vec_id AND sub.m = a0.m
+      GROUP BY a0.m, a0.code),
+    enc AS (
+      SELECT vec_id AS neighbor_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_SQL_SQ_L2.format(a='s.sv', b='c.cw')} ASC,
+                                           c.code) AS rn
+        FROM sub s JOIN cb1 c ON c.m = s.m) WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.m, c.code,
+             {_SQL_SQ_L2.format(a='q.sv', b='c.cw')} AS contrib
+      FROM sub q JOIN cb1 c ON c.m = q.m WHERE q.vec_id < 16),
+    dists AS (
+      SELECT l.query_id, e.neighbor_id,
+             list_reduce(list(l.contrib ORDER BY l.m), (p, q) -> p + q) AS approx_dist
+      FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+      WHERE l.query_id <> e.neighbor_id
+      GROUP BY l.query_id, e.neighbor_id)
+    SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dist ASC, neighbor_id) AS rnk
+      FROM dists)
+    WHERE rnk <= 5
+    """,
+)
+def q_emb_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with ADC scoring
+    (similarity.py::ann_pq_topk): 8 per-subspace k-means codebooks
+    (decimal-exact Lloyd's, seeds = strided corpus rows), corpus
+    compressed to 8 codes/vector (32x vs raw floats — the
+    billion-scale ANN representation), query scoring via m-ordered
+    sums of LUT lookups. The oracle replays training, encoding, and
+    ADC bit-for-bit: L2 folds share evaluation order, codeword means
+    are exact-decimal sums over exact-double division, and the final
+    fold is m-ordered in both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_pq_topk(
+        emb.filter(F.col("vec_id") < 16), emb,
+        dim=64, seed_ids=_PQ_SEEDS, n_sub=8, k=5, iters=1,
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
