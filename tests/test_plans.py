@@ -238,3 +238,11 @@ def test_pq_adc_joins_are_equi(reports):
     r = reports("q_emb_ann_pq")
     assert r.nested_loop_joins == 0
     assert r.broadcast_exchanges >= 1
+
+
+def test_ivfpq_candidates_are_cell_bounded(reports):
+    """IVF-PQ: candidate generation is the cell_id equi-join; the only
+    nested-loop joins are the bounded centroid-table broadcasts of the
+    cell assignment (same budget as q_emb_ann_ivf)."""
+    r = reports("q_emb_ann_ivfpq")
+    assert r.nested_loop_joins <= 2

@@ -828,12 +828,30 @@ def ann_pq_topk(
     Returns (query_id, neighbor_id, approx_dist, rnk), rnk <= k by
     ascending ADC distance, ties on neighbor_id.
     """
+    codes, lut = _pq_codes_and_lut(
+        queries, corpus, dim, seed_ids, n_sub, iters, id_col, vec_col
+    )
+    pairs = codes.join(F.broadcast(lut), ["m", "code"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return _adc_topk(pairs, k)
+
+
+def _pq_codes_and_lut(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    seed_ids: list[int],
+    n_sub: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared PQ index build: (corpus codes, per-query LUT)."""
     cb = train_pq_codebooks(
         corpus, seed_ids, dim, n_sub=n_sub, iters=iters,
         id_col=id_col, vec_col=vec_col,
     )
-    # metadata-sized; consumed by both the encode and LUT subtrees —
-    # collect once so the training lineage doesn't re-execute
     cb = corpus.sparkSession.createDataFrame(
         [(int(r["m"]), int(r["code"]), [float(x) for x in r["cw"]]) for r in cb.collect()],
         T.StructType(
@@ -847,9 +865,9 @@ def ann_pq_topk(
     codes = _pq_assign(
         _pq_subvectors(corpus, dim, n_sub, id_col, vec_col), cb
     ).withColumnRenamed("vid", "neighbor_id")
-    qsub = _pq_subvectors(queries, dim, n_sub, id_col, vec_col)
     lut = (
-        qsub.join(F.broadcast(cb), "m")
+        _pq_subvectors(queries, dim, n_sub, id_col, vec_col)
+        .join(F.broadcast(cb), "m")
         .select(
             F.col("vid").alias("query_id"),
             "m",
@@ -857,18 +875,18 @@ def ann_pq_topk(
             _sq_l2(F.col("sv"), F.col("cw")).alias("contrib"),
         )
     )
-    pairs = codes.join(F.broadcast(lut), ["m", "code"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    dists = (
-        pairs.groupBy("query_id", "neighbor_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("m", "contrib"))),
-                F.lit(0.0),
-                lambda acc, st: acc + st["contrib"],
-            ).alias("approx_dist")
-        )
+    return codes, lut
+
+
+def _adc_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, m, contrib) rows → top-k by the
+    m-ordered ADC distance fold (bit-exact: fixed summation order)."""
+    dists = pairs.groupBy("query_id", "neighbor_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", "contrib"))),
+            F.lit(0.0),
+            lambda acc, st: acc + st["contrib"],
+        ).alias("approx_dist")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
@@ -878,3 +896,63 @@ def ann_pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rnk")
     )
+
+
+def ann_ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    centroid_ids: list[int],
+    seed_ids: list[int],
+    n_sub: int = 8,
+    k: int = 5,
+    n_probe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cells restrict the candidate set, PQ codes score
+    it — the production billion-scale ANN composition (FAISS's
+    IndexIVFPQ shape).
+
+    The two indexes divide the problem: the IVF cell key turns
+    candidate generation into a bucket equi-join (a query scores only
+    its ``n_probe`` probed cells' populations, not the corpus), and
+    within the candidates the ADC lookup replaces the full-width
+    distance, so the scored rows are (vid, m, code) triples — at no
+    point does a full-width vector pair cross a shuffle. Both index
+    builds broadcast metadata-sized tables only.
+
+    Returns (query_id, neighbor_id, approx_dist, rnk) with the same
+    deterministic ordering contract as ann_pq_topk.
+    """
+    cents = (
+        corpus.filter(F.col(id_col).isin(centroid_ids))
+        .select(
+            F.col(id_col).alias("cell_id"),
+            _to_double(F.col(vec_col)).alias("cv"),
+            l2_norm(F.col(vec_col)).alias("cent_norm"),
+        )
+        .collect()
+    )
+    c_cells = assign_ivf_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")),
+        cents, rank=1, id_col="neighbor_id", vec_col="v",
+    ).select("neighbor_id", "cell_id")
+    q_cells = assign_ivf_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")),
+        cents, rank=n_probe, id_col="query_id", vec_col="v",
+    ).select("query_id", "cell_id")
+    cand = (
+        q_cells.join(c_cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    codes, lut = _pq_codes_and_lut(
+        queries, corpus, dim, seed_ids, n_sub, iters, id_col, vec_col
+    )
+    pairs = cand.join(codes, "neighbor_id").join(
+        F.broadcast(lut), ["query_id", "m", "code"]
+    )
+    return _adc_topk(pairs, k)

@@ -3614,6 +3614,86 @@ def q_emb_ann_pq(spark, sf_dir):
     )
 
 
+@_register(
+    "q_emb_ann_ivfpq",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (SELECT vec_id AS cell_id, v AS cv,
+                     sqrt({_FOLD_DOT.format(a='v', b='v')}) AS cent_norm
+              FROM v WHERE vec_id % 125 = 0),
+    cellscore AS (
+      SELECT v.vec_id, cells.cell_id,
+             {_FOLD_DOT.format(a='v.v', b='cells.cv')} / cells.cent_norm AS s
+      FROM v CROSS JOIN cells),
+    rankedcells AS (
+      SELECT vec_id, cell_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+      FROM cellscore),
+    ccells AS (SELECT vec_id AS neighbor_id, cell_id FROM rankedcells WHERE rn = 1),
+    qcells AS (SELECT vec_id AS query_id, cell_id FROM rankedcells
+               WHERE rn <= 2 AND vec_id < 16),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM qcells q JOIN ccells c USING (cell_id)
+      WHERE q.query_id <> c.neighbor_id),
+    sub AS (
+      SELECT vec_id, t.m AS m, v[(t.m * 8 + 1):(t.m * 8 + 8)] AS sv
+      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) t),
+    cb0 AS (SELECT m, vec_id AS code, sv AS cw FROM sub
+            WHERE vec_id IN ({", ".join(str(s) for s in _PQ_SEEDS)})),
+    a0 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_SQL_SQ_L2.format(a='s.sv', b='c.cw')} ASC,
+                                           c.code) AS rn
+        FROM sub s JOIN cb0 c ON c.m = s.m) WHERE rn = 1),
+    cb1 AS (
+      SELECT a0.m, a0.code, {_pq_mean_sql()} AS cw
+      FROM a0 JOIN sub ON sub.vec_id = a0.vec_id AND sub.m = a0.m
+      GROUP BY a0.m, a0.code),
+    enc AS (
+      SELECT vec_id AS neighbor_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_SQL_SQ_L2.format(a='s.sv', b='c.cw')} ASC,
+                                           c.code) AS rn
+        FROM sub s JOIN cb1 c ON c.m = s.m) WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.m, c.code,
+             {_SQL_SQ_L2.format(a='q.sv', b='c.cw')} AS contrib
+      FROM sub q JOIN cb1 c ON c.m = q.m WHERE q.vec_id < 16),
+    dists AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_reduce(list(l.contrib ORDER BY l.m), (p, q) -> p + q) AS approx_dist
+      FROM cand
+      JOIN enc e ON e.neighbor_id = cand.neighbor_id
+      JOIN lut l ON l.query_id = cand.query_id AND l.m = e.m AND l.code = e.code
+      GROUP BY cand.query_id, cand.neighbor_id)
+    SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dist ASC, neighbor_id) AS rnk
+      FROM dists)
+    WHERE rnk <= 5
+    """,
+)
+def q_emb_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (similarity.py::ann_ivfpq_topk): the production
+    billion-scale composition — IVF cells bound the candidate set via
+    the cell_id equi-join (a query scores only its probed cells'
+    populations), PQ/ADC replaces the full-width distance within the
+    candidates, so no full-width vector pair ever crosses a shuffle.
+    Same strided coarse quantizer as q_emb_ann_ivf, same codebooks as
+    q_emb_ann_pq; the oracle replays cells, training, encoding, and
+    the candidate-restricted ADC bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_ivfpq_topk(
+        emb.filter(F.col("vec_id") < 16), emb,
+        dim=64, centroid_ids=_IVF_CENTROID_IDS, seed_ids=_PQ_SEEDS,
+        n_sub=8, k=5, n_probe=2, iters=1,
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
