@@ -266,3 +266,61 @@ def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.length(norm).cast(T.LongType()).alias("n_chars_norm"),
         F.md5(norm).alias("norm_fingerprint"),
     )
+
+
+# -- Gopher-style quality filters --------------------------------------
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The Gopher-paper quality-filter signal set (Rae et al. 2021,
+    public): word count, mean word length, alphabetic-word ratio, and
+    stopword hits, plus the composite pass flag with the paper's
+    bounds (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, ≥80% words contain
+    a letter, ≥2 distinct stopwords). Complements quality_score's
+    smooth score with the hard gates a production corpus filter runs.
+
+    Every signal is integer counting + exact integer-ratio division —
+    bit-reproducible in any engine. Pure column expressions, zero
+    shuffle, whole-stage codegen'd.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").cast(T.LongType()).alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("__toks"), lambda t: F.length(t).cast(T.LongType())),
+            F.lit(0).cast(T.LongType()),
+            lambda acc, x: acc + x,
+        ).alias("__chars"),
+        F.size(
+            F.filter(F.col("__toks"), lambda t: t.rlike("[a-z]"))
+        ).cast(T.LongType()).alias("__alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.col("__toks")),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ).cast(T.LongType()).alias("stop_hits"),
+    )
+    mean_len = F.col("__chars").cast(T.DoubleType()) / F.col("n_words").cast(T.DoubleType())
+    alpha_ratio = F.col("__alpha").cast(T.DoubleType()) / F.col("n_words").cast(T.DoubleType())
+    return out.select(
+        F.col(id_col),
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        "stop_hits",
+        (
+            (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            & (mean_len >= 3.0) & (mean_len <= 10.0)
+            & (alpha_ratio >= 0.8)
+            & (F.col("stop_hits") >= 2)
+        ).alias("passes_gopher"),
+    )

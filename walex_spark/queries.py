@@ -3694,6 +3694,45 @@ def q_emb_ann_ivfpq(spark, sf_dir):
     )
 
 
+@_register(
+    "q_doc_gopher",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                              (p, q) -> p + q) AS BIGINT) AS chars,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+             CAST(len(list_intersect(list_distinct(toks),
+                  ['the','a','of','and','to','in','is','it'])) AS BIGINT) AS stop_hits
+      FROM t)
+    SELECT doc_id, n_words,
+           CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_word_ratio,
+           stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+            AND CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+            AND CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+            AND stop_hits >= 2) AS passes_gopher
+    FROM c
+    """,
+)
+def q_doc_gopher(spark, sf_dir):
+    """Gopher-style hard quality gates (extensions/text.py::
+    gopher_signals): word count, mean word length, alphabetic-word
+    ratio, distinct-stopword hits, composite pass flag — the
+    production corpus filter alongside quality_score's smooth score.
+    Integer counts + exact integer-ratio division: zero shuffle,
+    bit-reproducible."""
+    return tx.gopher_signals(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
