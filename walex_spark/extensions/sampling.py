@@ -113,3 +113,50 @@ def pack_shards(
     return df.withColumn("cost", cost).withColumn(
         "shard_idx", shard.cast(T.LongType())
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-balanced down-sampling across skewed groups
+    (languages/domains): group g keeps rate sqrt(min_count / count_g),
+    so the smallest group survives whole and a group 4x larger keeps
+    half — the sqrt-temperature (T=2) mixing rule multilingual corpus
+    recipes use to stop a head language drowning the tail.
+
+    Exactness: the rate uses ONLY sqrt (IEEE-754 correctly rounded
+    everywhere) — a general pow(x, alpha) differs in the last ulp
+    between libm implementations and would flip boundary rows between
+    engines. Membership is the deterministic md5-bucket test (same as
+    deterministic_sample): u32(id) < floor(rate * 2^32), exact
+    integer comparison, so replays and engines agree row-for-row.
+
+    Scale shape: the per-group rate table is one row per group
+    (broadcast); the corpus is filtered map-side with zero shuffles
+    beyond the metadata-sized counts aggregate.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    cmin = counts.agg(F.min("__cnt").alias("__cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        group_col,
+        F.floor(
+            F.sqrt(
+                F.col("__cmin").cast(T.DoubleType())
+                / F.col("__cnt").cast(T.DoubleType())
+            )
+            * F.lit(4294967296.0)
+        ).cast(T.LongType()).alias("__thresh"),
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast(T.StringType()))), 1, 8),
+        16,
+        10,
+    ).cast(T.LongType())
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u32 < F.col("__thresh"))
+        .drop("__thresh")
+    )

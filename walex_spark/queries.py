@@ -3733,6 +3733,85 @@ def q_doc_gopher(spark, sf_dir):
     return tx.gopher_signals(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "q_doc_temp_mixture",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    cmin AS (SELECT MIN(cnt) AS cmin FROM counts),
+    rates AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE))
+                        * 4294967296.0) AS BIGINT) AS thresh
+      FROM counts, cmin)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < r.thresh
+    """,
+)
+def q_doc_temp_mixture(spark, sf_dir):
+    """Temperature-balanced corpus mixing
+    (extensions/sampling.py::temperature_mixture): group g keeps rate
+    sqrt(min_count/count_g), so the smallest language survives whole
+    and the head language is down-weighted — the sqrt-temperature
+    mixing rule. sqrt-only rates (pow differs in the last ulp across
+    libm implementations) + md5-bucket membership keep the kept set
+    identical row-for-row in both engines. The rate table is one row
+    per group, broadcast; the corpus filters map-side."""
+    from walex_spark.extensions.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture(docs, "lang").select("doc_id", "lang")
+
+
+@_register(
+    "q_events_outliers",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           MAX(e.value) AS max_outlier
+    FROM events e JOIN b ON b.event_type = e.event_type
+    WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+       OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+    GROUP BY e.event_type
+    """,
+)
+def q_events_outliers(spark, sf_dir):
+    """Tukey-fence (IQR) outlier detection per event type: bounds from
+    EXACT group percentiles (the same bit-exact interpolation as
+    q_quantiles — variance/stddev would re-open the double→decimal
+    rounding hazard, quantile fences don't), fences broadcast back as
+    a rows-per-group metadata table, outliers counted map-side."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("value"), F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        ev.join(F.broadcast(b), "event_type")
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.max("value").alias("max_outlier"),
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("n_outliers").cast(T.LongType()).alias("n_outliers"),
+        "max_outlier",
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
