@@ -66,3 +66,19 @@ def test_pack_shards_budget_and_order(docs):
         # shard ids are dense from 0
         shards = sorted({r.shard_idx for r in rows})
         assert shards[0] == 0
+
+
+def test_temperature_mixture_keeps_smallest_group_whole(spark):
+    from walex_spark.extensions.sampling import temperature_mixture
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    kept = temperature_mixture(df, "grp").groupBy("grp").count().collect()
+    by = {r.grp: r["count"] for r in kept}
+    # rate(small) = sqrt(4/4) = 1.0 -> every row survives
+    assert by.get("small") == 4
+    # rate(big) = sqrt(4/400) = 0.1 -> md5-uniform keep near 10%
+    assert 15 <= by.get("big", 0) <= 70
+    # deterministic: same input, same kept set
+    again = temperature_mixture(df, "grp").groupBy("grp").count().collect()
+    assert {r.grp: r["count"] for r in again} == by
