@@ -26,11 +26,30 @@ _DRIVER_SF_DIR = "/root/testdata/sf0.01"
 _UNREGISTERED_TABLES = ("documents", "embeddings")
 
 
+# Words that can follow "FROM <table>" without being an alias; the
+# rewrite must not swallow them into the AS clause.
+_NOT_ALIAS = frozenset(
+    "where group order join on left right inner cross full union limit "
+    "having qualify using natural anti semi asof except intersect "
+    "window select values".split()
+)
+
+
 def _self_contained(sql: str) -> str:
     for t in _UNREGISTERED_TABLES:
+
+        def repl(m: re.Match, t: str = t) -> str:
+            scan = f"FROM read_parquet('{_DRIVER_SF_DIR}/{t}.parquet')"
+            alias = m.group(1)
+            if alias and alias.lower() not in _NOT_ALIAS:
+                # "FROM documents d" → keep the query's own alias.
+                return f"{scan} AS {alias}"
+            tail = f" {alias}" if alias else ""
+            return f"{scan} AS {t}{tail}"
+
         sql = re.sub(
-            rf"\bFROM {t}\b",
-            f"FROM read_parquet('{_DRIVER_SF_DIR}/{t}.parquet') AS {t}",
+            rf"\bFROM {t}\b(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+            repl,
             sql,
         )
     return sql

@@ -75,6 +75,31 @@ def test_driver_window_rotation():
     assert os_head == [n for n in window if n in set(entrymod.oracle_sql())]
 
 
+def test_self_contained_rewrite_preserves_aliases():
+    """`FROM documents d JOIN ...` must keep the query's alias — the
+    naive rewrite produced `read_parquet(...) AS documents d`, a parse
+    error that silently failed the driver gate for that query."""
+    f = entrymod._self_contained
+    assert (
+        f("FROM documents d JOIN r ON r.x = d.x")
+        == f"FROM read_parquet('{SF_DIR}/documents.parquet') AS d JOIN r ON r.x = d.x"
+    )
+    assert (
+        f("FROM documents AS dd WHERE x")
+        == f"FROM read_parquet('{SF_DIR}/documents.parquet') AS dd WHERE x"
+    )
+    # keywords after the table are NOT aliases
+    assert f("FROM documents WHERE x").startswith(
+        f"FROM read_parquet('{SF_DIR}/documents.parquet') AS documents WHERE"
+    )
+    assert f("FROM documents\n    WINDOW w AS (x)").startswith(
+        f"FROM read_parquet('{SF_DIR}/documents.parquet') AS documents WINDOW"
+    )
+    assert f("FROM documents)").startswith(
+        f"FROM read_parquet('{SF_DIR}/documents.parquet') AS documents)"
+    )
+
+
 def test_extension_oracles_are_self_contained():
     os_ = entrymod.oracle_sql()
     ext = [n for n in os_ if n.startswith(("q_doc_", "q_emb_", "q_multimodal_"))]
