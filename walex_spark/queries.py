@@ -3812,6 +3812,160 @@ def q_events_outliers(spark, sf_dir):
     )
 
 
+@_register(
+    "q_dq_expectations",
+    """
+    SELECT 'unique_orderkey' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           (COUNT(*) - COUNT(DISTINCT o_orderkey)) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'not_null_custkey',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           COUNT(*) = COUNT(o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_set',
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                   AND o_orderstatus NOT IN ('O','F','P')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_range',
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                   AND (o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'ri_lineitem_orders', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'ri_orders_customer', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM orders o2
+    WHERE o2.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o2.o_custkey)
+    """,
+)
+def q_dq_expectations(spark, sf_dir):
+    """Data-quality expectation suite (extensions/expectations.py):
+    uniqueness, completeness, accepted-set, range, and two referential-
+    integrity checks over orders/lineitem/customer, unioned into one
+    metadata-sized report. Every non-RI check is a single
+    map-side-combinable aggregate; RI is a left-anti join whose only
+    output is a count. The reference has no validation layer — this is
+    the guard a migrated CDC pipeline runs over its replicated tables."""
+    from walex_spark.extensions import expectations as dq
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    return dq.run_suite(
+        [
+            dq.expect_unique(orders, "o_orderkey", check="unique_orderkey"),
+            dq.expect_not_null(orders, "o_custkey", check="not_null_custkey"),
+            dq.expect_in_set(
+                orders, "o_orderstatus", ["O", "F", "P"], check="status_in_set"
+            ),
+            dq.expect_between(
+                orders, "o_totalprice", 0.0, 10000000.0, check="totalprice_range"
+            ),
+            dq.expect_referential(
+                lineitem, "l_orderkey", orders, "o_orderkey",
+                check="ri_lineitem_orders",
+            ),
+            dq.expect_referential(
+                orders, "o_custkey", customer, "c_custkey",
+                check="ri_orders_customer",
+            ),
+        ]
+    )
+
+
+@_register(
+    "q_snapshot_diff",
+    """
+    WITH oldv AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM orders),
+    newv AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 11 = 0 THEN '5-LOW'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 17 = 0),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             (o.o_orderkey IS NOT NULL) AS in_old,
+             (n.o_orderkey IS NOT NULL) AS in_new,
+             CAST((o.o_custkey IS DISTINCT FROM n.o_custkey) AS INT)
+             + CAST((o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS INT)
+             + CAST((o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS INT)
+             + CAST((o.o_orderpriority IS DISTINCT FROM n.o_orderpriority) AS INT)
+               AS nc
+      FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN nc > 0 THEN 'changed' END AS status,
+           CAST(CASE WHEN in_old AND in_new AND nc > 0 THEN nc
+                     ELSE 0 END AS INT) AS n_changed_cols
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new) OR nc > 0
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot anti-entropy (operators/diff.py::table_diff): classify
+    every key as added/removed/changed between two versions of orders
+    (the "new" version is derived deterministically: prices bumped on
+    keys %7, priority rewritten on %11, keys %13 dropped, keys %17
+    re-inserted under a shifted key). ONE full-outer sort-merge join on
+    the key; only (key, status, count) leaves the join — the audit a
+    CDC consumer runs to reconcile a sink against a fresh snapshot."""
+    from walex_spark.operators.diff import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    key = F.col("o_orderkey")
+    new = (
+        orders.filter(key % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 7 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(key % 11 == 0, F.lit("5-LOW")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .select("o_orderkey", *cols)
+        .unionByName(
+            orders.filter(key % 17 == 0).select(
+                (key + F.lit(100000000)).alias("o_orderkey"), *cols
+            )
+        )
+    )
+    return table_diff(
+        orders.select("o_orderkey", *cols), new, ["o_orderkey"], cols
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
