@@ -31,3 +31,44 @@ def test_clusters_raise_on_exhausted_iters(spark):
     nodes, pairs = _chain(spark, 12)
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_clusters(nodes, pairs, max_iters=2)
+
+
+def _edit_pairs(spark, rows, max_dist):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.edit_distance_pairs(df, max_dist=max_dist)
+    return {(r.id_a, r.id_b, r.dist) for r in out.collect()}
+
+
+def test_edit_pairs_same_and_adjacent_buckets(spark):
+    # max_dist=5 → bucket width 5. len("aaaaa")=5 (bucket 1),
+    # len("aaaa")=4 (bucket 0): adjacent buckets, dist 1 — must be
+    # found exactly once. len("aaaab")=5: same bucket as doc 0, dist 1.
+    rows = [(0, "aaaaa"), (1, "aaaa"), (2, "aaaab"), (3, "zzzzzzzzzzzzzzzz")]
+    got = _edit_pairs(spark, rows, 5)
+    assert got == {(0, 1, 1), (0, 2, 1), (1, 2, 1)}
+
+
+def test_edit_pairs_case_folded_and_threshold(spark):
+    rows = [(0, "Hello World"), (1, "hello world"), (2, "hello world!")]
+    got = _edit_pairs(spark, rows, 3)
+    assert got == {(0, 1, 0), (0, 2, 1), (1, 2, 1)}
+
+
+def test_edit_pairs_length_gap_blocks(spark):
+    # length differs by more than max_dist → lev > max_dist anyway;
+    # the pair must simply be absent (blocking is lossless).
+    rows = [(0, "abc"), (1, "abcdefghijklmno")]
+    assert _edit_pairs(spark, rows, 4) == set()
+
+
+def test_edit_pairs_validates_and_plans_equi_join(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        dedup.edit_distance_pairs(df, max_dist=0)
+    plan = (
+        dedup.edit_distance_pairs(df, max_dist=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

@@ -515,3 +515,59 @@ def simhash_hamming_pairs(
         )
         .distinct()
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Levenshtein near-dup pairing under length-bucket blocking.
+
+    Because ``levenshtein(a, b) >= |len(a) - len(b)|``, any pair within
+    ``max_dist`` edits differs in length by at most ``max_dist`` — so
+    bucketing docs by ``floor(len / max_dist)`` and emitting each doc
+    into its own and the NEXT bucket makes the blocking LOSSLESS at the
+    threshold: every qualifying pair shares at least one bucket key,
+    and no cross product ever forms (the 100 TB shape; compose with
+    minhash/LSH candidates when length alone blocks too coarsely).
+
+    The duplicate match a same-bucket pair would get from both its
+    (b, b) and (b+1, b+1) keys is removed algebraically — a match is
+    kept only on the pair's HIGHER native bucket — so no distinct/
+    shuffle-dedup pass is needed. Returns (id_a, id_b, dist) with
+    id_a < id_b, dist <= max_dist; comparison is case-folded.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    w = max_dist
+    t = F.lower(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), t.alias("t"), F.length(t).alias("ln")
+    )
+    bucket = F.floor(F.col("ln") / F.lit(w))
+    keyed = base.select(
+        "id", "t", "ln", F.explode(F.array(bucket, bucket + 1)).alias("bk")
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("t").alias("t_a"),
+        F.col("ln").alias("ln_a"), "bk",
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("t").alias("t_b"),
+        F.col("ln").alias("ln_b"), "bk",
+    )
+    native_hi = F.greatest(
+        F.floor(F.col("ln_a") / F.lit(w)), F.floor(F.col("ln_b") / F.lit(w))
+    )
+    pairs = a.join(b, "bk").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("ln_a") - F.col("ln_b")) <= w)
+        & (F.col("bk") == native_hi)
+    )
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"))
+    return (
+        pairs.select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -3966,6 +3966,72 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+@_register(
+    "q_events_rolling",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(v) OVER w AS BIGINT) AS roll_sum_micro,
+           MIN(v) OVER w AS roll_min_micro,
+           MAX(v) OVER w AS roll_max_micro,
+           COUNT(*) OVER w AS n_window
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(floor(value * 1000000.0) AS BIGINT) AS v
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_rolling(spark, sf_dir):
+    """Bounded trailing-frame rolling aggregates (ROWS 9 PRECEDING) per
+    user — the time-series smoothing shape (moving sum/min/max/count
+    over the last N events). Values go through floor(value*1e6) to
+    BIGINT micro-units first: floor of a double is IEEE-identical in
+    every engine, and integer window sums are exact at any frame
+    order, so no float accumulation can diverge. ONE per-user shuffle;
+    the frame is evaluated streamingly within each partition (Spark's
+    bounded-frame WindowExec keeps only 10 rows of state per user)."""
+    ev = _events(spark, sf_dir)
+    v = F.floor(F.col("value") * F.lit(1000000.0)).cast(T.LongType())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.withColumn("v", v).select(
+        "event_id",
+        "user_id",
+        F.sum("v").over(w).cast(T.LongType()).alias("roll_sum_micro"),
+        F.min("v").over(w).alias("roll_min_micro"),
+        F.max("v").over(w).alias("roll_max_micro"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
+@_register(
+    "q_doc_edit_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t, length(text) AS ln
+      FROM documents WHERE doc_id < 150)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS INT) AS dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 20
+    WHERE levenshtein(a.t, b.t) <= 20
+    """,
+)
+def q_doc_edit_pairs(spark, sf_dir):
+    """Exact Levenshtein near-dup pairs under lossless length-bucket
+    blocking (dedup.py::edit_distance_pairs): lev >= |len diff| makes
+    floor(len/20)-bucketing with next-bucket emission recall-exact at
+    dist <= 20, so the oracle can be the plain all-pairs predicate on
+    the bounded subset while the Spark plan stays a bucket equi-join
+    (never a cross product). Bounded to doc_id < 150 to keep the
+    quadratic oracle cheap; at scale the blocking composes with
+    MinHash/LSH candidates."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dd.edit_distance_pairs(docs, max_dist=20)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
