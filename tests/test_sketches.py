@@ -1,0 +1,73 @@
+"""Misra-Gries two-pass heavy hitters: exactness and recall bounds."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.extensions.sketches import _mg_update, heavy_hitters
+
+
+def _mg_run(stream, k):
+    counters: dict[str, int] = {}
+    for tok in stream:
+        _mg_update(counters, tok, k)
+    return counters
+
+
+def test_mg_keeps_items_above_bound():
+    # 100 'a' + 50 'b' + 150 singletons: n=300, k=5 → bound n/(k+1)=50.
+    # 'a' (100 > 50) MUST survive any arrival order.
+    stream = ["a"] * 100 + ["b"] * 50 + [f"x{i}" for i in range(150)]
+    # adversarial order: singletons interleaved after the heavy runs
+    for order in (stream, stream[::-1]):
+        assert "a" in _mg_run(order, 5)
+
+
+def test_mg_bounded_size():
+    stream = [f"t{i}" for i in range(10_000)]
+    assert len(_mg_run(stream, 8)) <= 8
+
+
+def _truth(rows, denom):
+    c = Counter()
+    for (text,) in rows:
+        for tok in text.lower().split():
+            c[tok] += 1
+    total = sum(c.values())
+    return {(t, n) for t, n in c.items() if n * denom > total}
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_heavy_hitters_exact_at_any_partitioning(spark, n_parts):
+    # skewed corpus: 'hot' dominates, 'warm' sits near the threshold,
+    # long singleton tail
+    rows = (
+        [("hot hot hot warm tail%d" % i,) for i in range(30)]
+        + [("hot cold%d cold%d" % (i, i + 1),) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "text string").repartition(n_parts)
+    got = {
+        (r.token, r.cnt)
+        for r in heavy_hitters(df, share_denom=20, k=25).collect()
+    }
+    assert got == _truth(rows, 20)
+
+
+def test_heavy_hitters_validates():
+    with pytest.raises(ValueError):
+        heavy_hitters(None, share_denom=1)
+
+
+def test_heavy_hitters_rejects_recall_breaking_k(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="exact recall"):
+        heavy_hitters(df, share_denom=100, k=10)
+
+
+def test_heavy_hitters_null_text(spark):
+    df = spark.createDataFrame(
+        [("a a a b",), (None,)], "text string"
+    )
+    got = {(r.token, r.cnt) for r in heavy_hitters(df, share_denom=2).collect()}
+    assert got == {("a", 3)}

@@ -1,0 +1,110 @@
+"""Bounded-memory sketch operators with exact two-pass refinement.
+
+The 100 TB problem with "which tokens dominate the corpus?" is that a
+full token groupBy shuffles one row per token OCCURRENCE — at corpus
+scale that shuffle dwarfs everything else. The classic fix is a
+two-pass plan:
+
+  pass 1  per-partition Misra-Gries summaries (k counters, constant
+          memory, zero shuffle) → a candidate set of at most
+          k × n_partitions tokens;
+  pass 2  exact recount restricted to the candidates (broadcast
+          semi-join before the aggregate) + one scalar total.
+
+Misra-Gries guarantee (public, Misra & Gries 1982): with k counters,
+any item whose partition frequency exceeds n_p/(k+1) survives that
+partition's summary. If a token's GLOBAL count exceeds N/(k+1), by
+pigeonhole it exceeds n_p/(k+1) in at least one partition, so the
+candidate union has EXACT recall for every token above that bound.
+Choosing k >= share_denom - 1 therefore makes the final exact filter
+``count * share_denom > total`` correct — the result is the exact
+heavy-hitter set, independent of partitioning (partitioning only
+changes how many spurious candidates pass 2 discards).
+
+Python touches data only through Arrow-batched mapInPandas in pass 1;
+pass 2 is pure JVM column algebra (split/explode/filter/agg).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WS = re.compile(r"\s+")
+
+
+def _mg_update(counters: dict[str, int], tok: str, k: int) -> None:
+    if tok in counters:
+        counters[tok] += 1
+    elif len(counters) < k:
+        counters[tok] = 1
+    else:
+        dead = []
+        for t in counters:
+            counters[t] -= 1
+            if counters[t] == 0:
+                dead.append(t)
+        for t in dead:
+            del counters[t]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    share_denom: int = 100,
+    text_col: str = "text",
+    k: int | None = None,
+) -> DataFrame:
+    """Exact set of tokens with count * share_denom > total_tokens.
+
+    ``share_denom=100`` means "tokens holding more than 1% of all
+    token occurrences". ``k`` defaults to ``2 * share_denom`` counters
+    (the minimum for exact recall is ``share_denom - 1``; the slack
+    cuts spurious candidates). Returns (token, cnt).
+    """
+    if share_denom < 2:
+        raise ValueError("share_denom must be >= 2")
+    k_eff = k if k is not None else 2 * share_denom
+    if k_eff < share_denom - 1:
+        raise ValueError(
+            f"k={k_eff} breaks exact recall: need k >= share_denom-1 "
+            f"= {share_denom - 1}"
+        )
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for tok in _WS.split(text.lower()):
+                    if tok:
+                        _mg_update(counters, tok, k_eff)
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = (
+        df.select(text_col)
+        .mapInPandas(mg_partition, schema="token string")
+        .distinct()
+    )
+
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("token")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    counts = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(share_denom) > F.col("total"))
+        .select("token", "cnt")
+    )

@@ -4032,6 +4032,33 @@ def q_doc_edit_pairs(spark, sf_dir):
     return dd.edit_distance_pairs(docs, max_dist=20)
 
 
+@_register(
+    "q_doc_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY token, tot.n
+    HAVING COUNT(*) * 100 > tot.n
+    """,
+)
+def q_doc_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (>1% of token occurrences) via the
+    two-pass Misra-Gries plan (extensions/sketches.py): constant-memory
+    per-partition summaries produce a bounded candidate set with exact
+    recall above the threshold, then a broadcast-semi-join-restricted
+    recount makes the final counts exact. The oracle is the full
+    groupBy — bit-identical results, but the Spark plan never shuffles
+    the long tail of the vocabulary."""
+    from walex_spark.extensions.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), share_denom=100)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
