@@ -83,3 +83,60 @@ def test_rejects_bad_args(frames):
         point_interval_join(points, intervals, "v", "lo", "hi", 0)
     with pytest.raises(ValueError):
         point_interval_join(points, intervals, "v", "lo", "hi", 50.0, how="full")
+
+
+class TestIntervalOverlap:
+    def _join(self, spark, left_rows, right_rows, w):
+        from walex_spark.operators.range_join import interval_overlap_join
+
+        lv = spark.createDataFrame(left_rows, "lid long, lo long, hi long")
+        rv = spark.createDataFrame(right_rows, "rid long, rlo long, rhi long")
+        out = interval_overlap_join(lv, rv, "lo", "hi", "rlo", "rhi", w)
+        return sorted((r.lid, r.rid) for r in out.collect())
+
+    def test_overlap_semantics(self, spark):
+        left = [(1, 0, 10), (2, 20, 25), (3, 40, 40)]
+        right = [
+            (100, 10, 12),   # touches interval 1 at the endpoint
+            (101, 5, 8),     # contained in 1
+            (102, 26, 39),   # disjoint from all
+            (103, 0, 100),   # covers everything
+        ]
+        got = self._join(spark, left, right, 4)
+        assert got == [
+            (1, 100), (1, 101), (1, 103), (2, 103), (3, 103),
+        ]
+
+    def test_pair_appears_once_across_buckets(self, spark):
+        # both intervals span many buckets (w=2): the pair would match
+        # in every shared bucket without the algebraic dedup
+        got = self._join(spark, [(1, 0, 50)], [(9, 10, 60)], 2)
+        assert got == [(1, 9)]
+
+    def test_empty_intervals_dropped(self, spark):
+        got = self._join(spark, [(1, 10, 5)], [(9, 0, 100)], 4)
+        assert got == []
+
+    def test_plan_is_equi_join(self, spark):
+        from walex_spark.operators.range_join import interval_overlap_join
+
+        lv = spark.range(100).select(
+            F.col("id").alias("lid"), F.col("id").alias("lo"),
+            (F.col("id") + 5).alias("hi"),
+        )
+        rv = spark.range(100).select(
+            F.col("id").alias("rid"), (F.col("id") * 2).alias("rlo"),
+            (F.col("id") * 2 + 3).alias("rhi"),
+        )
+        plan = (
+            interval_overlap_join(lv, rv, "lo", "hi", "rlo", "rhi", 8.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_validates_width(self, spark):
+        from walex_spark.operators.range_join import interval_overlap_join
+
+        df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+        with pytest.raises(ValueError):
+            interval_overlap_join(df, df, "b", "c", "b", "c", 0)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["point_interval_join"]
+__all__ = ["point_interval_join", "interval_overlap_join"]
 
 
 def point_interval_join(
@@ -66,3 +66,49 @@ def point_interval_join(
     if how == "left_semi":
         return pt.join(iv, cond, "left_semi").drop("__bucket")
     return pt.join(iv, cond, "inner").drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join interval rows that OVERLAP: ``l_lo <= r_hi AND r_lo <= l_hi``
+    (closed intervals), without a nested-loop plan.
+
+    Both sides explode to the buckets they cover and candidates meet
+    via the bucket equi-join, as in point_interval_join. An overlapping
+    pair shares every bucket in the overlap region, so the duplicate
+    matches are removed ALGEBRAICALLY: a match is kept only in bucket
+    ``max(floor(l_lo/w), floor(r_lo/w))`` — the first bucket both
+    intervals cover — which every overlapping pair shares exactly once.
+    No post-join distinct, so nothing wide ever needs a dedup shuffle.
+
+    Empty intervals (hi < lo) are dropped on both sides. Returns all
+    columns of both inputs (names must not collide).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    w = float(bucket_width)
+    bucket_of = lambda c: F.floor(c / F.lit(w)).cast(T.LongType())  # noqa: E731
+
+    lv = left.filter(F.col(l_lo) <= F.col(l_hi)).withColumn(
+        "__lb",
+        F.explode(F.sequence(bucket_of(F.col(l_lo)), bucket_of(F.col(l_hi)))),
+    )
+    rv = right.filter(F.col(r_lo) <= F.col(r_hi)).withColumn(
+        "__rb",
+        F.explode(F.sequence(bucket_of(F.col(r_lo)), bucket_of(F.col(r_hi)))),
+    )
+    first_shared = F.greatest(bucket_of(F.col(l_lo)), bucket_of(F.col(r_lo)))
+    cond = (
+        (lv["__lb"] == rv["__rb"])
+        & (F.col(l_lo) <= F.col(r_hi))
+        & (F.col(r_lo) <= F.col(l_hi))
+        & (lv["__lb"] == first_shared)
+    )
+    return lv.join(rv, cond, "inner").drop("__lb", "__rb")

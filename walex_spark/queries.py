@@ -4059,6 +4059,75 @@ def q_doc_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_t(spark, sf_dir, "documents"), share_denom=100)
 
 
+@_register(
+    "q_interval_overlap",
+    """
+    WITH ords AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS o_start,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  + o_orderkey % 14 AS BIGINT) AS o_end
+      FROM orders WHERE o_orderkey % 10 = 0),
+    promos AS (
+      SELECT DISTINCT
+             CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                  - DATE '1970-01-01' AS BIGINT) AS p_start,
+             CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                  - DATE '1970-01-01' + 9 AS BIGINT) AS p_end
+      FROM orders)
+    SELECT o.o_orderkey, p.p_start, p.p_end,
+           CAST(least(o.o_end, p.p_end) - greatest(o.o_start, p.p_start) + 1
+                AS BIGINT) AS overlap_days
+    FROM ords o JOIN promos p
+      ON o.o_start <= p.p_end AND p.p_start <= o.o_end
+    """,
+)
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (range_join.py::interval_overlap_join):
+    order validity windows x first-10-days-of-month promo windows, met
+    through the covered-bucket equi-join instead of the
+    BroadcastNestedLoopJoin Spark would plan for the raw inequality
+    predicate. Duplicate bucket matches are removed algebraically (the
+    max-of-starts bucket), so the plan has no distinct. The oracle is
+    DuckDB's native IEJoin over the same day-granular intervals."""
+    from walex_spark.operators.range_join import interval_overlap_join
+
+    orders = _t(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast(T.DateType())
+    days = lambda c: F.datediff(c.cast(T.DateType()), epoch).cast(T.LongType())  # noqa: E731
+    ords = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        days(F.col("o_orderdate")).alias("o_start"),
+        (days(F.col("o_orderdate")) + F.col("o_orderkey") % 14)
+        .cast(T.LongType())
+        .alias("o_end"),
+    )
+    promos = (
+        orders.select(
+            days(F.trunc(F.col("o_orderdate").cast(T.DateType()), "month"))
+            .alias("p_start")
+        )
+        .distinct()
+        .select("p_start", (F.col("p_start") + 9).cast(T.LongType()).alias("p_end"))
+    )
+    j = interval_overlap_join(
+        ords, promos, "o_start", "o_end", "p_start", "p_end", bucket_width=16
+    )
+    return j.select(
+        "o_orderkey",
+        "p_start",
+        "p_end",
+        (
+            F.least(F.col("o_end"), F.col("p_end"))
+            - F.greatest(F.col("o_start"), F.col("p_start"))
+            + 1
+        )
+        .cast(T.LongType())
+        .alias("overlap_days"),
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
