@@ -4128,6 +4128,60 @@ def q_interval_overlap(spark, sf_dir):
     )
 
 
+_Z_BITS = 8
+_Z_INTERLEAVE_SQL = " + ".join(
+    f"((({v} >> {b}) & 1) << {b * 2 + i})"
+    for b in range(_Z_BITS)
+    for i, v in enumerate(("a", "b"))
+)
+
+
+@_register(
+    "q_zorder_values",
+    f"""
+    WITH s AS (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      FROM lineitem),
+    sc AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(CAST((l_partkey - pmin) * {(1 << _Z_BITS) - 1} AS DOUBLE)
+                        / CAST(pmax - pmin AS DOUBLE)) AS BIGINT) AS a,
+             CAST(floor(CAST((l_suppkey - smin) * {(1 << _Z_BITS) - 1} AS DOUBLE)
+                        / CAST(smax - smin AS DOUBLE)) AS BIGINT) AS b
+      FROM lineitem, s)
+    SELECT l_orderkey, l_linenumber,
+           CAST({_Z_INTERLEAVE_SQL} AS BIGINT) AS zval
+    FROM sc
+    """,
+)
+def q_zorder_values(spark, sf_dir):
+    """Morton (Z-order) codes for (l_partkey, l_suppkey)
+    (sinks/zorder.py): min-max scale each key to 8 bits — the scale
+    multiplies before the single IEEE division, so the floor is
+    bit-identical in any engine — then interleave via pure
+    shift/and/or column algebra (whole-stage codegen, no UDF). The
+    same code drives zorder_write's range-partitioned layout, whose
+    files cover small key-space rectangles and prune on EITHER key;
+    the layout contract itself is pinned in tests/test_zorder.py."""
+    from walex_spark.sinks.zorder import scale_to_bits, z_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"),
+    ).first()
+    scaled = [
+        scale_to_bits(F.col("l_partkey"), st["pmin"], st["pmax"], _Z_BITS),
+        scale_to_bits(F.col("l_suppkey"), st["smin"], st["smax"], _Z_BITS),
+    ]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        z_value(scaled, _Z_BITS).alias("zval"),
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
