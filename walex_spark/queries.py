@@ -4182,6 +4182,52 @@ def q_zorder_values(spark, sf_dir):
     )
 
 
+@_register(
+    "q_events_resample",
+    """
+    WITH obs AS (
+      SELECT user_id AS entity,
+             CAST((epoch_us(ts) - epoch_us(ts) % 86400000000)
+                  / 86400000000 AS BIGINT) AS slot,
+             value AS v, epoch_us(ts) AS us
+      FROM events),
+    last_in_slot AS (
+      SELECT entity, slot, v FROM (
+        SELECT entity, slot, v,
+               row_number() OVER (PARTITION BY entity, slot
+                                  ORDER BY us DESC, v DESC) AS rn
+        FROM obs) WHERE rn = 1),
+    bounds AS (
+      SELECT entity, MIN(slot) AS s0, MAX(slot) AS s1
+      FROM obs GROUP BY entity),
+    grid AS (
+      SELECT entity, unnest(generate_series(s0, s1)) AS slot FROM bounds)
+    SELECT g.entity AS user_id, g.slot,
+           CAST(g.slot * 86400 AS BIGINT) AS slot_ts,
+           last_value(l.v IGNORE NULLS)
+             OVER (PARTITION BY g.entity ORDER BY g.slot
+                   ROWS UNBOUNDED PRECEDING) AS value,
+           l.v IS NULL AS filled
+    FROM grid g
+    LEFT JOIN last_in_slot l ON l.entity = g.entity AND l.slot = g.slot
+    """,
+)
+def q_events_resample(spark, sf_dir):
+    """Daily resample + forward fill per user
+    (operators/resample.py::resample_ffill): dense slot grid from each
+    user's first to last event, latest observation per slot picked by
+    a total-order row_number (us DESC, value DESC), empty slots carry
+    the prior value via last(ignorenulls). Slot indexes come from
+    exact integer µs arithmetic — never a floating floor-divide — and
+    the filled value is the untouched original double, so every engine
+    emits identical bits. All stages share the per-user partitioning."""
+    from walex_spark.operators.resample import resample_ffill
+
+    return resample_ffill(
+        _events(spark, sf_dir), "user_id", "ts", "value", 86400
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
