@@ -98,3 +98,50 @@ def test_incremental_counts_match_model_state(spark):
     for g in state.values():
         expected[g] = expected.get(g, 0) + 1
     assert got == expected
+
+
+def test_incremental_sums_match_model_state(spark):
+    from walex_spark.operators.scd import maintain_group_sums
+
+    rng = random.Random(11)
+    rows, lsn = [], 100
+    for key in range(50):
+        for _ in range(rng.randint(1, 8)):
+            op = rng.choice(["INSERT", "UPDATE", "DELETE"])
+            g = rng.choice(GROUPS)
+            m = rng.choice([None, 0, 3, 7, -5, 100])
+            rec = (
+                {"id": str(key), "g": g,
+                 "m": None if m is None else str(m)}
+                if op != "DELETE" else None
+            )
+            old = {"id": str(key), "g": g} if op == "DELETE" else None
+            rows.append(
+                (op, "public", "t", None, rec, old, None, TS, 0, lsn, 900, 0)
+            )
+            lsn += 1
+    rng.shuffle(rows)
+    env = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    got = {
+        r.g: (r.n_rows, r.sum_measure)
+        for r in maintain_group_sums(env, ["id"], "g", "m").collect()
+    }
+    # model: last live version per key, then aggregate per group
+    state = {}
+    for op, _s, _t, _c, rec, old, _k, _ts, hi, lo, _x, _ci in sorted(
+        rows, key=lambda r: r[9]
+    ):
+        key = (rec or old)["id"]
+        if op == "DELETE":
+            state.pop(key, None)
+        else:
+            state[key] = (rec["g"], rec["m"])
+    expected = {}
+    for g, m in state.values():
+        n, s = expected.get(g, (0, None))
+        mv = None if m is None else int(m)
+        s = mv if s is None and mv is not None else (
+            s if mv is None else s + mv
+        )
+        expected[g] = (n + 1, s)
+    assert got == expected

@@ -227,3 +227,86 @@ def maintain_group_counts(
         .agg(F.sum("w").alias("n_rows"))
         .filter(F.col("n_rows") > 0)
     )
+
+
+def maintain_group_sums(
+    df: DataFrame,
+    key_cols: list[str],
+    group_field: str,
+    measure_field: str,
+    record_col: str = "record",
+) -> DataFrame:
+    """Incremental SUM (+ count) maintenance per ``group_field`` from
+    the changelog — the measure generalization of
+    maintain_group_counts' retraction algebra:
+
+      INSERT/UPDATE  → +measure for the new record's group
+      change over a live previous version → -previous measure for the
+                       previous group (reconstructed via the per-key
+                       lag, as for counts)
+
+    The contributions telescope: per key only the live version's
+    measure survives, so the group sums equal aggregating the
+    materialized state. NULL measures contribute nothing on both the
+    +side and the -side, matching SQL SUM's null-skipping. The measure
+    is cast to BIGINT — integer retraction is exact; for fractional
+    measures scale to integer units first (micro-units), the same rule
+    the rolling-window query uses.
+
+    Same two shuffles as the count variant; groups are dropped when
+    their maintained row count reaches zero (a dead group with a
+    residual null sum must not linger).
+    """
+    keyed = df.withColumn("__lsn", lsn_column()).withColumn(
+        "__pk",
+        F.concat_ws(
+            "\x00",
+            *[F.coalesce(_key_col(record_col, k), F.lit("")) for k in key_cols],
+        ),
+    )
+    w = Window.partitionBy("__pk").orderBy(
+        F.col("__lsn").asc(), F.col("change_idx").asc()
+    )
+    cur_grp = F.col(record_col).getItem(group_field)
+    cur_m = F.col(record_col).getItem(measure_field).cast("bigint")
+    lagged = (
+        keyed.withColumn("__prev_grp", F.lag(cur_grp).over(w))
+        .withColumn("__prev_m", F.lag(cur_m).over(w))
+        .withColumn("__prev_op", F.lag(F.col("op")).over(w))
+    )
+    prev_live = F.col("__prev_op").isNotNull() & (F.col("__prev_op") != "DELETE")
+    contrib = F.array(
+        F.when(
+            F.col("op").isin("INSERT", "UPDATE"),
+            F.struct(
+                cur_grp.alias("grp"),
+                F.lit(1).alias("w"),
+                cur_m.alias("m"),
+            ),
+        ),
+        F.when(
+            prev_live,
+            F.struct(
+                F.col("__prev_grp").alias("grp"),
+                F.lit(-1).alias("w"),
+                (-F.col("__prev_m")).alias("m"),
+            ),
+        ),
+    )
+    deltas = (
+        lagged.select(F.explode(contrib).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select(
+            F.col("c.grp").alias(group_field),
+            F.col("c.w").alias("w"),
+            F.col("c.m").alias("m"),
+        )
+    )
+    return (
+        deltas.groupBy(group_field)
+        .agg(
+            F.sum("w").alias("n_rows"),
+            F.sum("m").cast("bigint").alias("sum_measure"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

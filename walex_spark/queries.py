@@ -4228,6 +4228,44 @@ def q_events_resample(spark, sf_dir):
     )
 
 
+@_register(
+    "q_cdc_incremental_sums",
+    f"""
+    WITH env AS (
+      SELECT event_id, user_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             {_ENVELOPE_CASE_SQL} AS op
+      FROM events),
+    state AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM env) WHERE rn = 1 AND op <> 'DELETE')
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_measure
+    FROM state GROUP BY event_type
+    """,
+)
+def q_cdc_incremental_sums(spark, sf_dir):
+    """Incremental SUM maintenance (scd.py::maintain_group_sums): the
+    measure generalization of q_cdc_incremental_agg — current-state
+    per-group sums from +m/-m changelog contributions with full
+    retraction (UPDATE moves the measure between groups, DELETE
+    retracts it, nulls skip like SQL SUM), while the oracle rebuilds
+    the state and sums it directly. Integer measures keep retraction
+    exact; fractional measures scale to integer units first."""
+    from walex_spark.operators.scd import maintain_group_sums
+
+    env = events_as_envelope(spark, sf_dir)
+    out = maintain_group_sums(env, ["user_id"], "event_type", "k")
+    return out.select(
+        "event_type",
+        F.col("n_rows").cast(T.LongType()).alias("n_rows"),
+        "sum_measure",
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
