@@ -172,3 +172,54 @@ def test_maintain_group_counts_retraction_algebra(spark):
     }
     # live state: key 1 -> b, key 3 -> b
     assert got == {"b": 2}
+
+
+def test_group_delta_stream_folds_to_batch_counts(spark, tmp_path):
+    """Streaming IVM deltas across two microbatches: folding the delta
+    stream equals the batch maintain_group_counts on the same
+    changelog — including group moves, deletes, and upserts crossing
+    the batch boundary (state must carry the live group over)."""
+    from walex_spark.model import CHANGE_ENVELOPE_SCHEMA
+    from walex_spark.operators.scd import maintain_group_counts
+    from walex_spark.sources.envelope import read_envelope_stream
+    from walex_spark.streaming.ivm import group_delta_stream
+
+    b1 = [
+        _change("INSERT", 100, {"g": "a"}, key="1"),
+        _change("INSERT", 110, {"g": "a"}, key="2"),
+        _change("UPDATE", 120, {"g": "b"}, key="1"),   # move a -> b
+    ]
+    b2 = [
+        _change("DELETE", 130, None, old={"g": "a"}, key="2"),
+        _change("INSERT", 140, {"g": "b"}, key="3"),
+        _change("INSERT", 150, {"g": "a"}, key="3"),   # upsert b -> a
+        _change("UPDATE", 160, {"g": "c"}, key="1"),   # cross-batch move
+    ]
+    src = str(tmp_path / "env")
+    spark.createDataFrame(b1, CHANGE_ENVELOPE_SCHEMA).write.parquet(src)
+    q = (
+        group_delta_stream(read_envelope_stream(spark, src), ["id"], "g")
+        .writeStream.format("memory")
+        .queryName("ivm_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, CHANGE_ENVELOPE_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        folded = {}
+        for r in spark.table("ivm_out").collect():
+            folded[r.grp] = folded.get(r.grp, 0) + r.w
+        folded = {g: n for g, n in folded.items() if n != 0}
+    finally:
+        q.stop()
+    env = spark.createDataFrame(b1 + b2, CHANGE_ENVELOPE_SCHEMA)
+    batch = {
+        r.g: r.n_rows
+        for r in maintain_group_counts(env, ["id"], "g").collect()
+    }
+    # live: 1 -> c, 3 -> a
+    assert folded == batch == {"a": 1, "c": 1}
