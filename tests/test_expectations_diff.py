@@ -126,3 +126,27 @@ def test_table_diff_single_equi_join_plan(spark):
     )
     plan = table_diff(old, new, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_count_distinct_over_null_correction(spark):
+    """The dense_rank identity must subtract the NULL tie-group:
+    COUNT(DISTINCT) skips NULLs, dense_rank counts them."""
+    from pyspark.sql import Row
+
+    from walex_spark.functions.windows import count_distinct_over
+
+    df = spark.createDataFrame(
+        [
+            Row(p=1, x=10), Row(p=1, x=10), Row(p=1, x=20), Row(p=1, x=None),
+            Row(p=2, x=None), Row(p=2, x=None),
+            Row(p=3, x=5),
+        ],
+        "p INT, x INT",
+    )
+    got = {
+        (r.p, r.n)
+        for r in df.select(
+            "p", count_distinct_over("x", ["p"]).alias("n")
+        ).distinct().collect()
+    }
+    assert got == {(1, 2), (2, 0), (3, 1)}

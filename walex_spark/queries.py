@@ -4266,6 +4266,70 @@ def q_cdc_incremental_sums(spark, sf_dir):
     )
 
 
+@_register(
+    "q_window_distinct",
+    """
+    SELECT l_orderkey, l_linenumber,
+           COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+             AS n_supps,
+           COUNT(DISTINCT l_partkey) OVER (PARTITION BY l_orderkey)
+             AS n_parts
+    FROM lineitem
+    """,
+)
+def q_window_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) OVER a partition — Spark rejects DISTINCT in
+    window aggregates outright, so the engine must supply the
+    dense_rank identity: count(distinct x) over p = max(dense_rank
+    ordered by x) over p, with a -1 correction when NULLs are present
+    (dense_rank counts the NULL tie-group; COUNT(DISTINCT) skips it).
+    Three window passes over ONE partition shuffle, no self-join."""
+    from walex_spark.functions.windows import count_distinct_over
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        count_distinct_over("l_suppkey", ["l_orderkey"]).alias("n_supps"),
+        count_distinct_over("l_partkey", ["l_orderkey"]).alias("n_parts"),
+    )
+
+
+@_register(
+    "q_unpivot_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber,
+             'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+    WHERE val > 0.0
+    """,
+)
+def q_unpivot_lineitem(spark, sf_dir):
+    """Unpivot (melt): wide measure columns → (measure, val) long form
+    via Spark's native unpivot operator — an Expand node that fans out
+    in-partition with ZERO shuffle (the oracle spells it as the
+    equivalent UNION ALL). The long form is what generic metric sinks
+    and per-measure aggregations consume."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("measure", "^l_", "").alias("measure"),
+        F.col("val").cast(T.DoubleType()).alias("val"),
+    ).filter(F.col("val") > 0.0)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
