@@ -1,0 +1,77 @@
+"""Bloom semi-join: no false negatives, exactness, plan posture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.operators.bloom import (
+    bloom_might_contain,
+    bloom_semi_join,
+    build_bloom,
+)
+
+M = 1 << 12  # 4096 bits — small enough to exercise collisions
+K = 4
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    right = spark.range(0, 500, 7).select(F.col("id").alias("k"))  # 72 keys
+    left = spark.range(0, 2000).select(F.col("id").alias("k"))
+    return left, right
+
+
+def test_no_false_negatives(spark, keyed):
+    left, right = keyed
+    words = build_bloom(right, "k", M, K)
+    members = right.withColumnRenamed("k", "m")
+    missed = members.filter(
+        ~bloom_might_contain(F.col("m"), words, M, K)
+    ).count()
+    assert missed == 0
+
+
+def test_prefilter_prunes_most_non_members(spark, keyed):
+    left, right = keyed
+    words = build_bloom(right, "k", M, K)
+    passed = left.filter(bloom_might_contain(F.col("k"), words, M, K)).count()
+    true_members = 72 + 215  # ids 0..1999 hitting 0,7,...,497 → 72; plus FPs
+    # 72 real members must pass; false positives must stay a small
+    # fraction of the 1928 non-members (m=4096,k=4,n=72 → fpr << 5%)
+    assert passed >= 72
+    assert passed <= 72 + 0.05 * 1928, passed
+
+
+def test_semi_join_exact_despite_false_positives(spark, keyed):
+    left, right = keyed
+    got = {
+        r.k for r in bloom_semi_join(left, right, "k", "k", M, K).collect()
+    }
+    expected = {
+        r.k for r in left.join(
+            right.distinct(), on="k", how="left_semi"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_null_keys_never_pass(spark):
+    right = spark.createDataFrame([(1,), (None,)], "k long")
+    left = spark.createDataFrame([(1,), (None,)], "k long")
+    words = build_bloom(right, "k", M, K)
+    out = left.filter(bloom_might_contain(F.col("k"), words, M, K))
+    assert [r.k for r in out.collect()] == [1]
+
+
+def test_build_partitioning_independent(spark):
+    df = spark.range(200).select(F.col("id").alias("k"))
+    assert build_bloom(df.repartition(1), "k", M, K) == build_bloom(
+        df.repartition(13), "k", M, K
+    )
+
+
+def test_validates(spark):
+    df = spark.range(4).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        build_bloom(df, "k", m_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        build_bloom(df, "k", m_bits=64, k=0)

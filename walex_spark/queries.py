@@ -4330,6 +4330,44 @@ def q_unpivot_lineitem(spark, sf_dir):
     ).filter(F.col("val") > 0.0)
 
 
+@_register(
+    "q_bloom_semi_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_totalprice > 450000.0)
+    """,
+)
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-prefiltered semi-join (operators/bloom.py): lineitem rows
+    of high-value orders. The deterministic md5 double-hash Bloom of
+    the qualifying order keys (built per-partition, OR-merged — the
+    collect is bitmap-sized, not key-sized) is pushed as a scan-side
+    filter so only sketch survivors reach the shuffle; the exact
+    semi-join then removes the false positives, so the result —
+    and the oracle, a plain EXISTS — are exact. This is the runtime-
+    filter pattern made explicit: at 100 TB the shuffle sees ~sel%
+    of the fact table instead of all of it. The bitmap ships as one
+    from_json string literal (constant-folded, not m/64 Literal
+    nodes)."""
+    from walex_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    hi = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    )
+    return bloom_semi_join(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        hi,
+        "l_orderkey",
+        "o_orderkey",
+        m_bits=1 << 18,
+        k=4,
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
