@@ -43,6 +43,10 @@ HEAVY_OUTPUT = {
     "q_cdc_sessionize",
     "q_cdc_tumbling_window",
     "q_doc_chunks",
+    "q_window_distinct",
+    "q_zorder_values",
+    "q_unpivot_lineitem",
+    "q_events_rolling",
 }
 
 # Keep the final summary line comfortably inside the driver's 2000-byte

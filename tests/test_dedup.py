@@ -72,3 +72,24 @@ def test_edit_pairs_validates_and_plans_equi_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_mutual_triangles(spark):
+    # graph: triangle {1,2,3}, square {4,5,6,7} without diagonals (no
+    # triangle), plus pendant edge 3-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (6, 7), (4, 7), (3, 9)],
+        "id_a long, id_b long",
+    )
+    got = {(r.a, r.b, r.c) for r in dedup.mutual_triangles(pairs).collect()}
+    assert got == {(1, 2, 3)}
+
+
+def test_mutual_triangles_counts_each_once(spark):
+    # K4: exactly 4 triangles, each reported once with a < b < c
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(
+        (r.a, r.b, r.c) for r in dedup.mutual_triangles(pairs).collect()
+    )
+    assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]

@@ -571,3 +571,30 @@ def edit_distance_pairs(
         pairs.select("id_a", "id_b", dist.alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def mutual_triangles(pairs: DataFrame) -> DataFrame:
+    """Triangles in the near-dup pair graph: triples of documents that
+    are all pairwise similar — the strongest clique signal short of
+    full clique mining, and the standard graph-quality metric for a
+    candidate-pair generator (a pair set with many triangles clusters
+    cleanly; one with none is mostly noise).
+
+    Input must carry (id_a, id_b) with id_a < id_b (the orientation
+    every pair operator in this module emits). That orientation IS the
+    classic distributed triangle-counting trick: each triangle
+    a < b < c is found exactly once, via its smallest vertex — two
+    equi-joins (wedge build + closing-edge check), never a cross
+    product, and no post-dedup pass.
+
+    Returns (a, b, c) with a < b < c.
+    """
+    e = pairs.select("id_a", "id_b")
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    wedges = e1.join(e2, "b")  # a < b < c by construction
+    closing = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    return (
+        wedges.join(closing, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )

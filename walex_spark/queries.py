@@ -4368,6 +4368,47 @@ def q_bloom_semi_join(spark, sf_dir):
     )
 
 
+@_register(
+    "q_doc_dup_triangles",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+                                   i -> substr(lower(text), i, 3))) AS g
+      FROM documents WHERE doc_id < 120 AND length(text) >= 3),
+    sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS it
+      FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2),
+    e AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.id = id_a
+      JOIN sz sb ON sb.id = id_b
+      WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.6)
+    SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+    FROM e e1
+    JOIN e e2 ON e2.id_a = e1.id_b
+    WHERE EXISTS (SELECT 1 FROM e e3
+                  WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+    """,
+)
+def q_doc_dup_triangles(spark, sf_dir):
+    """Triangles in the near-dup graph (dedup.py::mutual_triangles):
+    triples of mutually-similar documents over the exact trigram-
+    Jaccard edges (threshold 0.3, same bounded subset as
+    q_doc_trigram_jaccard but at threshold 0.6 — the 0.3 graph is
+    near-complete on the planted-duplicate subset and its ~180k
+    triangles would turn the correctness gate into a stress test).
+    The id_a < id_b orientation finds each
+    triangle exactly once via its smallest vertex — two equi-joins and
+    a closing-edge semi-join, no cross product, no dedup pass."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    shingles = dd.char_shingles(docs, 3)
+    pairs = dd.jaccard_pairs_from_tokens(shingles, threshold=0.6)
+    return dd.mutual_triangles(pairs)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
