@@ -150,3 +150,36 @@ def test_count_distinct_over_null_correction(spark):
         ).distinct().collect()
     }
     assert got == {(1, 2), (2, 0), (3, 1)}
+
+
+def test_pagerank_int_hand_computed(spark):
+    """Integer PR on a 3-node graph against hand-computed ranks:
+    A->B only; C isolated. Base mass = 150000, damping 85/100."""
+    from pyspark.sql import Row
+
+    from walex_spark.operators.graph import pagerank_int
+
+    nodes = spark.createDataFrame([Row(id=i) for i in (1, 2, 3)])
+    edges = spark.createDataFrame([Row(src=1, dst=2)])
+    # iter1: r(1)=150000, r(2)=150000+850000=1000000, r(3)=150000
+    # iter2: r(2)=150000+floor(150000*85/100)=277500
+    r2 = {
+        r.id: r.rank
+        for r in pagerank_int(nodes, edges, iters=2).collect()
+    }
+    assert r2 == {1: 150000, 2: 277500, 3: 150000}
+
+
+def test_pagerank_int_validates(spark):
+    from pyspark.sql import Row
+
+    from walex_spark.operators.graph import pagerank_int
+
+    nodes = spark.createDataFrame([Row(id=1)])
+    edges = spark.createDataFrame([Row(src=1, dst=1)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank_int(nodes, edges, iters=0)
+    with _pytest.raises(ValueError):
+        pagerank_int(nodes, edges, damping_pct=100)

@@ -26,14 +26,24 @@ cells = st.lists(
     st.one_of(
         st.none(),
         st.just(UNCHANGED_TOAST),
-        st.text(max_size=200),
+        # cell text is UTF-8 on the wire: exclude lone surrogates (Cs)
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=200,
+        ),
     ),
     min_size=1,
     max_size=8,
 )
-# column names travel as NUL-terminated C strings: any text without NUL
+# column names travel as NUL-terminated C strings: any UTF-8-encodable
+# text without NUL (PG identifiers are valid UTF-8 — lone surrogates
+# cannot occur on the wire and cannot be .encode()d)
 colnames = st.text(
-    alphabet=st.characters(blacklist_characters="\x00"), min_size=1, max_size=30
+    alphabet=st.characters(
+        blacklist_characters="\x00", blacklist_categories=("Cs",)
+    ),
+    min_size=1,
+    max_size=30,
 )
 lsns = st.integers(min_value=0, max_value=(1 << 64) - 1)
 oids = st.integers(min_value=0, max_value=(1 << 32) - 1)

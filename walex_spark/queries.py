@@ -4409,6 +4409,72 @@ def q_doc_dup_triangles(spark, sf_dir):
     return dd.mutual_triangles(pairs)
 
 
+@_register(
+    "q_doc_pagerank",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+                                   i -> substr(lower(text), i, 3))) AS g
+      FROM documents WHERE doc_id < 120 AND length(text) >= 3),
+    sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS it
+      FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.id = id_a
+      JOIN sz sb ON sb.id = id_b
+      WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.6),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    n AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 120),
+    dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+    c1 AS (SELECT e.dst AS id, SUM((r0.r * 85) // (100 * dg.d)) AS inflow
+           FROM e JOIN r0 ON r0.id = e.src JOIN dg ON dg.src = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT n.id, CAST(150000 + COALESCE(c1.inflow, 0) AS BIGINT) AS r
+           FROM n LEFT JOIN c1 ON c1.id = n.id),
+    c2 AS (SELECT e.dst AS id, SUM((r1.r * 85) // (100 * dg.d)) AS inflow
+           FROM e JOIN r1 ON r1.id = e.src JOIN dg ON dg.src = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.id, CAST(150000 + COALESCE(c2.inflow, 0) AS BIGINT) AS r
+           FROM n LEFT JOIN c2 ON c2.id = n.id),
+    c3 AS (SELECT e.dst AS id, SUM((r2.r * 85) // (100 * dg.d)) AS inflow
+           FROM e JOIN r2 ON r2.id = e.src JOIN dg ON dg.src = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT n.id, CAST(150000 + COALESCE(c3.inflow, 0) AS BIGINT) AS r
+           FROM n LEFT JOIN c3 ON c3.id = n.id)
+    SELECT id, r AS rank FROM r3
+    """,
+)
+def q_doc_pagerank(spark, sf_dir):
+    """Integer-arithmetic PageRank (operators/graph.py::pagerank_int)
+    over the symmetrized near-dup graph: rank mass in millionths,
+    damping as the rational 85/100, contributions floor-divided — the
+    whole iteration is integer, so three synchronous rounds are
+    bit-identical in any engine (the oracle unrolls them as CTEs with
+    DuckDB's // floor division). Per round: one src-keyed join, one
+    map-side-combined sum, one left join back to the node set, ranks
+    localCheckpointed so the plan stays O(1) across iterations."""
+    from walex_spark.operators.graph import pagerank_int
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    shingles = dd.char_shingles(docs, 3)
+    pairs = dd.jaccard_pairs_from_tokens(shingles, threshold=0.6)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("id")).distinct()
+    return pagerank_int(nodes, edges, iters=3).select(
+        "id", F.col("rank").alias("rank")
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
