@@ -1,0 +1,91 @@
+"""BPE trainer vs a pure-python reference on seeded random corpora."""
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.extensions.bpe import merge_pair, train_bpe_merges
+
+
+def _ref_bpe(texts, n_merges):
+    """Reference trainer: dict loop, overlap-counting pairs, greedy
+    leftmost merge, (count DESC, pair ASC) tie-break."""
+    words = Counter()
+    for t in texts:
+        for wd in t.lower().split():
+            words[wd] += 1
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, cnt in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((step, f"{a} {b}", a + b))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_merge_pair_fold_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (["a", "b", "a", "b"],),   # both occurrences merge
+            (["y", "y", "y"],),        # greedy: yy, y
+            (["x", "a"],),             # no match
+        ],
+        "seq array<string>",
+    )
+    got = [
+        r.m
+        for r in df.select(
+            merge_pair(F.col("seq"), "a", "b", "ab").alias("m")
+        ).collect()
+    ]
+    assert got[0] == ["ab", "ab"]
+    yy = [
+        r.m
+        for r in df.select(
+            merge_pair(F.col("seq"), "y", "y", "yy").alias("m")
+        ).collect()
+    ]
+    assert yy[1] == ["yy", "y"]
+    assert got[2] == ["x", "a"]
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_bpe_matches_reference(spark, seed):
+    rng = random.Random(seed)
+    vocab = ["the", "there", "then", "other", "banana", "bandana", "an"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10)))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = train_bpe_merges(df, 6)
+    assert got == _ref_bpe(texts, 6)
+
+
+def test_bpe_early_stop_and_validation(spark):
+    df = spark.createDataFrame([("x y z",)], "text string")
+    # every word unique, every pair count 1 → no merge possible
+    assert train_bpe_merges(df, 3) == []
+    with pytest.raises(ValueError):
+        train_bpe_merges(df, 0)

@@ -1,0 +1,126 @@
+"""Byte-pair-encoding merge training as DataFrame iterations.
+
+BPE (Sennrich et al. 2016, public) learns a subword vocabulary by
+repeatedly merging the most frequent adjacent symbol pair. The
+classic trainer is a single-machine dict loop; the corpus-scale form
+decomposes per iteration into:
+
+  1. pair counting — posexplode the symbol sequences, pair each
+     symbol with its successor via one per-word lead window, sum
+     weighted by word frequency (map-side combined; the shuffle runs
+     over the DISTINCT-word table, not the corpus);
+  2. argmax — one metadata-sized action (the single best pair) with
+     the deterministic tie-break (count DESC, pair ASC);
+  3. merge — a greedy leftmost fold over each symbol ARRAY
+     (F.aggregate, JVM-side): the freshly merged symbol can never
+     left-overlap the next match because the accumulator tail is
+     already "ab", not "b" — the same semantics every reference BPE
+     implementation has. A literal string replace would be WRONG
+     here twice over: "a b" matches across symbol boundaries
+     ("xa b" → "xab"), and delimiter-padded patterns skip alternate
+     occurrences in runs ("a b a b" merges once, not twice).
+
+The distinct-word table is the scale trick every practical BPE
+trainer uses: iteration cost is O(|vocab|), not O(corpus), because
+sequences carry their corpus frequency as a weight. Sequences are
+localCheckpointed per round so the plan does not grow with merges.
+
+Pair counting includes overlapping adjacencies ("y y y" counts
+(y,y) twice), matching the reference counter; merging is greedy
+leftmost non-overlapping — bit-reproducible, integer/string exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["train_bpe_merges", "merge_pair"]
+
+
+def merge_pair(seq_arr: Column, a: str, b: str, merged: str) -> Column:
+    """Greedy leftmost merge of adjacent (a, b) in a symbol array."""
+    last = F.try_element_at  # null (not an error) on index 0 / empty
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (last(acc, F.size(acc)) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        seq_arr, F.array().cast(T.ArrayType(T.StringType())), step
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[int, str, str]]:
+    """Learn ``n_merges`` BPE merges; returns [(step, pair, merged)].
+
+    ``pair`` is the space-separated symbol pair ("t h"), ``merged``
+    the fused symbol ("th"). Symbolization: lowercased whitespace
+    words, split to characters. Stops early when no pair occurs
+    twice.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt"))
+    )
+    seqs = words.select(
+        F.split(
+            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1 ")), " "
+        ).alias("seq"),
+        "cnt",
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str]] = []
+    for step_no in range(1, n_merges + 1):
+        sym = seqs.select(
+            F.col("seq"),
+            "cnt",
+            F.posexplode(F.col("seq")).alias("pos", "s"),
+        )
+        w = Window.partitionBy("seq").orderBy("pos")
+        pairs = (
+            sym.withColumn("nxt", F.lead("s").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .select(
+                F.concat_ws(" ", F.col("s"), F.col("nxt")).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), F.col("pair").asc()).first()
+        if best is None or best["n"] < 2:
+            break
+        pair = best["pair"]
+        a, b = pair.split(" ")
+        merged = a + b
+        merges.append((step_no, pair, merged))
+        seqs = seqs.select(
+            merge_pair(F.col("seq"), a, b, merged).alias("seq"), "cnt"
+        ).localCheckpoint(eager=False)
+    return merges

@@ -4475,6 +4475,100 @@ def q_doc_pagerank(spark, sf_dir):
     )
 
 
+_BPE_MERGES = 6
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE iteration: symbol table with positions, pair
+    counts over a per-word lead, best pair (count DESC, pair ASC),
+    then the greedy-leftmost merge via gaps-and-islands (runs of
+    consecutive matches merge at even offsets; the following symbol
+    is consumed)."""
+    p = i - 1
+    return f"""
+    s{i} AS (
+      SELECT seq, cnt, z[1] AS s, z[2] AS pos
+      FROM (SELECT seq, cnt,
+                   unnest(list_zip(string_split(seq, ' '),
+                          generate_series(1, len(string_split(seq, ' '))))) AS z
+            FROM w{p})),
+    p{i} AS (
+      SELECT s || ' ' || nxt AS pair, SUM(cnt) AS n FROM (
+        SELECT cnt, s, lead(s) OVER (PARTITION BY seq ORDER BY pos) AS nxt
+        FROM s{i})
+      WHERE nxt IS NOT NULL GROUP BY 1),
+    b{i} AS (
+      SELECT pair, replace(pair, ' ', '') AS merged FROM p{i}
+      WHERE n >= 2 ORDER BY n DESC, pair ASC LIMIT 1),
+    mt{i} AS (
+      SELECT seq, cnt, pos, s,
+             CASE WHEN s || ' ' || lead(s) OVER (PARTITION BY seq ORDER BY pos)
+                       = (SELECT pair FROM b{i}) THEN 1 ELSE 0 END AS m
+      FROM s{i}),
+    isl{i} AS (
+      SELECT seq, cnt, pos, s, m,
+             CASE WHEN m = 1 THEN
+               pos - ROW_NUMBER() OVER (PARTITION BY seq, m ORDER BY pos)
+             END AS isl
+      FROM mt{i}),
+    g{i} AS (
+      SELECT seq, cnt, pos, s, m,
+             CASE WHEN m = 1 THEN
+               (pos - MIN(pos) OVER (PARTITION BY seq, isl)) % 2
+             END AS off
+      FROM isl{i}),
+    r{i} AS (
+      SELECT seq, cnt, pos,
+             CASE WHEN m = 1 AND off = 0 THEN (SELECT merged FROM b{i})
+                  ELSE s END AS s2,
+             COALESCE(lag(CASE WHEN m = 1 AND off = 0 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY seq ORDER BY pos), 0) AS consumed
+      FROM g{i}),
+    w{i} AS (
+      SELECT string_agg(s2, ' ' ORDER BY pos) AS seq, ANY_VALUE(cnt) AS cnt
+      FROM r{i} WHERE consumed = 0 GROUP BY seq)"""
+
+
+_BPE_ORACLE_SQL = (
+    """
+    WITH w0 AS (
+      SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents WHERE doc_id < 200)
+      GROUP BY 1),"""
+    + ",".join(_bpe_iter_sql(i) for i in range(1, _BPE_MERGES + 1))
+    + "".join(
+        f"""
+    {'SELECT' if i == 1 else 'UNION ALL SELECT'} CAST({i} AS INT) AS step,
+      pair, merged FROM b{i}"""
+        for i in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
+@_register("q_doc_bpe_merges", _BPE_ORACLE_SQL)
+def q_doc_bpe_merges(spark, sf_dir):
+    """BPE merge training (extensions/bpe.py::train_bpe_merges): six
+    merges learned over the bounded corpus (doc_id < 200). Per round:
+    pair counts over the distinct-word table (weighted by frequency,
+    O(vocab) not O(corpus)), one metadata-sized argmax, and the
+    greedy-leftmost merge as a JVM array fold. The oracle unrolls the
+    same six rounds in SQL, expressing the greedy merge as
+    gaps-and-islands over match runs — both sides produce the exact
+    learned merge list, including early stop (an empty b_i CTE emits
+    nothing and leaves w_i = w_{i-1})."""
+    from walex_spark.extensions.bpe import train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = train_bpe_merges(docs, _BPE_MERGES)
+    schema = "step INT, pair STRING, merged STRING"
+    if not merges:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(merges, schema)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
