@@ -75,3 +75,19 @@ def test_validates(spark):
         build_bloom(df, "k", m_bits=100)  # not a multiple of 64
     with pytest.raises(ValueError):
         build_bloom(df, "k", m_bits=64, k=0)
+
+
+def test_python_reference_matches_jvm_hash(spark):
+    """_positions (pure python) must equal the JVM md5 double-hash the
+    build and probe use — it is the documented reference for probing
+    a shipped bitmap outside Spark."""
+    from walex_spark.operators.bloom import _hash_cols, _positions
+
+    vals = [0, 1, 42, 497, 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    h1, h2 = _hash_cols(F.col("k"))
+    rows = df.select(
+        "k", *[((h1 + F.lit(j) * h2) % F.lit(M)).alias(f"p{j}") for j in range(K)]
+    ).collect()
+    for r in rows:
+        assert [r[f"p{j}"] for j in range(K)] == _positions(str(r.k), M, K)

@@ -8,9 +8,11 @@ keys, push it into the fact scan, and let the exact join only see the
 survivors. This module builds that filter explicitly, deterministic
 across engines and restarts:
 
-  build  — per-partition bitmap via Arrow-batched mapInPandas
-           (zero shuffle), OR-merged on the driver — the collect is
-           m/8 bytes per partition, metadata-sized like IVF centroids;
+  build  — bit positions computed with the SAME JVM md5 expressions
+           the probe uses (build/probe cannot disagree on the hash),
+           deduped by one small shuffle; the driver collects at most
+           min(n*k, m_bits) integers — bounded by the bitmap size,
+           metadata-sized like IVF centroids;
   probe  — pure JVM expression: md5 double hashing
            (pos_j = h1 + j*h2 mod m, Kirsch-Mitzenmacher), the bitmap
            shipped as ONE array<long> literal indexed with
@@ -20,9 +22,10 @@ across engines and restarts:
            positives, so results are EXACT; the sketch only decides
            how many rows reach the shuffle.
 
-The hash input is the key's canonical decimal string, so Python
-(build) and the JVM (probe) hash identical bytes; md5 is bit-stable
-everywhere. False-positive rate follows the standard
+The hash input is the key's canonical decimal string; `_positions`
+is the pure-python reference of the same double hash (tested equal to
+the JVM expressions) for callers that need to probe a shipped bitmap
+outside Spark. False-positive rate follows the standard
 (1 - e^{-kn/m})^k — size m_bits ~ 10-16 bits/key for ~1% at k=4.
 """
 
@@ -30,9 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,51 +50,51 @@ def _positions(value: str, m_bits: int, k: int) -> list[int]:
     return [(h1 + j * h2) % m_bits for j in range(k)]
 
 
+def _hash_cols(col: Column) -> tuple[Column, Column]:
+    h = F.md5(F.concat(F.lit(_SALT), col.cast(T.StringType())))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast(T.LongType())
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast(T.LongType())
+    return h1, h2
+
+
 def build_bloom(
     df: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 4
 ) -> list[int]:
     """Distributed Bloom build → bitmap as signed int64 words.
 
-    Each partition builds its own bitmap (constant memory, no
-    shuffle); the driver ORs the partition bitmaps — one m/8-byte row
-    per partition crosses to the driver, never data rows.
+    The bit POSITIONS are computed with the same JVM md5 expressions
+    the probe uses (no Python workers to spin up, and build/probe can
+    never disagree on the hash); one small shuffle dedups them and
+    the driver collects at most min(n*k, m_bits) integers — bounded
+    by the bitmap size, never by the key count.
     """
     if m_bits % 64 != 0 or m_bits <= 0:
         raise ValueError("m_bits must be a positive multiple of 64")
     if k < 1:
         raise ValueError("k must be >= 1")
-    n_bytes = m_bits // 8
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bm = bytearray(n_bytes)
-        for pdf in batches:
-            for v in pdf[col]:
-                if v is None:
-                    continue
-                for pos in _positions(str(v), m_bits, k):
-                    bm[pos // 8] |= 1 << (pos % 8)
-        yield pd.DataFrame({"bitmap": [bytes(bm)]})
-
-    merged = bytearray(n_bytes)
-    for row in df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        part, schema="bitmap binary"
-    ).collect():
-        for i, b in enumerate(row["bitmap"]):
-            merged[i] |= b
-    words = []
-    for w in range(m_bits // 64):
-        word = int.from_bytes(merged[w * 8 : (w + 1) * 8], "little")
-        words.append(word - (1 << 64) if word >= (1 << 63) else word)
-    return words
+    h1, h2 = _hash_cols(F.col(col))
+    pos = F.explode(
+        F.array(*[(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(k)])
+    )
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(pos.alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
 def bloom_might_contain(
     col: Column, words: list[int], m_bits: int, k: int = 4
 ) -> Column:
     """JVM-side probe: true iff every hash position's bit is set."""
-    h = F.md5(F.concat(F.lit(_SALT), col.cast(T.StringType())))
-    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast(T.LongType())
-    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast(T.LongType())
+    h1, h2 = _hash_cols(col)
     # ONE string literal parsed by from_json, constant-folded to a
     # single array constant — m/64 individual Literal nodes would put
     # Catalyst analysis back on the IVF slow path this repo already
