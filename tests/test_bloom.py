@@ -91,3 +91,22 @@ def test_python_reference_matches_jvm_hash(spark):
     ).collect()
     for r in rows:
         assert [r[f"p{j}"] for j in range(K)] == _positions(str(r.k), M, K)
+
+
+def test_bloom_prefilter_sits_below_the_join(spark, keyed):
+    """The whole point: the sketch filter must run on the probe side
+    BEFORE the join (scan-side), so only survivors reach the shuffle —
+    and the join must stay a hash/merge semi-join, never a nested
+    loop."""
+    left, right = keyed
+    plan = (
+        bloom_semi_join(left, right, "k", "k", M, K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    md5_pos = plan.find("md5")
+    assert join_pos != -1 and md5_pos != -1
+    # physical plans print operators top-down: a larger offset = deeper
+    # in the tree = executed earlier; the md5 filter must be below the join
+    assert md5_pos > join_pos, (join_pos, md5_pos)

@@ -71,3 +71,18 @@ def test_heavy_hitters_null_text(spark):
     )
     got = {(r.token, r.cnt) for r in heavy_hitters(df, share_denom=2).collect()}
     assert got == {("a", 3)}
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark):
+    """The exact recount must restrict via a BROADCAST semi-join on
+    the bounded candidate set — a shuffled semi-join would drag the
+    full exploded token table through an exchange, which is exactly
+    what the sketch exists to avoid."""
+    df = spark.createDataFrame(
+        [("hot hot cold",), ("hot warm",)], "text string"
+    )
+    plan = (
+        heavy_hitters(df, share_denom=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
