@@ -95,6 +95,9 @@ def main() -> int:
     ap.add_argument("--entry", action="store_true", help="use __spark_entry__ instead of walex_spark.queries")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    # accept bare scale-factor names ("sf0.01") as well as full paths
+    if "/" not in args.sf:
+        args.sf = f"/root/testdata/{args.sf}"
 
     sys.path.insert(0, "/root/repo")
     if args.entry:
