@@ -4569,6 +4569,90 @@ def q_doc_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(merges, schema)
 
 
+@_register(
+    "q_array_funcs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(toks, x -> length(x) <= 3))), ','), '')
+             AS short_toks,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           CAST(list_max(list_transform(toks,
+                  x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS max_len,
+           list_contains(toks, 'the') AS has_the
+    FROM t
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """The array higher-order-function family — transform / filter /
+    aggregate / distinct / sort / element access / contains — each
+    mapped to its DuckDB list_* twin. These are the collection
+    operators every nested-data pipeline leans on; all JVM-side
+    expressions inside whole-stage codegen, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    t = docs.select("doc_id", toks.alias("toks"))
+    max_len = F.array_max(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast(T.LongType()))
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(F.col("toks"), lambda x: F.length(x) <= 3)
+                )
+            ),
+            ",",
+        ).alias("short_toks"),
+        F.col("toks").getItem(0).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        max_len.alias("max_len"),
+        F.array_contains("toks", "the").alias("has_the"),
+    )
+
+
+@_register(
+    "q_json_funcs",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           json_extract_string(props, '$.tag') AS tag,
+           json_extract_string(props, '$.missing') AS missing,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    """,
+)
+def q_json_funcs(spark, sf_dir):
+    """The semi-structured access family over the events props JSON
+    column: path extraction, typed casts, missing-path nulls,
+    existence — get_json_object ↔ json_extract_string. JSON parsing
+    stays JVM-side (Jackson) in the scan projection; no shuffle."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast(T.LongType()).alias("k_num"),
+        F.get_json_object("props", "$.tag").alias("tag"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
