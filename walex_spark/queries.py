@@ -4653,6 +4653,89 @@ def q_json_funcs(spark, sf_dir):
     )
 
 
+@_register(
+    "q_stats_covariance",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                           * CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / n AS covar_pop
+    FROM a
+    """,
+)
+def q_stats_covariance(spark, sf_dir):
+    """Population covariance per group WITHOUT the built-in covar_pop:
+    the built-ins accumulate doubles in partition order (engine- and
+    parallelism-dependent bits), so the moments are gathered as exact
+    decimal sums, converted through the documented DECIMAL(28,6)
+    bridge, and the covariance is assembled from identical doubles
+    with an identical expression tree — bit-equal at any parallelism.
+    One map-side-combinable aggregate, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dbl(F.sum(_dec("l_quantity"))).alias("sx"),
+        _dbl(F.sum(_dec("l_extendedprice"))).alias("sy"),
+        _dbl(F.sum(_dec("l_quantity") * _dec("l_extendedprice"))).alias(
+            "sxy"
+        ),
+    )
+    return a.select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / F.col("n")
+        ).alias("covar_pop"),
+    )
+
+
+@_register(
+    "q_events_histogram",
+    """
+    WITH b AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    h AS (
+      SELECT event_type,
+             CAST(CASE WHEN e.value >= b.hi THEN 15
+                  ELSE floor(CAST((e.value - b.lo) * 16 AS DOUBLE)
+                             / CAST(b.hi - b.lo AS DOUBLE))
+                  END AS BIGINT) AS bucket
+      FROM events e, b)
+    SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM h GROUP BY event_type, bucket
+    """,
+)
+def q_events_histogram(spark, sf_dir):
+    """Equi-width histogram (16 buckets) per event type: global
+    min/max from one metadata aggregate, bucket index via the
+    multiply-before-the-single-IEEE-division pattern (same floor
+    discipline as the Z-order scaling — a naive (v-lo)/w divide would
+    round differently at bucket edges), max value pinned into the last
+    bucket. One scan + one tiny agg; histogram rows are
+    groups x buckets — metadata-sized output at any input scale."""
+    ev = _events(spark, sf_dir)
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    bucket = F.when(F.col("value") >= F.lit(hi), F.lit(15)).otherwise(
+        F.floor(
+            ((F.col("value") - F.lit(lo)) * F.lit(16)).cast(T.DoubleType())
+            / F.lit(float(hi - lo))
+        )
+    )
+    return (
+        ev.select("event_type", bucket.cast(T.LongType()).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
