@@ -82,3 +82,42 @@ def test_temperature_mixture_keeps_smallest_group_whole(spark):
     # deterministic: same input, same kept set
     again = temperature_mixture(df, "grp").groupBy("grp").count().collect()
     assert {r.grp: r["count"] for r in again} == by
+
+
+def test_weighted_bernoulli_monotone_and_deterministic(spark):
+    from walex_spark.extensions.sampling import weighted_bernoulli_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([1] * 200 + [100] * 200)],
+        "doc_id long, w long",
+    )
+    kept = weighted_bernoulli_sample(df, "w", rate_at_max=1.0)
+    counts = {
+        r.w: r.n
+        for r in kept.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # weight 100 == wmax → kept with probability 1; weight 1 → ~1%
+    assert counts.get(100) == 200
+    assert counts.get(1, 0) < 20
+    # deterministic across invocations
+    a = {r.doc_id for r in kept.collect()}
+    b = {
+        r.doc_id
+        for r in weighted_bernoulli_sample(df, "w", rate_at_max=1.0).collect()
+    }
+    assert a == b
+
+
+def test_weighted_bernoulli_drops_nonpositive_and_validates(spark):
+    from walex_spark.extensions.sampling import weighted_bernoulli_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, None), (4, 10)],
+        "doc_id long, w int",
+    )
+    kept = {r.doc_id for r in weighted_bernoulli_sample(df, "w").collect()}
+    assert kept <= {4} and 1 not in kept and 2 not in kept and 3 not in kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_bernoulli_sample(df, "w", rate_at_max=0.0)

@@ -160,3 +160,52 @@ def temperature_mixture(
         .filter(u32 < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    rate_at_max: float = 1.0,
+) -> DataFrame:
+    """Row-weighted Bernoulli sampling: each row keeps with probability
+    ``rate_at_max * weight / max(weight)`` — the per-ROW form of
+    temperature_mixture's per-group rates (importance sampling by doc
+    length, quality score, ...).
+
+    Exactness: acceptance is the pure-INTEGER comparison
+    ``u32(id) * w_max < w * floor(rate_at_max * 2^32)`` — no float
+    division, no libm, so engines and replays agree row-for-row even
+    at threshold boundaries. The products stay under 2^63 for weights
+    up to ~2^30. The single max(weight) is a metadata aggregate
+    broadcast back; the filter runs map-side, zero data shuffles.
+
+    Rows with NULL or non-positive weight are dropped (a sampling
+    weight of zero means "never keep").
+    """
+    if not 0.0 < rate_at_max <= 1.0:
+        raise ValueError("rate_at_max must be in (0, 1]")
+    scale = int(rate_at_max * 4294967296.0)
+    wmax = df.agg(F.max(F.col(weight_col)).alias("__wmax"))
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast(T.StringType()))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast(T.LongType())
+    return (
+        df.crossJoin(F.broadcast(wmax))
+        .filter(
+            F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+            & (
+                u32 * F.col("__wmax").cast(T.LongType())
+                < F.col(weight_col).cast(T.LongType()) * F.lit(scale)
+            )
+        )
+        .drop("__wmax")
+    )

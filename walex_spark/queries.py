@@ -4736,6 +4736,33 @@ def q_events_histogram(spark, sf_dir):
     )
 
 
+@_register(
+    "q_doc_weighted_sample",
+    """
+    WITH wm AS (SELECT MAX(n_chars) AS wmax FROM documents)
+    SELECT d.doc_id, d.n_chars
+    FROM documents d, wm
+    WHERE d.n_chars IS NOT NULL AND d.n_chars > 0
+      AND ('0x' || substr(md5('wsample' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          * wm.wmax
+          < d.n_chars * CAST(floor(0.9 * 4294967296.0) AS BIGINT)
+    """,
+)
+def q_doc_weighted_sample(spark, sf_dir):
+    """Row-weighted Bernoulli sampling (sampling.py::
+    weighted_bernoulli_sample): keep probability 0.9 * n_chars/max —
+    importance sampling by document length. Acceptance is a pure
+    integer comparison (u32 * w_max < w * scale), so engines and
+    replays agree at every threshold boundary; the max is one
+    broadcast metadata aggregate and the filter runs map-side."""
+    from walex_spark.extensions.sampling import weighted_bernoulli_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_bernoulli_sample(
+        docs, "n_chars", rate_at_max=0.9
+    ).select("doc_id", "n_chars")
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
