@@ -223,3 +223,65 @@ def test_group_delta_stream_folds_to_batch_counts(spark, tmp_path):
     }
     # live: 1 -> c, 3 -> a
     assert folded == batch == {"a": 1, "c": 1}
+
+
+def test_group_delta_stream_survives_restart(spark, tmp_path):
+    """Stop the delta stream after batch 1, restart from the same
+    checkpoint, feed batch 2: the restarted query must resume the
+    per-key state (no duplicate +1 for keys installed in batch 1, the
+    displacement -1 charged to the batch-1 group) and the folded
+    deltas must still equal batch maintenance."""
+    from walex_spark.model import CHANGE_ENVELOPE_SCHEMA
+    from walex_spark.operators.scd import maintain_group_counts
+    from walex_spark.sources.envelope import read_envelope_stream
+    from walex_spark.streaming.ivm import group_delta_stream
+
+    src = str(tmp_path / "env")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    b1 = [
+        _change("INSERT", 100, {"g": "a"}, key="1"),
+        _change("INSERT", 110, {"g": "b"}, key="2"),
+    ]
+    b2 = [
+        _change("UPDATE", 120, {"g": "c"}, key="1"),   # move needs b1 state
+        _change("DELETE", 130, None, old={"g": "b"}, key="2"),
+    ]
+
+    def start():
+        return (
+            group_delta_stream(
+                read_envelope_stream(spark, src), ["id"], "g"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    spark.createDataFrame(b1, CHANGE_ENVELOPE_SCHEMA).write.parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.createDataFrame(b2, CHANGE_ENVELOPE_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    folded = {}
+    for r in spark.read.parquet(out_dir).collect():
+        folded[r.grp] = folded.get(r.grp, 0) + r.w
+    folded = {g: n for g, n in folded.items() if n != 0}
+    env = spark.createDataFrame(b1 + b2, CHANGE_ENVELOPE_SCHEMA)
+    batch = {
+        r.g: r.n_rows
+        for r in maintain_group_counts(env, ["id"], "g").collect()
+    }
+    assert folded == batch == {"c": 1}
