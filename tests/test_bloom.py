@@ -34,7 +34,6 @@ def test_prefilter_prunes_most_non_members(spark, keyed):
     left, right = keyed
     words = build_bloom(right, "k", M, K)
     passed = left.filter(bloom_might_contain(F.col("k"), words, M, K)).count()
-    true_members = 72 + 215  # ids 0..1999 hitting 0,7,...,497 → 72; plus FPs
     # 72 real members must pass; false positives must stay a small
     # fraction of the 1928 non-members (m=4096,k=4,n=72 → fpr << 5%)
     assert passed >= 72

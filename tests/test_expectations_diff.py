@@ -183,3 +183,21 @@ def test_pagerank_int_validates(spark):
         pagerank_int(nodes, edges, iters=0)
     with _pytest.raises(ValueError):
         pagerank_int(nodes, edges, damping_pct=100)
+
+
+def test_expect_unique_null_keys_use_grouping_semantics(spark):
+    """NULL keys group like SQL DISTINCT (one group per NULL combo) —
+    a unique-but-nullable key column must pass its uniqueness gate."""
+    from pyspark.sql import Row
+
+    t = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=1, b=2), Row(a=None, b=None)],
+        "a INT, b INT",
+    )
+    m = _suite_map(dq.expect_unique(t, "a", "b", check="u"))
+    assert m == {"u": (0, True)}
+    dup = spark.createDataFrame(
+        [Row(a=None, b=None), Row(a=None, b=None)], "a INT, b INT"
+    )
+    m2 = _suite_map(dq.expect_unique(dup, "a", "b", check="u"))
+    assert m2 == {"u": (1, False)}

@@ -64,3 +64,21 @@ def test_validates_step(spark):
     df = _df(spark, [(1, 1, 0, 0, 1.0)])
     with pytest.raises(ValueError):
         resample_ffill(df, "entity", "ts", "value", 0)
+
+
+def test_pre_epoch_slots_floor_not_truncate(spark):
+    """Pre-1970 timestamps must land in negative slots (true floor),
+    not collapse into a double-width slot 0 via %'s dividend-sign
+    truncation."""
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(1969, 12, 31, 12, 0, 0), 1.0),
+            (1, dt.datetime(1970, 1, 1, 12, 0, 0), 2.0),
+        ],
+        "entity long, ts timestamp_ntz, value double",
+    )
+    out = sorted(
+        (r.slot, r.value, r.filled)
+        for r in resample_ffill(df, "entity", "ts", "value", 86400).collect()
+    )
+    assert out == [(-1, 1.0, False), (0, 2.0, False)]

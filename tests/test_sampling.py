@@ -121,3 +121,14 @@ def test_weighted_bernoulli_drops_nonpositive_and_validates(spark):
 
     with _pytest.raises(ValueError):
         weighted_bernoulli_sample(df, "w", rate_at_max=0.0)
+
+
+def test_weighted_bernoulli_rejects_fractional_weights(spark):
+    """A fractional weight column silently truncated to 0 in the
+    integer acceptance test (0.9 -> every row dropped); the operator
+    must refuse and point at the micro-unit rule instead."""
+    from walex_spark.extensions.sampling import weighted_bernoulli_sample
+
+    df = spark.createDataFrame([(1, 0.9)], "doc_id long, w double")
+    with pytest.raises(ValueError, match="integer units"):
+        weighted_bernoulli_sample(df, "w")

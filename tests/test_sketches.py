@@ -86,3 +86,14 @@ def test_heavy_hitters_recount_is_broadcast_semi(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_heavy_hitters_tokenization_matches_jvm(spark):
+    """Pass-1 (Python) and pass-2 (JVM) must tokenize identically:
+    Unicode \\s in Python splits on NBSP, the JVM's ASCII \\s does
+    not — a mismatch drops the heavy token from the candidate set and
+    silently voids the recall guarantee."""
+    rows = [("a b",)] * 10 + [("x y",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {(r.token, r.cnt) for r in heavy_hitters(df, share_denom=2).collect()}
+    assert got == {("a b", 10)}

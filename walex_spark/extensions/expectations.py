@@ -29,9 +29,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SCHEMA_HINT = "check_name STRING, violations BIGINT, passed BOOLEAN"
-
-
 def _summary(df: DataFrame, check: str, violations: Column) -> DataFrame:
     return df.agg(
         F.lit(check).alias("check_name"),
@@ -44,12 +41,18 @@ def _summary(df: DataFrame, check: str, violations: Column) -> DataFrame:
 
 
 def expect_unique(df: DataFrame, *cols: str, check: str | None = None) -> DataFrame:
-    """Rows in excess of one per distinct key combination."""
+    """Rows in excess of one per distinct key combination.
+
+    Keys are compared with SQL GROUPING semantics (NULL equals NULL,
+    one group) via count_distinct over a STRUCT of the columns — a
+    bare count_distinct skips any row containing a NULL key, which
+    would flag false violations on unique-but-nullable keys."""
     name = check or f"unique({', '.join(cols)})"
     return _summary(
         df,
         name,
-        F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]),
+        F.count(F.lit(1))
+        - F.count_distinct(F.struct(*[F.col(c) for c in cols])),
     )
 
 

@@ -182,10 +182,22 @@ def weighted_bernoulli_sample(
     broadcast back; the filter runs map-side, zero data shuffles.
 
     Rows with NULL or non-positive weight are dropped (a sampling
-    weight of zero means "never keep").
+    weight of zero means "never keep"). The weight column must be an
+    INTEGRAL type — a fractional weight would silently truncate in
+    the integer comparison (0.9 → 0 drops every row), so fractional
+    scores must be scaled to integer units first (floor(score * 1e6),
+    the same micro-unit rule the rolling-window query uses) and the
+    operator raises rather than guess.
     """
     if not 0.0 < rate_at_max <= 1.0:
         raise ValueError("rate_at_max must be in (0, 1]")
+    wtype = dict(df.dtypes).get(weight_col)
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight column {weight_col!r} has type {wtype}; scale "
+            "fractional weights to integer units first "
+            "(e.g. floor(score * 1e6))"
+        )
     scale = int(rate_at_max * 4294967296.0)
     wmax = df.agg(F.max(F.col(weight_col)).alias("__wmax"))
     u32 = F.conv(

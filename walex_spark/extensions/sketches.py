@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_WS = re.compile(r"\s+")
+# re.ASCII so \s matches exactly Java's default \s (ASCII whitespace):
+# Python's Unicode \s also splits on NBSP etc., which the JVM pass-2
+# recount treats as ordinary token characters — a mismatch there
+# breaks the exact-recall guarantee for tokens containing them
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def _mg_update(counters: dict[str, int], tok: str, k: int) -> None:
@@ -81,13 +85,16 @@ def heavy_hitters(
             for text in pdf[text_col]:
                 if text is None:
                     continue
-                for tok in _WS.split(text.lower()):
+                for tok in _WS.split(text):
                     if tok:
                         _mg_update(counters, tok, k_eff)
         yield pd.DataFrame({"token": list(counters.keys())})
 
+    # case-fold in the JVM so pass 1 and pass 2 apply the IDENTICAL
+    # lower() — Python str.lower disagrees with the JVM on some code
+    # points, and any divergence voids the recall guarantee
     candidates = (
-        df.select(text_col)
+        df.select(F.lower(F.col(text_col)).alias(text_col))
         .mapInPandas(mg_partition, schema="token string")
         .distinct()
     )

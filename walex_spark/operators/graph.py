@@ -52,16 +52,19 @@ def pagerank_int(
         raise ValueError("damping_pct must be in [1, 99]")
     base = scale * (100 - damping_pct) // 100
 
-    # every iteration joins the edge set twice; without a lineage cut
-    # the (possibly expensive) edge-producing subtree re-executes per
-    # consumer per round — the duplicate_clusters lesson applied here
+    # every iteration joins the edge set; without a lineage cut the
+    # (possibly expensive) edge-producing subtree re-executes per
+    # consumer per round — the duplicate_clusters lesson applied here.
+    # The outdegree is loop-invariant, so it is pre-joined ONCE and
+    # the combined (src, dst, outdeg) table checkpointed: otherwise
+    # every round re-runs the degree aggregate and its shuffle.
     edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     ranks = nodes.select("id", F.lit(scale).cast(T.LongType()).alias("rank"))
     for _ in range(iters):
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["id"])
-            .join(deg, "src")
+            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
             .select(
                 F.col("dst").alias("id"),
                 _floordiv(

@@ -5,9 +5,10 @@ row per (entity, time slot) with the last observed value carried
 forward across empty slots. This is `resample().ffill()` from the
 single-node world, re-expressed as three bounded DataFrame stages:
 
-  1. slot assignment — pure integer µs arithmetic (``(us - us % step)
-     / step`` is an exact multiple divided out, so the slot index is
-     bit-identical in any engine, unlike a floating floor-divide);
+  1. slot assignment — pure integer µs arithmetic (``(us - pmod(us,
+     step)) / step`` is an exact multiple divided out — a true floor
+     for any sign, bit-identical in any engine, unlike a floating
+     floor-divide);
   2. last observation per (entity, slot) — one row_number window with
      a total-order tie-break, never ``last()`` over an unordered agg;
   3. per-entity dense grid via ``sequence(min_slot, max_slot)`` +
@@ -67,7 +68,13 @@ def resample_ffill(
     tb = tiebreak_col or value_col
 
     us = epoch_micros(df, ts_col)
-    slot = ((us - us % F.lit(step_us)) / F.lit(step_us)).cast(T.LongType())
+    # pmod, not %: Spark's % follows the dividend's sign, so plain
+    # (us - us % step) truncates toward zero and pre-1970 timestamps
+    # would collapse into a double-width slot 0; pmod keeps the
+    # numerator an exact multiple of step for ANY sign (true floor)
+    slot = ((us - F.pmod(us, F.lit(step_us))) / F.lit(step_us)).cast(
+        T.LongType()
+    )
     obs = df.select(
         F.col(entity_col).alias("entity"),
         slot.alias("slot"),

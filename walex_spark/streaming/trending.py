@@ -13,11 +13,11 @@ undercount by at most windowTotal/(k+1) (the classic MG error bound).
 
 Scale shape: the only shuffle keys rows by window slot; state per
 window is k (token, count) pairs + one total — constant, independent
-of window volume. Tokens explode JVM-side BEFORE the shuffle would…
-no: tokens are folded INSIDE the Arrow batch kernel, so the shuffle
-carries raw text rows, one per document (the shuffle-before-fan-out
-rule from dedup.partition_by_doc applied to streams). Closed windows
-drop their state via GroupStateTimeout.EventTimeTimeout.
+of window volume. The shuffle carries raw text rows, one per
+document, and tokens fold INSIDE the Arrow batch kernel — the
+shuffle-before-fan-out rule from dedup.partition_by_doc applied to
+streams. Closed windows drop their state via
+GroupStateTimeout.EventTimeTimeout.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ from walex_spark.extensions.sketches import _mg_update
 
 OUT_SCHEMA = "slot BIGINT, token STRING, est_count BIGINT, window_total BIGINT"
 
-_WS = re.compile(r"\s+")
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def trending_tokens_stream(
@@ -59,7 +59,9 @@ def trending_tokens_stream(
     # silently drops all but the window's first batch
     us = F.unix_micros(F.col(ts_col))
     pre = df.withWatermark(ts_col, watermark).select(
-        ((us - us % F.lit(step_us)) / F.lit(step_us))
+        # pmod, not %: a true floor for pre-epoch event times (same
+        # hazard as resample.py — % truncates toward zero)
+        ((us - F.pmod(us, F.lit(step_us))) / F.lit(step_us))
         .cast("long")
         .alias("__slot"),
         F.col(ts_col).alias("__ts"),
@@ -111,7 +113,7 @@ def trending_tokens_stream(
         step,
         outputStructType=OUT_SCHEMA,
         stateStructType=(
-            "tokens array<string>, counts array<int>, total bigint"
+            "tokens array<string>, counts array<long>, total bigint"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
