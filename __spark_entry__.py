@@ -31,7 +31,8 @@ _UNREGISTERED_TABLES = ("documents", "embeddings")
 _NOT_ALIAS = frozenset(
     "where group order join on left right inner cross full union limit "
     "having qualify using natural anti semi asof except intersect "
-    "window select values".split()
+    "window select values offset fetch tablesample pivot unpivot "
+    "lateral sample positional".split()
 )
 
 

@@ -98,6 +98,21 @@ def test_self_contained_rewrite_preserves_aliases():
     assert f("FROM documents)").startswith(
         f"FROM read_parquet('{SF_DIR}/documents.parquet') AS documents)"
     )
+    # clause keywords that can directly follow `FROM <table>` must not
+    # be swallowed as aliases (OFFSET 10 -> `AS offset 10` is a DuckDB
+    # parse error the EXPLAIN gate would only catch after the fact)
+    for kw in (
+        "OFFSET 10",
+        "FETCH FIRST 5 ROWS ONLY",
+        "TABLESAMPLE BERNOULLI(10)",
+        "PIVOT (SUM(x) FOR y IN ('a'))",
+        "UNPIVOT (v FOR k IN (a, b))",
+        "POSITIONAL JOIN t2",
+    ):
+        got = f(f"FROM documents {kw}")
+        assert got.startswith(
+            f"FROM read_parquet('{SF_DIR}/documents.parquet') AS documents {kw.split()[0]}"
+        ), got
 
 
 def test_extension_oracles_are_self_contained():

@@ -132,3 +132,21 @@ def test_weighted_bernoulli_rejects_fractional_weights(spark):
     df = spark.createDataFrame([(1, 0.9)], "doc_id long, w double")
     with pytest.raises(ValueError, match="integer units"):
         weighted_bernoulli_sample(df, "w")
+
+
+def test_weighted_bernoulli_rejects_overflowing_weights(spark):
+    """Weights at or above 2^31 would wrap the int64 acceptance
+    product u32 * w_max into engine-dependent garbage; the in-plan
+    guard must raise instead of sampling wrong."""
+    from walex_spark.extensions.sampling import weighted_bernoulli_sample
+
+    df = spark.createDataFrame(
+        [(1, 1 << 31), (2, 5)], "doc_id long, w long"
+    )
+    with pytest.raises(Exception, match="overflow"):
+        weighted_bernoulli_sample(df, "w").collect()
+    # just under the bound still works
+    ok = spark.createDataFrame(
+        [(1, (1 << 31) - 1), (2, (1 << 31) - 1)], "doc_id long, w long"
+    )
+    assert weighted_bernoulli_sample(ok, "w").count() == 2

@@ -178,8 +178,11 @@ def weighted_bernoulli_sample(
     ``u32(id) * w_max < w * floor(rate_at_max * 2^32)`` — no float
     division, no libm, so engines and replays agree row-for-row even
     at threshold boundaries. The products stay under 2^63 for weights
-    up to ~2^30. The single max(weight) is a metadata aggregate
-    broadcast back; the filter runs map-side, zero data shuffles.
+    below 2^31 — ENFORCED: the broadcast max(weight) row raises
+    in-plan when the bound would overflow, instead of producing
+    engine-dependent wrapped-product samples. The single max(weight)
+    is a metadata aggregate broadcast back; the filter runs map-side,
+    zero data shuffles.
 
     Rows with NULL or non-positive weight are dropped (a sampling
     weight of zero means "never keep"). The weight column must be an
@@ -199,7 +202,28 @@ def weighted_bernoulli_sample(
             "(e.g. floor(score * 1e6))"
         )
     scale = int(rate_at_max * 4294967296.0)
-    wmax = df.agg(F.max(F.col(weight_col)).alias("__wmax"))
+    # Overflow guard: the acceptance test multiplies u32 (< 2^32) by
+    # w_max and w (<= w_max) by scale (<= 2^32); either product wraps
+    # int64 once w_max reaches 2^31. Checked in-plan on the one-row
+    # aggregate so the failure is loud, not engine-dependent garbage.
+    wmax = df.agg(F.max(F.col(weight_col)).alias("__wmax")).select(
+        F.when(F.col("__wmax") < F.lit(1 << 31), F.col("__wmax"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "weighted_bernoulli_sample: max(weight) = "
+                    ),
+                    F.col("__wmax").cast(T.StringType()),
+                    F.lit(
+                        " >= 2^31 would overflow the int64 acceptance"
+                        " product; rescale weights below 2^31"
+                    ),
+                )
+            )
+        )
+        .alias("__wmax")
+    )
     u32 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(id_col).cast(T.StringType()))),

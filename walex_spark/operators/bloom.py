@@ -16,7 +16,7 @@ across engines and restarts:
   probe  — pure JVM expression: md5 double hashing
            (pos_j = h1 + j*h2 mod m, Kirsch-Mitzenmacher), the bitmap
            shipped as ONE array<long> literal indexed with
-           element_at + shift/and — no UDF, no broadcast join, and the
+           F.get + shift/and — no UDF, no broadcast join, and the
            filter sits below the shuffle in the plan;
   verify — the exact semi-join afterwards removes the Bloom's false
            positives, so results are EXACT; the sketch only decides

@@ -3816,8 +3816,8 @@ def q_events_outliers(spark, sf_dir):
     "q_dq_expectations",
     """
     SELECT 'unique_orderkey' AS check_name,
-           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
-           (COUNT(*) - COUNT(DISTINCT o_orderkey)) = 0 AS passed
+           CAST(COUNT(*) - COUNT(DISTINCT ROW(o_orderkey)) AS BIGINT) AS violations,
+           (COUNT(*) - COUNT(DISTINCT ROW(o_orderkey))) = 0 AS passed
     FROM orders
     UNION ALL
     SELECT 'not_null_custkey',
@@ -4187,8 +4187,13 @@ def q_zorder_values(spark, sf_dir):
     """
     WITH obs AS (
       SELECT user_id AS entity,
-             CAST((epoch_us(ts) - epoch_us(ts) % 86400000000)
-                  / 86400000000 AS BIGINT) AS slot,
+             -- floor division for ANY sign: subtract the true (pmod)
+             -- remainder first; DuckDB's % and // both truncate toward
+             -- zero, which would shift pre-1970 slots by one.
+             CAST((epoch_us(ts)
+                   - ((epoch_us(ts) % 86400000000) + 86400000000)
+                     % 86400000000)
+                  // 86400000000 AS BIGINT) AS slot,
              value AS v, epoch_us(ts) AS us
       FROM events),
     last_in_slot AS (
@@ -4343,8 +4348,10 @@ def q_unpivot_lineitem(spark, sf_dir):
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-prefiltered semi-join (operators/bloom.py): lineitem rows
     of high-value orders. The deterministic md5 double-hash Bloom of
-    the qualifying order keys (built per-partition, OR-merged — the
-    collect is bitmap-sized, not key-sized) is pushed as a scan-side
+    the qualifying order keys (bit positions computed by the probe's
+    own JVM hash expressions, deduped with distinct(), positions
+    collected — the collect is bounded by the bitmap size, not the
+    key count) is pushed as a scan-side
     filter so only sketch survivors reach the shuffle; the exact
     semi-join then removes the false positives, so the result —
     and the oracle, a plain EXISTS — are exact. This is the runtime-
