@@ -4784,38 +4784,31 @@ def q_doc_weighted_sample(spark, sf_dir):
 # Unlike r04's import-time registry mutation, the ordering is now
 # applied ONLY in __spark_entry__.queries()/oracle_sql() — bench.py,
 # the profiler, and tests iterate the natural declaration order.
+#   r06:     the 32 round-5 second-session queries (zero driver
+#            history — their only hard signal is the local gate) +
+#            this round's new queries + a handful of drift-sensitive
+#            representatives. The relational set re-witnessed in r05;
+#            the r04 extension set re-witnessed in r04.
 DRIVER_ORDER = [
-    # (a) relational/TPC-H + window/rollup/set-op shapes: local-green
-    # every session but without a hard driver row since r02 — both the
-    # code and the Spark environment have moved since (exactly the
-    # drift that silently broke q_cdc_sessionize in r03).
-    "q01_pricing_summary", "q02_top_revenue_orders",
-    "q03_shipping_priority", "q04_order_priority", "q05_region_volume",
-    "q06_forecast_revenue", "q07_nation_volume", "q08_market_share",
-    "q09_profit_by_nation", "q10_returned_items", "q11_important_parts",
-    "q12_ship_priority_lag", "q13_order_distribution", "q14_promo_share",
-    "q15_top_supplier", "q16_supplier_counts",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q20_part_stock_suppliers",
-    "q21_sole_late_supplier", "q22_idle_customers",
-    "q_window_topn_per_group", "q_window_running_total",
-    "q_window_lag_lead", "q_rollup_lineitem", "q_cube_orders",
-    "q_grouping_sets", "q_semi_join", "q_anti_join", "q_set_ops",
-    "q_distinct_agg", "q_scalar_funcs", "q_date_funcs", "q_case_having",
-    "q_pivot_status_priority",
-    # (b) the six round-5 NEW queries — zero driver history, highest
-    # marginal value for a hard row.
-    "q_cdc_scd2", "q_cdc_apply_deltas", "q_cdc_time_travel",
-    "q_doc_normalize", "q_profile_orders", "q_doc_cluster_survivors",
-    "q_emb_semantic_dedup",
-    # (c) representatives of operators touched in round 5 (IVF rework,
-    # dup-clusters action fusion, as-of tolerance branch, multimodal
-    # real-kernel path) + drift-sensitive CDC cores — each needs a
-    # current-environment witness more than an untouched r04-green
-    # extension query does; the rest stay on the identical local gate.
-    "q_emb_ann_ivf", "q_emb_ann_ivf_trained", "q_doc_dup_clusters",
-    "q_cdc_asof_state", "q_multimodal_meta", "q_cdc_sessionize",
-    "q_cdc_pgoutput_decode",
+    # (a) round-5 second-session + late additions: never had a hard
+    # driver row in ANY round.
+    "q_events_funnel", "q_events_retention", "q_window_rank_funcs",
+    "q_skew_salted_agg", "q_doc_simhash_pairs", "q_doc_normalized_dedup",
+    "q_cdc_incremental_agg", "q_emb_ann_pq", "q_emb_ann_ivfpq",
+    "q_doc_gopher", "q_doc_temp_mixture", "q_events_outliers",
+    "q_dq_expectations", "q_snapshot_diff", "q_events_rolling",
+    "q_doc_edit_pairs", "q_doc_heavy_hitters", "q_interval_overlap",
+    "q_zorder_values", "q_events_resample", "q_cdc_incremental_sums",
+    "q_window_distinct", "q_unpivot_lineitem", "q_bloom_semi_join",
+    "q_doc_dup_triangles", "q_doc_pagerank", "q_doc_bpe_merges",
+    "q_array_funcs", "q_json_funcs", "q_stats_covariance",
+    "q_events_histogram", "q_doc_weighted_sample",
+    # (b) round-6 new queries are appended here as they land (zero
+    # driver history beats any repeat witness).
+    # (c) drift-sensitive representatives: flagship + queries whose
+    # oracles or operators were touched this round.
+    "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
+    "q_cdc_pgoutput_decode", "q_cdc_sessionize",
 ]
 
 
