@@ -1,0 +1,83 @@
+"""extensions/search.py — BM25 ranked retrieval + unigram surprisal."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_bm25_hand_computed(spark):
+    from walex_spark.extensions.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog fish"),
+            (3, "bird bird bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bm25_topk(df, ["cat", "dog"], k=10).collect()
+    }
+    # doc 3 matches nothing -> absent
+    assert set(out) == {1, 2}
+    N, total = 3, 8
+    avgdl = total / N
+
+    def contrib(tf, dfreq, dl, k1=1.2, b=0.75):
+        idf = (N - dfreq + 0.5) / (dfreq + 0.5)
+        # NB: idf * (num/den) — the operator multiplies idf by the
+        # already-divided tf norm; (idf*num)/den is 1 ulp off
+        return idf * (
+            (tf * (k1 + 1.0))
+            / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+        )
+
+    exp1 = contrib(2, 1, 3) + contrib(1, 2, 3)
+    exp2 = contrib(0, 1, 2) * 0 + contrib(1, 2, 2)
+    assert out[1].score == pytest.approx(exp1, abs=0)  # bit-exact
+    assert out[2].score == pytest.approx(exp2, abs=0)
+    assert out[1].n_terms_matched == 2 and out[2].n_terms_matched == 1
+    assert out[1].rnk == 1 and out[2].rnk == 2
+
+
+def test_bm25_validates_terms(spark):
+    from walex_spark.extensions.search import bm25_topk
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+    with pytest.raises(ValueError):
+        bm25_topk(df, ["a", "a"])
+
+
+def test_half_bits_values(spark):
+    from walex_spark.extensions.search import half_bits
+
+    rows = spark.range(1).select(
+        half_bits(F.lit(1)).alias("one"),
+        half_bits(F.lit(2)).alias("two"),
+        half_bits(F.lit(3)).alias("three"),
+        half_bits(F.lit(1 << 20)).alias("big"),
+        half_bits(F.lit((1 << 62))).alias("clamped"),
+    ).first()
+    assert rows.one == 0          # floor(2*log2(1))
+    assert rows.two == 2          # floor(2*log2(2))
+    assert rows.three == 3        # floor(2*log2(3)) = floor(3.17)
+    assert rows.big == 40         # 2*20
+    assert rows.clamped == 61     # 2^62 clamps to (2^31-1)^2
+
+
+def test_surprisal_hand_computed(spark):
+    from walex_spark.extensions.search import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # N=5; counts a=2 b=2 c=1; r_a = 5 div 2 = 2 -> hb 2; r_c = 5 -> hb 4
+    out = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    assert out[1].n_tokens == 3 and out[1].total_half_bits == 6
+    assert out[2].n_tokens == 2 and out[2].total_half_bits == 6
+    assert out[1].half_bits_per_token == 2.0
+    assert out[2].half_bits_per_token == 3.0

@@ -1,0 +1,222 @@
+"""Full-text relevance scoring over the documents table: BM25 ranked
+retrieval and unigram-LM surprisal (the CCNet/DSIR-style "perplexity"
+quality signal), both engineered for bit-exact cross-engine replay.
+
+Design notes (floats are the enemy — see queries.py header):
+
+* BM25 uses the LOG-FREE idf ``(N - df + 0.5) / (df + 0.5)`` — the
+  same convention as chunking.term_scores' log-free idf. ln() is libm
+  (Java Math.log is only semi-monotonic, not correctly rounded) so its
+  bits are engine-dependent; the rational idf is one IEEE division,
+  identical everywhere. Ranking quality is unchanged for short queries
+  (idf stays monotone in df).
+* Per-document BM25 totals are sums over the query's terms. Each
+  term's contribution is isolated with a conditional aggregate (a doc
+  has at most one tf row per term, so each SUM folds one element) and
+  the final total is written as t1 + t2 + ... in the fixed query-term
+  order — no fold whose order an engine could choose.
+* Surprisal avoids log() the same way quantile/idf queries do: the
+  per-token information content is measured in HALF-BIT units via
+  ``bitlen(r*r) - 1`` where ``r = clamp(n_total / count)`` — binary
+  string length is exact integer arithmetic in both engines
+  (length(bin(x)) - 1 == floor(log2(x))), and squaring first yields
+  floor(2*log2(r)) i.e. half-bit granularity. Deliberate trade:
+  half-bit resolution is plenty for a corpus quality GATE (Gopher/
+  CCNet thresholds are whole-bit coarse) and the score is bit-exact
+  at any parallelism, which a libm log can never promise.
+
+Scale shape: both operators tokenize with the shared whitespace
+tokenizer (text.py::_tokens), aggregate token counts map-side, and
+join doc-level stats on term keys. BM25 filters the exploded tokens
+to the query's terms BEFORE any shuffle (the corpus long tail never
+leaves the scan stage); surprisal's vocabulary aggregate is the only
+wide shuffle and carries (token, count) pairs, never text. No UDFs,
+no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from walex_spark.extensions.text import _tokens
+
+__all__ = ["bm25_topk", "unigram_surprisal", "half_bits"]
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25 with
+    log-free idf (module docstring).
+
+    Returns (id_col, n_terms_matched, score, rnk) — rnk 1..k, ties
+    broken by id. Score arithmetic is written as a fixed sequence of
+    IEEE double ops mirrored verbatim by the SQL oracle:
+
+        idf_t   = (N - df_t + 0.5) / (df_t + 0.5)
+        tfn_t   = (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl / avgdl)))
+        score   = sum over query terms, in the given term order
+
+    Scale shape: the exploded token stream is filtered to the query's
+    terms before the (doc, term) aggregate, so the shuffle carries only
+    matching postings; dl comes from the same scan via a size()
+    expression (no second tokenize pass is shuffled); N/avgdl/df are
+    one-row / |q|-row aggregates broadcast back. The final top-k is a
+    global sort LIMIT k (TakeOrdered — no single-partition window).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(list(query_terms)))
+
+    tf = base.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    # corpus stats: N and total token count from one narrow agg pass
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            _bm25_contrib(
+                F.col("tf"),
+                F.col("df"),
+                F.col("dl"),
+                F.col("n_docs"),
+                F.col("total_tokens"),
+                k1,
+                b,
+            ).alias("contrib"),
+        )
+    )
+    # one conditional sum per query term; total written in term order
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"__c{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"), *per_term
+    )
+    total = None
+    for i in range(len(query_terms)):
+        c = F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+        total = c if total is None else total + c
+    ranked = (
+        agg.select(
+            F.col(id_col),
+            F.col("n_terms_matched").cast(T.LongType()).alias("n_terms_matched"),
+            total.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    # the window runs AFTER limit k — k rows, not a global single
+    # partition pass
+    return ranked.withColumn(
+        "rnk", F.row_number().over(w).cast(T.LongType())
+    )
+
+
+def _bm25_contrib(
+    tf: Column, dfreq: Column, dl: Column, n_docs: Column,
+    total_tokens: Column, k1: float, b: float,
+) -> Column:
+    tfd = tf.cast(T.DoubleType())
+    dfd = dfreq.cast(T.DoubleType())
+    nd = n_docs.cast(T.DoubleType())
+    dld = dl.cast(T.DoubleType())
+    avgdl = total_tokens.cast(T.DoubleType()) / nd
+    idf = (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    tfn = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / avgdl))
+    )
+    return idf * tfn
+
+
+_R_CAP = (1 << 31) - 1
+
+
+def half_bits(ratio: Column) -> Column:
+    """floor(2 * log2(r)) for integer r >= 1 via exact binary-string
+    length: length(bin(r*r)) - 1. ``r`` is clamped to 2^31 - 1 so the
+    square fits int64 (the clamp only touches tokens rarer than one in
+    2^31 — their surprisal saturates at ~62 half-bits)."""
+    r = F.least(ratio, F.lit(_R_CAP)).cast(T.LongType())
+    return (F.length(F.bin(r * r)) - F.lit(1)).cast(T.LongType())
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram-LM surprisal in half-bit units — the
+    model-free analogue of CCNet's perplexity quality bucket.
+
+    The corpus itself is the language model: token t with count c out
+    of N total tokens carries ``half_bits(N div c)`` half-bits of
+    information (≈ 2*log2(N/c)); a document's score is the sum over
+    its tokens. High bits/token = rare-token-heavy (gibberish, code,
+    boilerplate-free); low = repetitive/templated. Exact integer
+    arithmetic end to end (module docstring).
+
+    Returns (id_col, n_tokens, total_half_bits, half_bits_per_token)
+    with the per-token average as one double division.
+
+    Scale shape: vocabulary aggregate = one (token, count) shuffle —
+    the same shape as q_doc_vocab_topk; per-doc totals re-join the
+    exploded stream on the token key (map-side combinable sum). The
+    join is on the vocab's zipf head+tail but carries two longs per
+    token; no text crosses the second shuffle.
+    """
+    base = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = base.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = base.select(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        base.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            # exact integer division (double `/` + cast could round a
+            # >2^53 quotient across the floor boundary)
+            half_bits(F.expr("n_total div cnt")).alias("hb"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_tokens"),
+        F.sum("hb").cast(T.LongType()).alias("total_half_bits"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "total_half_bits",
+        (
+            F.col("total_half_bits").cast(T.DoubleType())
+            / F.col("n_tokens").cast(T.DoubleType())
+        ).alias("half_bits_per_token"),
+    )

@@ -4771,6 +4771,102 @@ def q_doc_weighted_sample(spark, sf_dir):
 
 
 # =========================================================================
+# Round 6: full-text relevance + LM-quality scoring (extensions/search.py)
+# =========================================================================
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+_BM25_TERMS = ["hash", "join", "vector", "spark"]
+
+
+def _bm25_oracle(terms: list[str], k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    # per-term conditional sums added in the fixed query-term order —
+    # mirrors bm25_topk's total exactly (each SUM folds <= 1 element)
+    total = " + ".join(
+        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN c END), 0.0)" for t in terms
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS dl, unnest({_DUCK_TOKS}) AS term
+      FROM documents),
+    ft AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ({in_list}) GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len({_DUCK_TOKS})) AS total_tokens
+      FROM documents),
+    dfq AS (SELECT term, COUNT(*) AS df FROM ft GROUP BY term),
+    contrib AS (
+      SELECT f.doc_id, f.term,
+             ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * {k1 + 1.0!r})
+                / (CAST(tf AS DOUBLE)
+                   + {k1!r} * ({1.0 - b!r} + {b!r}
+                     * (CAST(dl AS DOUBLE)
+                        / (CAST(total_tokens AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE)))))) AS c
+      FROM ft f JOIN dfq USING (term) CROSS JOIN stats),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             {total} AS score
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, n_terms_matched, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+    FROM agg ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@_register("q_doc_bm25", _bm25_oracle(_BM25_TERMS))
+def q_doc_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (extensions/search.py::bm25_topk) for a
+    4-term bag-of-words query, log-free idf (rational, bit-exact —
+    ln() is libm and engine-dependent). The exploded token stream is
+    filtered to the query's terms BEFORE any shuffle — the corpus
+    long tail never leaves the scan — and the per-doc total is a
+    fixed-order sum of per-term conditional aggregates, so every
+    double matches the oracle bit-for-bit. Top-k is a global
+    TakeOrdered, not a single-partition window."""
+    from walex_spark.extensions.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+@_register(
+    "q_doc_surprisal",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks),
+    sc AS (
+      SELECT doc_id,
+             length(bin(LEAST(n_total // cnt, 2147483647)
+                        * LEAST(n_total // cnt, 2147483647))) - 1 AS hb
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(hb) AS BIGINT) AS total_half_bits,
+           CAST(CAST(SUM(hb) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS half_bits_per_token
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_doc_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal per document (extensions/search.py::
+    unigram_surprisal) — the CCNet/DSIR-style perplexity quality
+    signal with the corpus as its own LM. Information content is
+    measured in HALF-BIT units via length(bin(r*r))-1 (exact integer
+    floor(2*log2(N div c)) in any engine — a deliberate half-bit
+    granularity trade for bit-exactness that libm log can't offer).
+    One vocabulary shuffle + one map-side-combinable per-doc sum; no
+    text crosses the second shuffle."""
+    from walex_spark.extensions.search import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -4805,6 +4901,7 @@ DRIVER_ORDER = [
     "q_events_histogram", "q_doc_weighted_sample",
     # (b) round-6 new queries are appended here as they land (zero
     # driver history beats any repeat witness).
+    "q_doc_bm25", "q_doc_surprisal",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round.
     "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
