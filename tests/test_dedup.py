@@ -93,3 +93,56 @@ def test_mutual_triangles_counts_each_once(spark):
         (r.a, r.b, r.c) for r in dedup.mutual_triangles(pairs).collect()
     )
     assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+
+def test_duplicate_spans_cross_doc(spark):
+    S = "abcdefghij" * 4  # 40 chars
+    df = spark.createDataFrame(
+        [
+            (1, S + "X" + "uvwxyz" * 4),
+            (2, "ZZZZZ" + S),
+            (3, "completely different text with no forty char repeats at all....."),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in dedup.duplicate_spans(df, win_len=40).collect()
+    )
+    assert got == [(1, 1, 40, 40), (2, 6, 45, 40)]
+
+
+def test_duplicate_spans_merge_and_split(spark):
+    S = "abcdefghij" * 4
+    df = spark.createDataFrame(
+        [(1, S + S)], "doc_id long, text string"
+    )
+    # pos 1 and pos 41 hold the same window; 41 <= 1 + 40 merges
+    got = [
+        (r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, win_len=40).collect()
+    ]
+    assert got == [(1, 80)]
+    # filler must not self-repeat ("Q"*50 holds 11 identical Q*40
+    # windows that would legitimately bridge the two spans)
+    import string
+
+    filler = (string.ascii_uppercase + string.digits + "!@#$%^&*()[]{}")[:50]
+    df2 = spark.createDataFrame(
+        [(1, S + filler + S)], "doc_id long, text string"
+    )
+    got2 = sorted(
+        (r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df2, win_len=40).collect()
+    )
+    assert got2 == [(1, 40), (91, 130)]
+
+
+def test_duplicate_spans_validates(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(df, win_len=1)
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(df, min_count=1)
+    # docs shorter than the window produce no rows, not a crash
+    assert dedup.duplicate_spans(df, win_len=40).count() == 0

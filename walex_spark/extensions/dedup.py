@@ -20,7 +20,7 @@ engine), so every operator here is oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -597,4 +597,86 @@ def mutual_triangles(pairs: DataFrame) -> DataFrame:
     return (
         wedges.join(closing, ["a", "c"], "left_semi")
         .select("a", "b", "c")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    win_len: int = 40,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring spans, the ExactSubstr dedup of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"): every ``win_len``-char window that occurs at
+    least ``min_count`` times anywhere in the corpus marks its
+    characters as duplicated; overlapping/adjacent duplicate windows
+    merge into maximal spans per document.
+
+    Returns (id_col, span_start, span_end, span_len), 1-based
+    inclusive char offsets.
+
+    Scale shape: the window hash aggregate is the honest cost — one
+    shuffle of (md5, doc, pos) per character position, the
+    distributed stand-in for the paper's suffix array. The explode
+    happens AFTER a length filter (no degenerate sequence() on short
+    docs), duplicate hashes come from one count>=N aggregate (map-side
+    combinable), and span merging is a per-doc gaps-and-islands pass —
+    bounded partitions, one shuffle on the doc key. Windows never
+    carry text beyond win_len chars into the hash expression; only
+    hashes and offsets shuffle.
+    """
+    if win_len < 2:
+        raise ValueError("win_len must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    text = F.col(text_col)
+    wins = (
+        df.filter(F.length(text) >= win_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text) - F.lit(win_len - 1))
+            ).alias("pos"),
+            text.alias("__t"),
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            F.md5(F.col("__t").substr(F.col("pos"), F.lit(win_len))).alias("h"),
+        )
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("h")
+    )
+    marked = wins.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grouped = (
+        marked.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") > F.col("__prev") + F.lit(win_len)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__grp", F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return grouped.groupBy(id_col, "__grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(win_len - 1)).alias("span_end"),
+    ).select(
+        F.col(id_col),
+        F.col("span_start").cast(T.LongType()).alias("span_start"),
+        F.col("span_end").cast(T.LongType()).alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + F.lit(1))
+        .cast(T.LongType())
+        .alias("span_len"),
     )

@@ -4866,6 +4866,45 @@ def q_doc_surprisal(spark, sf_dir):
     return unigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "q_doc_dup_spans",
+    """
+    WITH seq AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS pos
+      FROM documents WHERE length(text) >= 40),
+    wins AS (SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h FROM seq),
+    duph AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+    marked AS (SELECT doc_id, pos FROM wins
+               WHERE h IN (SELECT h FROM duph)),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 40
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM marked))
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 39 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 39 - MIN(pos) + 1 AS BIGINT) AS span_len
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def q_doc_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (dedup.py::duplicate_spans) —
+    the ExactSubstr dedup of Lee et al. 2021: 40-char windows hashed,
+    windows occurring >= 2 times anywhere mark their characters,
+    overlapping marks merge into maximal per-doc spans
+    (gaps-and-islands). The window-hash shuffle of (md5, doc, pos)
+    per char position is the honest distributed stand-in for the
+    paper's suffix array; span merging is one per-doc windowed pass."""
+    from walex_spark.extensions.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), win_len=40)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -4901,7 +4940,7 @@ DRIVER_ORDER = [
     "q_events_histogram", "q_doc_weighted_sample",
     # (b) round-6 new queries are appended here as they land (zero
     # driver history beats any repeat witness).
-    "q_doc_bm25", "q_doc_surprisal",
+    "q_doc_bm25", "q_doc_surprisal", "q_doc_dup_spans",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round.
     "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
