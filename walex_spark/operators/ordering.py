@@ -1,0 +1,128 @@
+"""Global total-order utilities: distributed row indexing and prefix
+sums without a single-partition sort.
+
+The naive spelling of "give every row its global position" is
+``row_number() OVER (ORDER BY key)`` — a single-partition window that
+serializes the whole table through one task (Spark even warns). These
+operators use the classic two-level decomposition instead:
+
+  1. ``repartitionByRange(key)`` + ``sortWithinPartitions`` — the one
+     data-sized shuffle, the same one any global sort pays;
+  2. per-partition metadata (row count / value sum, and the partition's
+     first ``monotonically_increasing_id``) — a metadata-sized
+     aggregate, one row per partition;
+  3. exclusive offsets over that tiny frame (a driver-sized window),
+     broadcast back and added to each row's LOCAL index/sum.
+
+``global_sorted_index`` needs NO second data shuffle at all: after the
+range sort, ``monotonically_increasing_id`` is documented to be
+``partition_id * 2^33 + local_row_counter``, so ``mid - min(mid per
+partition)`` IS the local rank — recovered with a broadcast join
+instead of a pid-partitioned window. ``prefix_sums`` does need one
+extra pid-hash exchange for its running-sum window; rows there should
+be projected narrow before calling.
+
+Determinism: range-boundary sampling only decides WHERE partitions
+split, never the total order, so positions are reproducible run to
+run as long as ``order_cols`` is a TOTAL order (callers must include
+a unique tiebreaker — enforced nowhere, documented everywhere).
+
+The deterministic-shuffle use case (training-data ordering at 100 TB):
+order by ``md5(salt || id)`` and the index is a stable, seedable
+global shuffle position — no RDD zipWithIndex, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["global_sorted_index", "prefix_sums", "shuffle_key"]
+
+
+def shuffle_key(id_col: Column, salt: str = "shuffle") -> Column:
+    """Deterministic pseudo-random sort key: md5(salt || id). Ordering
+    by it is a seeded global shuffle (new salt = new permutation)."""
+    return F.md5(F.concat(F.lit(salt), id_col.cast(T.StringType())))
+
+
+def _ranged(df: DataFrame, order_cols: list, num_partitions: int | None):
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    return ranged.sortWithinPartitions(*cols), cols
+
+
+def global_sorted_index(
+    df: DataFrame,
+    order_cols: list,
+    index_col: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All columns of ``df`` plus ``index_col`` = the row's 1-based
+    global position under ``order_cols`` (which must be a total
+    order). One data shuffle (the range sort); the rank is recovered
+    from monotonically_increasing_id minus the partition's first id,
+    plus broadcast per-partition offsets (module docstring)."""
+    s, _ = _ranged(df, order_cols, num_partitions)
+    with_mid = s.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    parts = with_mid.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__mid").alias("__mid0")
+    )
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = parts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+    )
+    return (
+        with_mid.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            index_col,
+            (F.col("__off") + (F.col("__mid") - F.col("__mid0")) + F.lit(1))
+            .cast(T.LongType()),
+        )
+        .drop("__pid", "__mid", "__cnt", "__mid0", "__off")
+    )
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    cum_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All columns of ``df`` plus ``cum_col`` = the EXCLUSIVE prefix
+    sum of ``value_col`` under the ``order_cols`` total order (sum of
+    all strictly-earlier rows; first row gets 0). Integer-exact for
+    integral values at any parallelism.
+
+    Costs the range shuffle plus one pid-hash exchange for the local
+    running-sum window — project rows narrow before calling."""
+    s, cols = _ranged(df, order_cols, num_partitions)
+    s = s.withColumn("__pid", F.spark_partition_id())
+    lw = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(lw), F.lit(0))
+    parts = s.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    ow = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = parts.withColumn(
+        "__off", F.coalesce(F.sum("__psum").over(ow), F.lit(0))
+    )
+    return (
+        s.withColumn("__local", local)
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(
+            cum_col,
+            (F.col("__off") + F.col("__local")).cast(T.LongType()),
+        )
+        .drop("__pid", "__local", "__psum", "__off")
+    )

@@ -4905,6 +4905,84 @@ def q_doc_dup_spans(spark, sf_dir):
     return duplicate_spans(_t(spark, sf_dir, "documents"), win_len=40)
 
 
+@_register(
+    "q_doc_global_shuffle",
+    """
+    SELECT doc_id,
+           md5('shuf' || CAST(doc_id AS VARCHAR)) AS shuf_key,
+           CAST(row_number()
+                OVER (ORDER BY md5('shuf' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def q_doc_global_shuffle(spark, sf_dir):
+    """Seeded global training-order shuffle (operators/ordering.py::
+    global_sorted_index over md5(salt||id)): every doc gets its
+    1-based position in a reproducible pseudo-random permutation. The
+    rank comes from the range-sort's monotonically_increasing_id minus
+    per-partition offsets (broadcast metadata join) — ONE data
+    shuffle, no single-partition row_number, no RDD zipWithIndex.
+    The oracle is the single-partition spelling the operator exists
+    to avoid."""
+    from walex_spark.operators.ordering import (
+        global_sorted_index,
+        shuffle_key,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", shuffle_key(F.col("doc_id"), "shuf").alias("shuf_key")
+    )
+    return global_sorted_index(docs, ["shuf_key", "doc_id"], "pos")
+
+
+@_register(
+    "q_doc_pack_sequences",
+    f"""
+    WITH n AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS n,
+             md5('pack' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    nz AS (SELECT * FROM n WHERE n > 0),
+    c AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY k, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum
+      FROM nz),
+    e AS (
+      SELECT doc_id, n, cum,
+             unnest(generate_series(cum // 64, (cum + n - 1) // 64)) AS seq_id
+      FROM c)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(0, seq_id * 64 - cum) AS BIGINT) AS tok_start,
+           CAST(LEAST(n, (seq_id + 1) * 64 - cum) AS BIGINT) AS tok_end,
+           CAST(LEAST(n, (seq_id + 1) * 64 - cum)
+                - GREATEST(0, seq_id * 64 - cum) AS BIGINT) AS n_seq_tokens
+    FROM e
+    """,
+)
+def q_doc_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (extensions/packing.py::
+    pack_sequences): documents shuffled by md5('pack'||id), laid end
+    to end, cut every 64 tokens; one row per (sequence, doc-slice)
+    with the doc's own [tok_start, tok_end) bounds. Built on
+    distributed exclusive prefix sums (two narrow shuffles) — pure
+    integer arithmetic, so the packing is identical at any
+    parallelism and in any engine. The oracle is the single-partition
+    window cumsum."""
+    from walex_spark.extensions.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    from walex_spark.extensions.text import _tokens as _tk
+
+    counts = docs.select(
+        "doc_id", F.size(_tk(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(counts, "n_tokens", seq_len=64, salt="pack")
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -4941,6 +5019,7 @@ DRIVER_ORDER = [
     # (b) round-6 new queries are appended here as they land (zero
     # driver history beats any repeat witness).
     "q_doc_bm25", "q_doc_surprisal", "q_doc_dup_spans",
+    "q_doc_global_shuffle", "q_doc_pack_sequences",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round.
     "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
