@@ -129,3 +129,65 @@ def test_assign_join_path_single_shuffle(emb, cents_rows):
     r = audit(out)
     assert r.shuffle_exchanges == 1
     assert r.broadcast_exchanges >= 1
+
+
+def test_sq8_codes_endpoints_and_constant_dim(spark):
+    from walex_spark.extensions import similarity as sim
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0, 7.0]), (2, [10.0, 5.0, 3.0]), (3, [5.0, 5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    lo, hi = sim.sq8_stats(df, 3)
+    assert lo == [0.0, 5.0, 3.0] and hi == [10.0, 5.0, 7.0]
+    codes = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id", sim._sq8_codes(F.col("embedding"), lo, hi).alias("c")
+        ).collect()
+    }
+    # endpoints hit 0 / 255; constant dim (idx 1) codes to 0; midpoint
+    # of [3,7] -> floor(2*255/4+0.5) = floor(128.0) = 127 wait 2*63.75=127.5+0.5=128
+    assert codes[1] == [0, 0, 255]
+    assert codes[2] == [255, 0, 0]
+    assert codes[3][0] == 128 and codes[3][1] == 0
+    assert codes[3][2] == 128  # (5-3)*255/4 + .5 = 128.0 -> 128
+
+
+def test_ann_sq8_topk_ranks_by_int_score(spark):
+    from walex_spark.extensions import similarity as sim
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.ann_sq8_topk(
+        df.filter(F.col("vec_id") == 0), df, dim=2, k=3
+    ).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert order[0] == 1  # most aligned with query 0
+    assert len(out) == 3
+    for r in out:
+        assert -1.0 <= r.cosine <= 1.0 and r.iscore >= 0
+
+
+def test_recall_at_k_counts_hits_and_zeroes(spark):
+    from walex_spark.extensions import similarity as sim
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99)], "query_id long, neighbor_id long"
+    )
+    got = {r.query_id: (r.n_hits, r.recall)
+           for r in sim.recall_at_k(truth, approx, k=2).collect()}
+    assert got == {1: (1, 0.5), 2: (0, 0.0)}

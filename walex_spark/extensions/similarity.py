@@ -956,3 +956,160 @@ def ann_ivfpq_topk(
         F.broadcast(lut), ["query_id", "m", "code"]
     )
     return _adc_topk(pairs, k)
+
+
+def sq8_stats(
+    corpus: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension min/max over the corpus — the scalar-quantizer
+    codebook. One posexplode aggregate; the collect is dim-sized
+    metadata (like IVF centroids)."""
+    rows = (
+        corpus.select(F.posexplode(_to_double(F.col(vec_col))).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .collect()
+    )
+    lo = [0.0] * dim
+    hi = [0.0] * dim
+    for r in rows:
+        lo[r["pos"]] = r["lo"]
+        hi[r["pos"]] = r["hi"]
+    return lo, hi
+
+
+def _sq8_codes(vec: Column, lo: list[float], hi: list[float]) -> Column:
+    """int8 codes 0..255 per dimension: floor((v-lo)*255/(hi-lo)+0.5),
+    clamped; a constant dimension (hi == lo) codes to 0. Two from_json
+    constant arrays, never dim*2 Literal nodes (the r05 IVF lesson)."""
+    import json as _json
+
+    lo_a = F.from_json(F.lit(_json.dumps(lo)), "array<double>")
+    hi_a = F.from_json(F.lit(_json.dumps(hi)), "array<double>")
+    return F.transform(
+        _to_double(vec),
+        lambda x, i: F.when(
+            F.get(hi_a, i) == F.get(lo_a, i), F.lit(0).cast(T.LongType())
+        ).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (x - F.get(lo_a, i))
+                        * F.lit(255.0)
+                        / (F.get(hi_a, i) - F.get(lo_a, i))
+                        + F.lit(0.5)
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            ).cast(T.LongType())
+        ),
+    )
+
+
+def ann_sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization ANN (the FAISS SQ8 shape): corpus and
+    queries quantized to uint8 codes with a shared per-dim min/max
+    codebook (4× smaller than float32, 8× smaller than the double
+    pipeline), candidates ranked by the INTEGER code dot product —
+    order-free exact, so rank and oracle agree bit-for-bit — and the
+    surviving top-k re-scored with the exact double cosine (strict
+    left fold) for the final output.
+
+    Returns (query_id, neighbor_id, iscore, cosine, rnk); rnk is the
+    int-score rank (ties by neighbor id).
+
+    Scale shape: the codebook is one dim-sized metadata collect; codes
+    ship as array<long> per row (narrow); the query side is broadcast
+    like brute_force_topk; the exact re-score touches only q*k rows.
+    """
+    lo, hi = sq8_stats(corpus, dim, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _sq8_codes(F.col(vec_col), lo, hi).alias("q_code"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _sq8_codes(F.col(vec_col), lo, hi).alias("c_code"),
+    )
+    iscore = F.aggregate(
+        F.zip_with(F.col("q_code"), F.col("c_code"), lambda x, y: x * y),
+        F.lit(0).cast(T.LongType()),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            "c_vec",
+            iscore.alias("iscore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("iscore").cast(T.LongType()).alias("iscore"),
+            cosine_similarity_col(F.col("q_vec"), F.col("c_vec")).alias(
+                "cosine"
+            ),
+            F.col("rnk").cast(T.LongType()).alias("rnk"),
+        )
+    )
+
+
+def recall_at_k(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate neighbor list against exact ground
+    truth: per query, |approx ∩ truth| / k. Queries with zero hits
+    (or absent from ``approx``) report 0 — the honest eval, not a
+    silent drop.
+
+    Scale shape: both inputs are (query, neighbor) lists of at most k
+    rows per query; the semi-join and count shuffle on the query key
+    only. recall = hits / k is ONE double division of exact integers.
+    """
+    t = truth.select(query_col, neighbor_col)
+    a = approx.select(query_col, neighbor_col)
+    hits = (
+        t.join(a, [query_col, neighbor_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        t.select(query_col)
+        .distinct()
+        .join(hits, query_col, "left")
+        .select(
+            F.col(query_col),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast(T.LongType())
+            .alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast(T.DoubleType())
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )

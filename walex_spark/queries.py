@@ -4983,6 +4983,127 @@ def q_doc_pack_sequences(spark, sf_dir):
     return pack_sequences(counts, "n_tokens", seq_len=64, salt="pack")
 
 
+_SQ8_CODE_SQL = """
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    stats AS (
+      SELECT pos, MIN(val) AS lo, MAX(val) AS hi FROM (
+        SELECT unnest(embedding::DOUBLE[]) AS val,
+               unnest(generate_series(1, 64)) AS pos
+        FROM embeddings) GROUP BY pos),
+    codes AS (
+      SELECT vec_id, list(code ORDER BY pos) AS code FROM (
+        SELECT x.vec_id, x.pos,
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE CAST(LEAST(GREATEST(floor(
+                           (x.val - s.lo) * 255.0 / (s.hi - s.lo) + 0.5),
+                           0), 255) AS BIGINT) END AS code
+        FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+                     unnest(generate_series(1, 64)) AS pos
+              FROM embeddings) x
+        JOIN stats s USING (pos))
+      GROUP BY vec_id)
+"""
+
+
+@_register(
+    "q_emb_ann_sq8",
+    f"""
+    WITH {_SQ8_CODE_SQL},
+    q AS (SELECT c.vec_id AS query_id, c.code AS qc, v.v AS qv
+          FROM codes c JOIN v USING (vec_id) WHERE c.vec_id < 8),
+    c2 AS (SELECT c.vec_id AS neighbor_id, c.code AS cc, v.v AS cv
+           FROM codes c JOIN v USING (vec_id)),
+    scored AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             list_reduce(list_transform(list_zip(qc, cc),
+                                        x -> x[1] * x[2]),
+                         (p, q) -> p + q) AS iscore
+      FROM q, c2 WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, CAST(iscore AS BIGINT) AS iscore,
+             {{fd}} / (sqrt({{fq}}) * sqrt({{fc}})) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY iscore DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, iscore, cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """.format(
+        fd=_FOLD_DOT.format(a="qv", b="cv"),
+        fq=_FOLD_DOT.format(a="qv", b="qv"),
+        fc=_FOLD_DOT.format(a="cv", b="cv"),
+    ),
+)
+def q_emb_ann_sq8(spark, sf_dir):
+    """Scalar-quantization ANN (similarity.py::ann_sq8_topk — the
+    FAISS SQ8 shape): shared per-dim min/max codebook (one dim-sized
+    metadata collect, shipped as two from_json constants), uint8
+    codes, INTEGER code dot-product ranking (order-free exact — no
+    float fold to disagree on), exact double cosine re-score on the
+    surviving top-k only. 4× smaller vectors than float32 on the
+    wire at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_sq8_topk(
+        emb.filter(F.col("vec_id") < 8), emb, dim=64, k=5
+    )
+
+
+@_register(
+    "q_emb_ann_recall",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_hyperplane_sql()} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v, bucket FROM b WHERE vec_id < 32),
+    c AS (SELECT vec_id AS neighbor_id, v, bucket FROM b),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_FOLD_DOT.format(a='q.v', b='c.v')}
+                          / (sqrt({_FOLD_DOT.format(a='q.v', b='q.v')})
+                             * sqrt({_FOLD_DOT.format(a='c.v', b='c.v')}))
+                          DESC, neighbor_id) AS rnk
+        FROM q, c WHERE query_id <> neighbor_id)
+      WHERE rnk <= 10),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_FOLD_DOT.format(a='q.v', b='c.v')}
+                          / (sqrt({_FOLD_DOT.format(a='q.v', b='q.v')})
+                             * sqrt({_FOLD_DOT.format(a='c.v', b='c.v')}))
+                          DESC, neighbor_id) AS rnk
+        FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+      WHERE rnk <= 10),
+    hits AS (
+      SELECT t.query_id, COUNT(*) AS n_hits
+      FROM truth t JOIN approx a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id)
+    SELECT q2.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall
+    FROM (SELECT DISTINCT query_id FROM truth) q2
+    LEFT JOIN hits h ON h.query_id = q2.query_id
+    """,
+)
+def q_emb_ann_recall(spark, sf_dir):
+    """ANN quality evaluation (similarity.py::recall_at_k): recall@10
+    of single-probe LSH against the exact brute-force ground truth,
+    per query — the eval loop a production ANN deployment runs before
+    trading recall for throughput. Zero-hit queries report 0, not a
+    silent drop; recall is one double division of exact integers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 32)
+    truth = sim.brute_force_topk(q, emb, k=10)
+    approx = sim.ann_lsh_topk(q, emb, dim=64, k=10)
+    return sim.recall_at_k(truth, approx, k=10)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -5020,6 +5141,7 @@ DRIVER_ORDER = [
     # driver history beats any repeat witness).
     "q_doc_bm25", "q_doc_surprisal", "q_doc_dup_spans",
     "q_doc_global_shuffle", "q_doc_pack_sequences",
+    "q_emb_ann_sq8", "q_emb_ann_recall",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round.
     "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
