@@ -81,3 +81,21 @@ def test_surprisal_hand_computed(spark):
     assert out[2].n_tokens == 2 and out[2].total_half_bits == 6
     assert out[1].half_bits_per_token == 2.0
     assert out[2].half_bits_per_token == 3.0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from walex_spark.extensions.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id long, rnk long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse(a, b).collect()}
+    assert out[3].rrf_score == 1.0 / 63.0 + 1.0 / 61.0
+    assert out[1].rrf_score == 1.0 / 61.0
+    assert out[4].rrf_score == 1.0 / 62.0
+    assert out[3].rnk == 1  # present in both lists wins
+    assert out[3].rank_a == 3 and out[3].rank_b == 1
+    assert out[1].rank_b is None and out[4].rank_a is None

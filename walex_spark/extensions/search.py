@@ -220,3 +220,55 @@ def unigram_surprisal(
             / F.col("n_tokens").cast(T.DoubleType())
         ).alias("half_bits_per_token"),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k_const: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (the
+    standard hybrid-search combiner: lexical BM25 + embedding ANN).
+
+    score(d) = 1/(k + rank_a(d)) + 1/(k + rank_b(d)), missing list
+    membership contributes 0. Each term is one IEEE division of exact
+    integers and the sum is written a-then-b — bit-exact anywhere.
+
+    Returns (id_col, rank_a, rank_b, rrf_score, rnk) ordered by
+    fused score (ties: present-in-both first via lower min-rank is
+    implied by score; final tie-break id). ``top_k`` limits output.
+
+    Scale shape: a full-outer equi-join of two k-row lists per query
+    context — both sides are already top-k bounded, so this is
+    metadata-sized relative to the corpus; TakeOrdered for the final
+    cut.
+    """
+    a = ranked_a.select(
+        F.col(id_col), F.col(rank_col).cast(T.LongType()).alias("rank_a")
+    )
+    b = ranked_b.select(
+        F.col(id_col), F.col(rank_col).cast(T.LongType()).alias("rank_b")
+    )
+    fused = a.join(b, id_col, "full_outer").select(
+        F.col(id_col),
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank_a")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank_b")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    out = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    if top_k is not None:
+        out = out.limit(top_k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return out.withColumn("rnk", F.row_number().over(w).cast(T.LongType()))

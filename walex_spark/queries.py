@@ -5104,6 +5104,56 @@ def q_emb_ann_recall(spark, sf_dir):
     return sim.recall_at_k(truth, approx, k=10)
 
 
+@_register(
+    "q_hybrid_rrf",
+    f"""
+    WITH lex AS ({_bm25_oracle(_BM25_TERMS)}),
+    emb AS (
+      SELECT neighbor_id AS doc_id, rnk FROM (
+        SELECT c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 ORDER BY {_FOLD_DOT.format(a='q.v', b='c.v')}
+                          / (sqrt({_FOLD_DOT.format(a='q.v', b='q.v')})
+                             * sqrt({_FOLD_DOT.format(a='c.v', b='c.v')}))
+                          DESC, c.vec_id) AS rnk
+        FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id = 0) q,
+             (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id <> 0) c)
+      WHERE rnk <= 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, e.doc_id) AS doc_id,
+             CAST(l.rnk AS BIGINT) AS rank_a,
+             CAST(e.rnk AS BIGINT) AS rank_b,
+             COALESCE(1.0 / (60.0 + l.rnk), 0.0)
+             + COALESCE(1.0 / (60.0 + e.rnk), 0.0) AS rrf_score
+      FROM lex l FULL OUTER JOIN emb e ON e.doc_id = l.doc_id)
+    SELECT doc_id, rank_a, rank_b, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (search.py::
+    rrf_fuse): the BM25 lexical top-20 fused with the embedding
+    cosine top-20 for query vector 0 — score 1/(60+r_lex) +
+    1/(60+r_emb), each term one IEEE division of exact integers,
+    summed in fixed order. The full-outer join runs over two
+    already-top-k lists — metadata-sized regardless of corpus scale.
+    The id spaces of documents and embeddings coincide in the test
+    tables (doc_id == vec_id)."""
+    from walex_spark.extensions.search import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20).select("doc_id", "rnk")
+    sem = sim.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rnk")
+    return rrf_fuse(lex, sem, top_k=20)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -5141,7 +5191,7 @@ DRIVER_ORDER = [
     # driver history beats any repeat witness).
     "q_doc_bm25", "q_doc_surprisal", "q_doc_dup_spans",
     "q_doc_global_shuffle", "q_doc_pack_sequences",
-    "q_emb_ann_sq8", "q_emb_ann_recall",
+    "q_emb_ann_sq8", "q_emb_ann_recall", "q_hybrid_rrf",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round.
     "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
