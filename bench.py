@@ -53,11 +53,18 @@ HEAVY_OUTPUT = {
 # tail capture.
 SUMMARY_BYTE_BUDGET = 1600
 
-# Queries slower than this on their first run get exactly one re-run,
-# reporting the min (anti-throttle; see the loop in main()).
+# Queries slower than this on their first run get a re-run, reporting
+# the min (anti-throttle; see the loop in main()). If the min is STILL
+# above ESCALATE_FLOOR after two runs, one final run is granted — in
+# r05 a throttle burst caught BOTH runs of q_quantiles and published
+# 37.6s for a query whose quiet-window floor is 2.8s.
 RERUN_FLOOR = 1.0
+ESCALATE_FLOOR = 5.0
 
-TIMING_POLICY = f"min of up to 2 runs (re-run when 1st > {RERUN_FLOOR:.0f}s)"
+TIMING_POLICY = (
+    f"min of up to 3 runs (re-run when 1st > {RERUN_FLOOR:.0f}s, "
+    f"3rd when min > {ESCALATE_FLOOR:.0f}s)"
+)
 
 
 def headline_value(total: float, errors: dict):
@@ -117,7 +124,7 @@ def main() -> None:
         # policy is explicit to any consumer comparing rounds.
         try:
             best = None
-            for attempt in range(2):
+            for attempt in range(3):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 if name in HEAVY_OUTPUT:
@@ -126,7 +133,9 @@ def main() -> None:
                     df.collect()
                 took = time.time() - t0
                 best = took if best is None else min(best, took)
-                if took <= RERUN_FLOOR:
+                if best <= RERUN_FLOOR:
+                    break
+                if attempt == 1 and best <= ESCALATE_FLOOR:
                     break
             timings[name] = round(best, 3)
             total += timings[name]
