@@ -150,3 +150,22 @@ def test_weighted_bernoulli_rejects_overflowing_weights(spark):
         [(1, (1 << 31) - 1), (2, (1 << 31) - 1)], "doc_id long, w long"
     )
     assert weighted_bernoulli_sample(ok, "w").count() == 2
+
+
+def test_leakage_safe_folds_cluster_level(spark):
+    """All members of a cluster share the fold; folds span [0, k)."""
+    from walex_spark.extensions.sampling import leakage_safe_folds
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], "doc_id long, cluster_id long"
+    )
+    out = leakage_safe_folds(df, n_folds=5).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.fold)
+        assert r.split == ("test" if r.fold == 0 else "train")
+        assert 0 <= r.fold < 5
+    for folds in by_cluster.values():
+        assert len(folds) == 1
+    with pytest.raises(ValueError):
+        leakage_safe_folds(df, n_folds=1)

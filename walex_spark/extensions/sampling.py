@@ -245,3 +245,37 @@ def weighted_bernoulli_sample(
         )
         .drop("__wmax")
     )
+
+
+def leakage_safe_folds(
+    df: DataFrame,
+    n_folds: int = 5,
+    cluster_col: str = "cluster_id",
+    salt: str = "fold",
+) -> DataFrame:
+    """Cluster-aware k-fold assignment: every row inherits its
+    CLUSTER's fold, so near-duplicate documents can never straddle a
+    train/eval boundary (the split-leakage failure mode of naive
+    per-doc hashing — eval examples with a near-copy in train).
+
+    fold = u32(md5(salt || cluster_id)) mod n_folds — the same
+    deterministic md5-bucket rule the samplers use; ``split`` labels
+    fold 0 as 'test', the rest 'train'. Zero shuffles: the fold is a
+    map-side expression over whatever partitioning ``df`` has (the
+    caller already paid for cluster resolution).
+    """
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(cluster_col).cast(T.StringType()))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast(T.LongType())
+    fold = F.pmod(u32, F.lit(n_folds)).cast(T.LongType())
+    return df.withColumn("fold", fold).withColumn(
+        "split", F.when(F.col("fold") == 0, F.lit("test")).otherwise(F.lit("train"))
+    )

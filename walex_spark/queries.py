@@ -5154,6 +5154,62 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse(lex, sem, top_k=20)
 
 
+@_register(
+    "q_doc_leak_safe_split",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+                                   i -> substr(lower(text), i, 3))) AS g
+      FROM documents WHERE doc_id < 120 AND length(text) >= 3),
+    sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS it
+      FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.id = id_a
+      JOIN sz sb ON sb.id = id_b
+      WHERE CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) >= 0.3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 120),
+    walk(id, reach) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    clusters AS (
+      SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CAST(('0x' || substr(md5('fold' || CAST(cluster_id AS VARCHAR)),
+                                1, 8))::BIGINT % 5 AS BIGINT) AS fold,
+           CASE WHEN ('0x' || substr(md5('fold' || CAST(cluster_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 5 = 0
+                THEN 'test' ELSE 'train' END AS split
+    FROM clusters
+    """,
+)
+def q_doc_leak_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split (sampling.py::leakage_safe_folds
+    over dedup.py::duplicate_clusters): fold assignment hashes the
+    CLUSTER id, so near-duplicate documents can never land on opposite
+    sides of a train/eval boundary — the split-contamination failure
+    naive per-doc hashing invites. Same bounded corpus + threshold as
+    q_doc_dup_clusters; the fold itself is a zero-shuffle map-side
+    expression."""
+    from walex_spark.extensions.sampling import leakage_safe_folds
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = dd.jaccard_pairs_from_tokens(
+        dd.char_shingles(docs, 3), threshold=0.3
+    )
+    clusters = dd.duplicate_clusters(docs, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    return leakage_safe_folds(clusters, n_folds=5)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -5192,6 +5248,7 @@ DRIVER_ORDER = [
     "q_doc_bm25", "q_doc_surprisal", "q_doc_dup_spans",
     "q_doc_global_shuffle", "q_doc_pack_sequences",
     "q_emb_ann_sq8", "q_emb_ann_recall", "q_hybrid_rrf",
+    "q_doc_leak_safe_split",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round.
     "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
