@@ -146,3 +146,22 @@ def test_duplicate_spans_validates(spark):
         dedup.duplicate_spans(df, min_count=1)
     # docs shorter than the window produce no rows, not a crash
     assert dedup.duplicate_spans(df, win_len=40).count() == 0
+
+
+def test_minhash_estimate_accuracy_properties(spark):
+    """Identical docs estimate J=1 exactly; the estimate is always a
+    multiple of 1/K; abs_err = |est - exact|."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " with a different tail here")],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_estimate_accuracy(df).collect()
+    rows = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in rows
+    r12 = rows[(1, 2)]
+    assert r12.n_match == 16 and r12.est_jaccard == 1.0
+    assert r12.jaccard == 1.0 and r12.abs_err == 0.0
+    for r in out:
+        assert 0 <= r.n_match <= 16
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) == 0.0

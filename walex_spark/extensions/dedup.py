@@ -684,3 +684,76 @@ def duplicate_spans(
         .cast(T.LongType())
         .alias("span_len"),
     )
+
+
+def minhash_estimate_accuracy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Estimator calibration for the MinHash pipeline: for every LSH
+    candidate pair, the signature-based Jaccard ESTIMATE (matching
+    components / K) next to the EXACT shingle-set Jaccard and the
+    absolute error — the eval a pipeline runs before trusting
+    signature thresholds at scale (E[est] = J, sd ≈ sqrt(J(1-J)/K)).
+
+    Returns (id_a, id_b, n_match, est_jaccard, jaccard, abs_err).
+    n_match is an integer component count (order-free exact); the two
+    ratios and their difference are fixed-order IEEE doubles.
+
+    Scale shape: signatures and candidates come from the same banded
+    machinery as minhash_candidate_pairs (shared-scan subtrees); the
+    exact Jaccard runs only on candidate pairs via an inverted-index
+    join semi-restricted to them — never all-pairs. The signature
+    re-join ships K longs per doc.
+    """
+    tokens_multiset = word_shingles(
+        df, shingle_n, text_col, id_col, dedupe=False
+    )
+    sig = minhash_signature(tokens_multiset, num_hashes)
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    n_match = None
+    for i in range(num_hashes):
+        term = F.when(
+            F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), F.lit(1)
+        ).otherwise(F.lit(0))
+        n_match = term if n_match is None else n_match + term
+    est = pairs.join(sig.alias("a"), pairs.id_a == F.col("a.id")).join(
+        sig.alias("b"), pairs.id_b == F.col("b.id")
+    ).select(
+        "id_a", "id_b", n_match.cast(T.LongType()).alias("n_match")
+    )
+    toks = word_shingles(df, shingle_n, text_col, id_col, dedupe=True)
+    sz = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.select(F.col("id").alias("id_a"), "token")
+    tb = toks.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        ta.join(tb, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(pairs, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("it"))
+    )
+    out = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+    )
+    it = F.coalesce(F.col("it"), F.lit(0))
+    est_j = F.col("n_match").cast(T.DoubleType()) / F.lit(float(num_hashes))
+    exact_j = it.cast(T.DoubleType()) / (
+        F.col("sza") + F.col("szb") - it
+    ).cast(T.DoubleType())
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_match",
+        est_j.alias("est_jaccard"),
+        exact_j.alias("jaccard"),
+        F.abs(est_j - exact_j).alias("abs_err"),
+    )

@@ -5210,6 +5210,74 @@ def q_doc_leak_safe_split(spark, sf_dir):
     return leakage_safe_folds(clusters, n_folds=5)
 
 
+def _minhash_est_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5(concat_ws(':', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    n_match = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS ({_SHINGLES_SQL}),
+    halves AS (
+      SELECT id,
+             ('0x' || substr(md5(token), 1, 13))::BIGINT AS h1,
+             ('0x' || substr(md5(token), 14, 13))::BIGINT AS h2
+      FROM toks),
+    sig AS (SELECT id, {sig_cols} FROM halves GROUP BY id),
+    banded AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.id < b.id),
+    est AS (
+      SELECT p.id_a, p.id_b, CAST({n_match} AS BIGINT) AS n_match
+      FROM pairs p
+      JOIN sig sa ON sa.id = p.id_a
+      JOIN sig sb ON sb.id = p.id_b),
+    sz AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+      SELECT ta.id AS id_a, tb.id AS id_b, COUNT(*) AS it
+      FROM toks ta JOIN toks tb ON ta.token = tb.token AND ta.id < tb.id
+      WHERE (ta.id, tb.id) IN (SELECT (id_a, id_b) FROM pairs)
+      GROUP BY 1, 2)
+    SELECT e.id_a, e.id_b, e.n_match,
+           CAST(e.n_match AS DOUBLE) / {float(num_hashes)!r} AS est_jaccard,
+           CAST(COALESCE(i.it, 0) AS DOUBLE)
+             / CAST(sa.sz + sb.sz - COALESCE(i.it, 0) AS DOUBLE) AS jaccard,
+           abs(CAST(e.n_match AS DOUBLE) / {float(num_hashes)!r}
+               - CAST(COALESCE(i.it, 0) AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - COALESCE(i.it, 0) AS DOUBLE)) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sz sa ON sa.id = e.id_a
+    JOIN sz sb ON sb.id = e.id_b
+    """
+
+
+@_register("q_doc_minhash_est", _minhash_est_oracle())
+def q_doc_minhash_est(spark, sf_dir):
+    """MinHash estimator calibration (dedup.py::
+    minhash_estimate_accuracy): for every LSH candidate pair, the
+    signature Jaccard estimate (matching components / 16) beside the
+    exact shingle-set Jaccard and the absolute error — the check a
+    pipeline runs before trusting signature thresholds at corpus
+    scale. The exact Jaccard touches candidate pairs only (inverted-
+    index join semi-restricted to them), never all-pairs."""
+    from walex_spark.extensions.dedup import minhash_estimate_accuracy
+
+    return minhash_estimate_accuracy(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -5248,7 +5316,7 @@ DRIVER_ORDER = [
     "q_doc_bm25", "q_doc_surprisal", "q_doc_dup_spans",
     "q_doc_global_shuffle", "q_doc_pack_sequences",
     "q_emb_ann_sq8", "q_emb_ann_recall", "q_hybrid_rrf",
-    "q_doc_leak_safe_split",
+    "q_doc_leak_safe_split", "q_doc_minhash_est",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round.
     "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
