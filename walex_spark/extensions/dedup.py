@@ -185,6 +185,14 @@ def minhash_candidate_pairs(
         else tokenize_distinct(df, text_col, id_col)
     )
     sig = minhash_signature(tokens, num_hashes)
+    return band_pairs(sig, bands, rows_per_band)
+
+
+def band_pairs(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """LSH band self-join over a precomputed signature frame (id,
+    mh0..mhK-1) → distinct (id_a, id_b), id_a < id_b. Split out so
+    callers that already hold the signature (the estimator eval) don't
+    rebuild shingles + aggregates a second time."""
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -704,18 +712,28 @@ def minhash_estimate_accuracy(
     n_match is an integer component count (order-free exact); the two
     ratios and their difference are fixed-order IEEE doubles.
 
-    Scale shape: signatures and candidates come from the same banded
-    machinery as minhash_candidate_pairs (shared-scan subtrees); the
-    exact Jaccard runs only on candidate pairs via an inverted-index
-    join semi-restricted to them — never all-pairs. The signature
-    re-join ships K longs per doc.
+    Scale shape: the signature is computed ONCE and feeds both the
+    band candidate join and the per-pair component match; the exact
+    Jaccard's inverted-index join is restricted to CANDIDATE docs
+    before the token join (semi-join on the pairs' id sets), so the
+    all-pairs-per-shared-shingle blowup only ever runs over the
+    near-dup subset — never the corpus. The signature re-join ships K
+    longs per doc.
     """
+    assert num_hashes % bands == 0
     tokens_multiset = word_shingles(
         df, shingle_n, text_col, id_col, dedupe=False
     )
-    sig = minhash_signature(tokens_multiset, num_hashes)
-    pairs = minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+    # sig feeds the band join AND two component-match joins; pairs
+    # feeds three consumers — without a checkpoint each consumer
+    # re-executes the shingle+aggregate subtree (same reason PageRank
+    # checkpoints its edge frame). Both frames are narrow: K longs per
+    # doc / two ids per candidate pair.
+    sig = minhash_signature(tokens_multiset, num_hashes).localCheckpoint(
+        eager=False
+    )
+    pairs = band_pairs(sig, bands, num_hashes // bands).localCheckpoint(
+        eager=False
     )
     n_match = None
     for i in range(num_hashes):
@@ -728,7 +746,14 @@ def minhash_estimate_accuracy(
     ).select(
         "id_a", "id_b", n_match.cast(T.LongType()).alias("n_match")
     )
-    toks = word_shingles(df, shingle_n, text_col, id_col, dedupe=True)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    toks = word_shingles(
+        df, shingle_n, text_col, id_col, dedupe=True
+    ).join(cand_ids, "id", "left_semi")
     sz = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     ta = toks.select(F.col("id").alias("id_a"), "token")
     tb = toks.select(F.col("id").alias("id_b"), "token")
