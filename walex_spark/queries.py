@@ -5318,9 +5318,10 @@ DRIVER_ORDER = [
     "q_emb_ann_sq8", "q_emb_ann_recall", "q_hybrid_rrf",
     "q_doc_leak_safe_split", "q_doc_minhash_est",
     # (c) drift-sensitive representatives: flagship + queries whose
-    # oracles or operators were touched this round.
+    # oracles or operators were touched this round (minhash banding
+    # refactor, bench-outlier adjudication, wire codec, sessionize).
     "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
-    "q_cdc_pgoutput_decode", "q_cdc_sessionize",
+    "q_cdc_pgoutput_decode", "q_cdc_sessionize", "q_doc_minhash_pairs",
 ]
 
 
