@@ -5264,6 +5264,71 @@ def _minhash_est_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
+@_register(
+    "q_doc_pipeline_e2e",
+    f"""
+    WITH reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    kept AS (
+      SELECT d.* FROM documents d
+      WHERE d.doc_id IN (SELECT doc_id FROM reps)),
+    gated AS (
+      SELECT * FROM kept WHERE len({_DUCK_TOKS}) >= 10),
+    sampled AS (
+      SELECT * FROM gated
+      WHERE ('0x' || substr(md5('walex' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            < 2147483648),
+    counts AS (SELECT lang, COUNT(*) AS cnt FROM sampled GROUP BY lang),
+    cmin AS (SELECT MIN(cnt) AS cmin FROM counts),
+    rates AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE))
+                        * 4294967296.0) AS BIGINT) AS thresh
+      FROM counts, cmin),
+    mixed AS (
+      SELECT s.* FROM sampled s JOIN rates r ON r.lang = s.lang
+      WHERE ('0x' || substr(md5('mix' || CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            < r.thresh),
+    runs AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS cost,
+             CAST(SUM(CAST(n_chars AS BIGINT))
+                    OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING)
+                  - CAST(n_chars AS BIGINT) AS BIGINT) AS s
+      FROM mixed)
+    SELECT doc_id, lang, cost,
+           CAST((s - s % 2000) / 2000 AS BIGINT) AS shard_idx
+    FROM runs
+    """,
+)
+def q_doc_pipeline_e2e(spark, sf_dir):
+    """The training-data pipeline end to end, as ONE Spark plan:
+    exact dedup (keep min-id representative) → token-count quality
+    gate (>= 10 tokens) → deterministic 50% sample → sqrt-temperature
+    language mixing → fixed-budget shard packing. Every stage is an
+    already-oracle-exact operator (exact_dedup, deterministic_sample,
+    temperature_mixture, pack_shards), so the COMPOSITION hash-checks
+    too — the integration proof that the operators compose without
+    re-materialization. Scale shape: one content-hash shuffle, three
+    map-side filters (rate tables broadcast), one bounded per-lang
+    packing window; the text column never survives past the gate."""
+    from walex_spark.extensions import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    reps = dd.exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    kept = docs.join(reps, "doc_id", "left_semi")
+    gated = kept.filter(F.size(tx._tokens(F.col("text"))) >= 10)
+    sampled = sp.deterministic_sample(gated, 0.5, "doc_id")
+    mixed = sp.temperature_mixture(sampled, "lang")
+    packed = sp.pack_shards(mixed, 2000, "n_chars", "lang", "doc_id")
+    return packed.select(
+        "doc_id",
+        "lang",
+        F.col("cost").cast(T.LongType()).alias("cost"),
+        F.col("shard_idx").cast(T.LongType()).alias("shard_idx"),
+    )
+
+
 @_register("q_doc_minhash_est", _minhash_est_oracle())
 def q_doc_minhash_est(spark, sf_dir):
     """MinHash estimator calibration (dedup.py::
@@ -5316,7 +5381,7 @@ DRIVER_ORDER = [
     "q_doc_bm25", "q_doc_surprisal", "q_doc_dup_spans",
     "q_doc_global_shuffle", "q_doc_pack_sequences",
     "q_emb_ann_sq8", "q_emb_ann_recall", "q_hybrid_rrf",
-    "q_doc_leak_safe_split", "q_doc_minhash_est",
+    "q_doc_leak_safe_split", "q_doc_minhash_est", "q_doc_pipeline_e2e",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round (minhash banding
     # refactor, bench-outlier adjudication, wire codec, sessionize).
