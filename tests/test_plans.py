@@ -3,6 +3,8 @@ queries, pinned (see walex_spark/plans/audit.py). Data size is
 irrelevant — these assert what Catalyst plans, not what it computes —
 so sf0.001 keeps them fast."""
 
+import re
+
 import pytest
 
 from walex_spark.plans import audit
@@ -246,3 +248,49 @@ def test_ivfpq_candidates_are_cell_bounded(reports):
     cell assignment (same budget as q_emb_ann_ivf)."""
     r = reports("q_emb_ann_ivfpq")
     assert r.nested_loop_joins <= 2
+
+
+def test_bm25_filters_terms_before_shuffle(reports):
+    """BM25: the exploded token stream narrows to the query's terms via
+    a map-side IN filter below every exchange — the corpus long tail
+    never shuffles — and the final top-k is a TakeOrdered, not a
+    single-partition window over the corpus."""
+    r = reports("q_doc_bm25")
+    assert "TakeOrderedAndProject" in r.text
+    # the only nested-loop join is the ONE-ROW corpus-stats broadcast
+    # (metadata-sized, the standard bounded-dim budget)
+    assert r.nested_loop_joins <= 1
+
+
+def test_global_index_one_data_shuffle_no_data_window(reports):
+    """global_sorted_index: exactly one RangePartitioning exchange for
+    the data; the only window runs over the per-partition metadata
+    frame (SinglePartition), never over the corpus."""
+    r = reports("q_doc_global_shuffle")
+    assert len(re.findall(r"rangepartitioning", r.text, re.I)) >= 1
+    # the data-side rank comes from monotonically_increasing_id, not a
+    # corpus-wide row_number
+    assert "monotonically_increasing_id" in r.text
+
+
+def test_ann_sq8_codebook_folded_and_broadcast(reports):
+    """SQ8: the per-dim codebook ships as constant-folded literals (no
+    from_json left in the executed plan tree) and the query side
+    broadcasts — the corpus never shuffles for candidate scoring."""
+    r = reports("q_emb_ann_sq8")
+    assert r.broadcast_exchanges >= 1
+    assert "from_json" not in r.text.split("\n\n", 1)[0]
+
+
+def test_duplicate_spans_no_cross_product(reports):
+    r = reports("q_doc_dup_spans")
+    assert r.nested_loop_joins == 0
+
+
+def test_pipeline_e2e_single_content_shuffle_gate(reports):
+    """The e2e pipeline stays filter-shaped: the only nested-loop join
+    is the one-row min-count broadcast inside temperature mixing; the
+    rate tables are broadcast."""
+    r = reports("q_doc_pipeline_e2e")
+    assert r.nested_loop_joins <= 1
+    assert r.broadcast_exchanges >= 1
