@@ -3403,6 +3403,51 @@ def q_window_rank_funcs(spark, sf_dir):
 
 
 @_register(
+    "q_window_value_funcs",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_totalprice) OVER w AS cheapest,
+           last_value(o_totalprice)
+             OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS dearest,
+           nth_value(o_totalprice, 2)
+             OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS second_cheapest
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_value_funcs(spark, sf_dir):
+    """Value window functions (first_value / last_value / nth_value) —
+    the last ANSI window family the relational layer hadn't covered.
+    last/nth use the explicit UNBOUNDED-to-UNBOUNDED frame (the ANSI
+    default frame ends at CURRENT ROW, which silently turns last_value
+    into "current value" — the classic footgun, made explicit here in
+    both engines). Order keys carry o_orderkey tie-breaks; outputs are
+    copied doubles, no arithmetic to diverge."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    ordered = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_totalprice").over(ordered).alias("cheapest"),
+        F.last("o_totalprice").over(full).alias("dearest"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_cheapest"),
+    )
+
+
+@_register(
     "q_skew_salted_agg",
     """
     SELECT l_returnflag,
@@ -5382,6 +5427,7 @@ DRIVER_ORDER = [
     "q_doc_global_shuffle", "q_doc_pack_sequences",
     "q_emb_ann_sq8", "q_emb_ann_recall", "q_hybrid_rrf",
     "q_doc_leak_safe_split", "q_doc_minhash_est", "q_doc_pipeline_e2e",
+    "q_window_value_funcs",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round (minhash banding
     # refactor, bench-outlier adjudication, wire codec, sessionize).
