@@ -285,3 +285,40 @@ def test_group_delta_stream_survives_restart(spark, tmp_path):
         for r in maintain_group_counts(env, ["id"], "g").collect()
     }
     assert folded == batch == {"c": 1}
+
+
+def test_maintain_term_postings_retraction(spark):
+    """UPDATE moves tokens, DELETE retracts, re-INSERT upserts: the
+    maintained postings equal the live state's direct tokenization."""
+    from pyspark.sql import functions as F
+    from walex_spark.operators.scd import maintain_term_postings
+
+    def env(lsn, op, key, text):
+        rec = {"key": key, "text": text}
+        return (
+            op,
+            rec if op != "DELETE" else None,
+            rec if op == "DELETE" else None,
+            0,
+            lsn,
+            0,
+        )
+
+    rows = [
+        env(1, "INSERT", "A", "x y x"),
+        env(2, "UPDATE", "A", "y z"),      # retracts x y x, adds y z
+        env(3, "INSERT", "B", "x"),
+        env(4, "DELETE", "B", "x"),        # B dead
+        env(5, "INSERT", "C", "a"),
+        env(6, "INSERT", "C", "a b"),      # re-INSERT over live = upsert
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, record map<string,string>, old_record map<string,string>,"
+        " lsn_hi int, lsn_lo long, change_idx int",
+    )
+    got = {
+        r.term: (r.n_docs, r.tf_total)
+        for r in maintain_term_postings(df, ["key"], "text").collect()
+    }
+    assert got == {"y": (1, 1), "z": (1, 1), "a": (1, 1), "b": (1, 1)}

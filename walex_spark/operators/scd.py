@@ -310,3 +310,78 @@ def maintain_group_sums(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def maintain_term_postings(
+    df: DataFrame,
+    key_cols: list[str],
+    text_field: str,
+    record_col: str = "record",
+) -> DataFrame:
+    """CDC-maintained inverted index: per-term document frequency and
+    total term frequency of the CURRENT table state, computed from the
+    changelog with retraction algebra — the search-index twin of
+    maintain_group_counts, and the bridge from the reference's
+    event-routing heritage to the retrieval layer (an indexer is just
+    another CDC subscriber).
+
+    Each change contributes token counts of the NEW record's
+    ``text_field`` (+) and of the row's PREVIOUS live version (−,
+    reconstructed with the same per-key lag maintain_group_counts
+    uses): an UPDATE moves its tokens between term buckets, a DELETE
+    retracts them, and the per-term sums telescope to exactly the
+    postings of the live state.
+
+    Returns (term, n_docs, tf_total), terms with n_docs > 0 or a
+    residual tf (defensively both sums are kept exact integers).
+
+    Scale shape: the per-key lag is the only data-sized shuffle (and a
+    streaming deployment holds the previous version in state instead);
+    token contributions aggregate per (change, term) BEFORE the term
+    shuffle, so the wide exchange carries (term, ±tf, ±1) ints —
+    never text. Tokenization is the shared whitespace tokenizer.
+    """
+    from walex_spark.extensions.text import _tokens
+
+    keyed = df.withColumn("__lsn", lsn_column()).withColumn(
+        "__pk",
+        F.concat_ws(
+            "\x00",
+            *[F.coalesce(_key_col(record_col, k), F.lit("")) for k in key_cols],
+        ),
+    )
+    w = Window.partitionBy("__pk").orderBy(
+        F.col("__lsn").asc(), F.col("change_idx").asc()
+    )
+    cur_text = F.col(record_col).getItem(text_field)
+    lagged = keyed.withColumn("__prev_text", F.lag(cur_text).over(w)).withColumn(
+        "__prev_op", F.lag(F.col("op")).over(w)
+    )
+    prev_live = F.col("__prev_op").isNotNull() & (F.col("__prev_op") != "DELETE")
+    plus = lagged.filter(
+        F.col("op").isin("INSERT", "UPDATE") & cur_text.isNotNull()
+    ).select(
+        F.col("__pk"),
+        F.col("__lsn"),
+        F.lit(1).alias("sign"),
+        F.explode(_tokens(cur_text)).alias("term"),
+    )
+    minus = lagged.filter(prev_live & F.col("__prev_text").isNotNull()).select(
+        F.col("__pk"),
+        F.col("__lsn"),
+        F.lit(-1).alias("sign"),
+        F.explode(_tokens(F.col("__prev_text"))).alias("term"),
+    )
+    per_change = (
+        plus.unionByName(minus)
+        .groupBy("__pk", "__lsn", "sign", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per_change.groupBy("term")
+        .agg(
+            F.sum(F.col("sign")).cast("bigint").alias("n_docs"),
+            F.sum(F.col("sign") * F.col("tf")).cast("bigint").alias("tf_total"),
+        )
+        .filter((F.col("n_docs") > 0) | (F.col("tf_total") > 0))
+    )

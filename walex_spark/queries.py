@@ -5374,6 +5374,63 @@ def q_doc_pipeline_e2e(spark, sf_dir):
     )
 
 
+@_register(
+    "q_cdc_search_index",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, doc_id % 200 AS k, text,
+             CASE WHEN doc_id % 11 = 0 THEN 'DELETE'
+                  WHEN doc_id % 3 = 0 THEN 'INSERT'
+                  ELSE 'UPDATE' END AS op
+      FROM documents),
+    lastv AS (
+      SELECT k, op, text FROM (
+        SELECT k, op, text,
+               row_number() OVER (PARTITION BY k ORDER BY doc_id DESC) AS rn
+        FROM ch) WHERE rn = 1),
+    live AS (SELECT k, text FROM lastv WHERE op <> 'DELETE'),
+    toks AS (
+      SELECT k, unnest({_DUCK_TOKS}) AS term FROM live),
+    per AS (SELECT k, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tf) AS BIGINT) AS tf_total
+    FROM per GROUP BY term
+    """,
+)
+def q_cdc_search_index(spark, sf_dir):
+    """CDC-maintained inverted index (operators/scd.py::
+    maintain_term_postings): a synthetic documents changelog (keys =
+    doc_id mod 200, ops derived from doc_id, LSN = doc_id) feeds the
+    retraction algebra — UPDATE moves its tokens between term buckets,
+    DELETE retracts them — and the per-term sums telescope to exactly
+    the postings of the live state, which is what the oracle computes
+    directly (last-per-key rebuild → tokenize → aggregate). The
+    indexer-as-CDC-subscriber bridge between the reference's event
+    routing and the retrieval layer; the wide shuffle carries
+    (term, ±tf, ±1) ints, never text."""
+    from walex_spark.operators.scd import maintain_term_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    op = (
+        F.when(F.col("doc_id") % 11 == 0, "DELETE")
+        .when(F.col("doc_id") % 3 == 0, "INSERT")
+        .otherwise("UPDATE")
+    )
+    record = F.create_map(
+        F.lit("key"), (F.col("doc_id") % 200).cast(T.StringType()),
+        F.lit("text"), F.col("text"),
+    )
+    ch = docs.select(
+        op.alias("op"),
+        F.when(op != "DELETE", record).alias("record"),
+        F.when(op == "DELETE", record).alias("old_record"),
+        F.lit(0).alias("lsn_hi"),
+        F.col("doc_id").cast(T.LongType()).alias("lsn_lo"),
+        F.lit(0).alias("change_idx"),
+    )
+    return maintain_term_postings(ch, ["key"], "text")
+
+
 @_register("q_doc_minhash_est", _minhash_est_oracle())
 def q_doc_minhash_est(spark, sf_dir):
     """MinHash estimator calibration (dedup.py::
@@ -5427,12 +5484,14 @@ DRIVER_ORDER = [
     "q_doc_global_shuffle", "q_doc_pack_sequences",
     "q_emb_ann_sq8", "q_emb_ann_recall", "q_hybrid_rrf",
     "q_doc_leak_safe_split", "q_doc_minhash_est", "q_doc_pipeline_e2e",
-    "q_window_value_funcs",
+    "q_window_value_funcs", "q_cdc_search_index",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round (minhash banding
     # refactor, bench-outlier adjudication, wire codec, sessionize).
+    # (q_cdc_sessionize dropped this round: hard-green in BOTH r04 and
+    # r05 — the new zero-history queries outrank a third witness)
     "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
-    "q_cdc_pgoutput_decode", "q_cdc_sessionize", "q_doc_minhash_pairs",
+    "q_cdc_pgoutput_decode", "q_doc_minhash_pairs",
 ]
 
 
