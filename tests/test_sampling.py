@@ -169,3 +169,14 @@ def test_leakage_safe_folds_cluster_level(spark):
         assert len(folds) == 1
     with pytest.raises(ValueError):
         leakage_safe_folds(df, n_folds=1)
+
+
+def test_weighted_bernoulli_empty_input_returns_empty(spark):
+    """Empty input (or all-NULL weights) must return empty, not trip
+    the overflow guard on the NULL max."""
+    from walex_spark.extensions.sampling import weighted_bernoulli_sample
+
+    empty = spark.createDataFrame([], "doc_id long, w long")
+    assert weighted_bernoulli_sample(empty, "w").count() == 0
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, w long")
+    assert weighted_bernoulli_sample(nulls, "w").count() == 0

@@ -322,3 +322,25 @@ def test_maintain_term_postings_retraction(spark):
         for r in maintain_term_postings(df, ["key"], "text").collect()
     }
     assert got == {"y": (1, 1), "z": (1, 1), "a": (1, 1), "b": (1, 1)}
+
+
+def test_maintain_term_postings_same_lsn_transaction(spark):
+    """Two changes for one key inside one transaction (same LSN,
+    distinct change_idx) must not collapse: the per-change df marks
+    are keyed by change_idx."""
+    from walex_spark.operators.scd import maintain_term_postings
+
+    rows = [
+        ("INSERT", {"key": "A", "text": "x"}, None, 0, 7, 0),
+        ("UPDATE", {"key": "A", "text": "x"}, None, 0, 7, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, record map<string,string>, old_record map<string,string>,"
+        " lsn_hi int, lsn_lo long, change_idx int",
+    )
+    got = {
+        r.term: (r.n_docs, r.tf_total)
+        for r in maintain_term_postings(df, ["key"], "text").collect()
+    }
+    assert got == {"x": (1, 1)}

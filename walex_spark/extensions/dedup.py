@@ -658,6 +658,10 @@ def duplicate_spans(
             "pos",
             F.md5(F.col("__t").substr(F.col("pos"), F.lit(win_len))).alias("h"),
         )
+        # wins feeds the dup-hash aggregate AND the semi-join probe;
+        # without a checkpoint the per-character explode+md5 (the
+        # dominant stage) executes twice
+        .localCheckpoint(eager=False)
     )
     dup_h = (
         wins.groupBy("h")

@@ -207,7 +207,14 @@ def weighted_bernoulli_sample(
     # int64 once w_max reaches 2^31. Checked in-plan on the one-row
     # aggregate so the failure is loud, not engine-dependent garbage.
     wmax = df.agg(F.max(F.col(weight_col)).alias("__wmax")).select(
-        F.when(F.col("__wmax") < F.lit(1 << 31), F.col("__wmax"))
+        # NULL wmax (empty input / all-NULL weights) must pass through:
+        # the acceptance comparison is then NULL for every row and the
+        # call returns empty, the pre-guard behavior — raising here
+        # would turn an empty upstream into a job failure
+        F.when(
+            F.col("__wmax").isNull() | (F.col("__wmax") < F.lit(1 << 31)),
+            F.col("__wmax"),
+        )
         .otherwise(
             F.raise_error(
                 F.concat(
@@ -266,16 +273,9 @@ def leakage_safe_folds(
     """
     if n_folds < 2:
         raise ValueError("n_folds must be >= 2")
-    u32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(cluster_col).cast(T.StringType()))),
-            1,
-            8,
-        ),
-        16,
-        10,
+    fold = F.pmod(
+        _hash_bucket(F.col(cluster_col), salt), F.lit(n_folds)
     ).cast(T.LongType())
-    fold = F.pmod(u32, F.lit(n_folds)).cast(T.LongType())
     return df.withColumn("fold", fold).withColumn(
         "split", F.when(F.col("fold") == 0, F.lit("test")).otherwise(F.lit("train"))
     )

@@ -193,11 +193,17 @@ def unigram_surprisal(
     join is on the vocab's zipf head+tail but carries two longs per
     token; no text crosses the second shuffle.
     """
+    # n_total derives from the vocab (a metadata aggregate) rather
+    # than a third corpus pass. base still evaluates twice (vocab agg
+    # + scoring join) — deliberately NOT checkpointed: a whitespace
+    # split re-runs cheaper than materializing the exploded token
+    # stream (measured 0.79 s vs 0.95 s at sf0.1, and at 100 TB the
+    # checkpoint would persist corpus-token rows)
     base = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     )
     vocab = base.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = base.select(F.count(F.lit(1)).alias("n_total"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
     scored = (
         base.join(vocab, "tok")
         .join(F.broadcast(total))

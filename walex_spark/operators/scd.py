@@ -363,18 +363,24 @@ def maintain_term_postings(
     ).select(
         F.col("__pk"),
         F.col("__lsn"),
+        F.col("change_idx"),
         F.lit(1).alias("sign"),
         F.explode(_tokens(cur_text)).alias("term"),
     )
     minus = lagged.filter(prev_live & F.col("__prev_text").isNotNull()).select(
         F.col("__pk"),
         F.col("__lsn"),
+        F.col("change_idx"),
         F.lit(-1).alias("sign"),
         F.explode(_tokens(F.col("__prev_text"))).alias("term"),
     )
+    # change_idx MUST be a group key: two same-key changes inside one
+    # transaction share an LSN, and collapsing their contributions
+    # would merge two +1 df marks into one (n_docs off by one per
+    # collapsed change)
     per_change = (
         plus.unionByName(minus)
-        .groupBy("__pk", "__lsn", "sign", "term")
+        .groupBy("__pk", "__lsn", "change_idx", "sign", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     return (
