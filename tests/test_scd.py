@@ -344,3 +344,55 @@ def test_maintain_term_postings_same_lsn_transaction(spark):
         for r in maintain_term_postings(df, ["key"], "text").collect()
     }
     assert got == {"x": (1, 1)}
+
+
+def test_postings_delta_stream_folds_to_batch_postings(spark, tmp_path):
+    """Streaming postings deltas across two microbatches: folding
+    (SUM(dtf), SUM(ddf) per term) equals batch maintain_term_postings
+    on the same changelog — including an UPDATE that moves tokens, a
+    DELETE, and a cross-batch retraction (state carries the live
+    text)."""
+    from walex_spark.model import CHANGE_ENVELOPE_SCHEMA
+    from walex_spark.operators.scd import maintain_term_postings
+    from walex_spark.sources.envelope import read_envelope_stream
+    from walex_spark.streaming.postings import postings_delta_stream
+
+    b1 = [
+        _change("INSERT", 100, {"t": "x y x"}, key="1"),
+        _change("INSERT", 110, {"t": "y"}, key="2"),
+        _change("UPDATE", 120, {"t": "y z"}, key="1"),  # retract x y x
+    ]
+    b2 = [
+        _change("DELETE", 130, None, old={"t": "y"}, key="2"),
+        _change("INSERT", 140, {"t": "z z q"}, key="3"),
+        _change("UPDATE", 150, {"t": "w"}, key="1"),    # cross-batch retract y z
+    ]
+    src = str(tmp_path / "env")
+    spark.createDataFrame(b1, CHANGE_ENVELOPE_SCHEMA).write.parquet(src)
+    q = (
+        postings_delta_stream(read_envelope_stream(spark, src), ["id"], "t")
+        .writeStream.format("memory")
+        .queryName("postings_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, CHANGE_ENVELOPE_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        folded = {}
+        for r in spark.table("postings_out").collect():
+            tf, df = folded.get(r.term, (0, 0))
+            folded[r.term] = (tf + r.dtf, df + r.ddf)
+        folded = {t: v for t, v in folded.items() if v != (0, 0)}
+    finally:
+        q.stop()
+    env = spark.createDataFrame(b1 + b2, CHANGE_ENVELOPE_SCHEMA)
+    batch = {
+        r.term: (r.tf_total, r.n_docs)
+        for r in maintain_term_postings(env, ["id"], "t").collect()
+    }
+    # live: 1 -> "w", 3 -> "z z q"
+    assert folded == batch == {"w": (1, 1), "z": (2, 1), "q": (1, 1)}

@@ -1,0 +1,96 @@
+"""Streaming search-index maintenance: the changelog → a stream of
+(term, ±tf, ±df) posting deltas — the streaming twin of
+operators/scd.py::maintain_term_postings, built on the same
+append-mode delta discipline as streaming/ivm.py.
+
+Append mode cannot retract emitted rows, so the operator emits the
+retraction DELTAS themselves: +tf/+1 for every term of a newly
+installed live version, −tf/−1 for every term of the version it
+displaces (UPDATE/re-INSERT) or removes (DELETE). Folding the delta
+stream (``SUM(dtf), SUM(ddf) GROUP BY term``) reproduces the batch
+operator's (term, n_docs, tf_total) exactly; the fold is associative,
+so it can run per sink partition, per micro-batch, or over the whole
+delta log.
+
+State per key is the live version's TEXT (the token source for its
+future retraction) — the streaming deployment the batch docstring
+promises, where the previous version comes from state instead of a
+data-sized lag shuffle. State is dropped on DELETE, so it is bounded
+by live keys × document size. Batches cross to Python via Arrow
+(applyInPandasWithState), never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT_SCHEMA = "term STRING, dtf INT, ddf INT, lsn BIGINT"
+
+
+def _token_counts(text: str) -> dict:
+    counts: dict = {}
+    for tok in text.lower().split():
+        counts[tok] = counts.get(tok, 0) + 1
+    return counts
+
+
+def postings_delta_stream(
+    env: DataFrame,
+    key_cols: list[str],
+    text_field: str,
+    record_col: str = "record",
+) -> DataFrame:
+    """Envelope stream → stream of (term, dtf, ddf, lsn) deltas.
+
+    Tokenization matches the batch operator's whitespace tokenizer
+    (lower + split on whitespace, empty tokens dropped) — pinned by
+    the fold-equals-batch test."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rec = F.coalesce(F.col(record_col), F.col("old_record"))
+    pre = env.select(
+        F.concat_ws(
+            "\x00", *[F.coalesce(rec.getItem(k), F.lit("")) for k in key_cols]
+        ).alias("__pk"),
+        F.col("op"),
+        (F.col("lsn_hi").cast("bigint") * F.lit(4294967296).cast("bigint")
+         + F.col("lsn_lo").cast("bigint")).alias("lsn"),
+        F.col("change_idx"),
+        F.col(record_col).getItem(text_field).alias("txt"),
+    ).filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+
+    def step(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["lsn", "change_idx"]
+        )
+        live_text = state.get[0] if state.exists else None
+        out = []
+        for r in rows.itertuples():
+            lsn = int(r.lsn)
+            if live_text is not None:
+                for term, tf in _token_counts(live_text).items():
+                    out.append((term, -tf, -1, lsn))
+            if r.op == "DELETE":
+                live_text = None
+            else:
+                live_text = r.txt if isinstance(r.txt, str) else None
+                if live_text is not None:
+                    for term, tf in _token_counts(live_text).items():
+                        out.append((term, tf, 1, lsn))
+        if live_text is not None:
+            state.update((live_text,))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=["term", "dtf", "ddf", "lsn"])
+
+    return pre.groupBy("__pk").applyInPandasWithState(
+        step,
+        outputStructType=OUT_SCHEMA,
+        stateStructType="live_text STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
