@@ -1,0 +1,60 @@
+"""operators/signal.py — EWMA fold and CUSUM closed form."""
+
+import datetime as dt
+
+import pytest
+
+from walex_spark.operators.signal import cusum_flags, ewma_last
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, 0, i), uid, float(v))
+            for i, (uid, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+
+
+def test_ewma_matches_python_fold(spark):
+    vals = [10.0, 20.0, 0.0, 40.0, 5.0]
+    df = _ev(spark, [(1, v) for v in vals])
+    row = ewma_last(df, "user_id", "ts", "value", alpha=0.25).first()
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = 0.25 * v + 0.75 * acc
+    assert row.ewma == acc  # bit-exact
+    assert row.last_value == 5.0 and row.n_events == 5
+
+
+def test_ewma_single_event_and_validation(spark):
+    df = _ev(spark, [(1, 42.0)])
+    row = ewma_last(df, "user_id", "ts", "value").first()
+    assert row.ewma == 42.0 and row.n_events == 1
+    with pytest.raises(ValueError, match="binary"):
+        ewma_last(df, "user_id", "ts", "value", alpha=0.3)
+    with pytest.raises(ValueError):
+        ewma_last(df, "user_id", "ts", "value", alpha=0.0)
+
+
+def test_cusum_flags_drift(spark):
+    # user 1: constant 10 -> cusum 0 everywhere, never flags;
+    # user 2: five 0s then five 100s -> mean 50, cusum dips to -250
+    rows = [(1, 10.0)] * 6 + [(2, 0.0)] * 5 + [(2, 100.0)] * 5
+    df = _ev(spark, rows)
+    out = cusum_flags(df, "user_id", "ts", "value", threshold=100.0).collect()
+    u1 = [r for r in out if r.user_id == 1]
+    assert all(r.cusum_scaled == 0 and not r.flagged for r in u1)
+    u2 = sorted((r for r in out if r.user_id == 2), key=lambda r: r.us)
+    # cusum (unscaled) after i zeros = -50*i; scaled by n_e=10
+    expected = [-50 * i for i in range(1, 6)] + [
+        -250 + 50 * i for i in range(1, 6)
+    ]
+    got = [r.cusum_scaled / (10 * 1000000) for r in u2]
+    assert got == expected
+    # flagged iff |cusum| STRICTLY exceeds 100 (the -100 boundary rows
+    # at i=2 and i=8 stay unflagged)
+    assert [r.flagged for r in u2] == [
+        False, False, True, True, True, True, True, False, False, False
+    ]

@@ -5375,6 +5375,79 @@ def q_doc_pipeline_e2e(spark, sf_dir):
 
 
 @_register(
+    "q_events_ewma",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list(struct_pack(us := epoch_us(ts), tb := event_id,
+                              v := value)
+                  ORDER BY epoch_us(ts), event_id) AS series,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           series[len(series)].v AS last_value,
+           list_reduce(series,
+                       (a, b) -> struct_pack(us := b.us, tb := b.tb,
+                                             v := 0.25 * b.v + 0.75 * a.v)
+                      ).v AS ewma
+    FROM s
+    """,
+)
+def q_events_ewma(spark, sf_dir):
+    """Final exponentially-weighted moving average per user
+    (operators/signal.py::ewma_last, alpha = 0.25): an inherently
+    ordered recursion evaluated as the identical left fold in both
+    engines (Spark seeds F.aggregate with element 1; DuckDB's
+    list_reduce is that by construction), with a binary-exact alpha so
+    every step is the same two-multiply-one-add IEEE sequence. One
+    entity shuffle; series bounded per user."""
+    from walex_spark.operators.signal import ewma_last
+
+    return ewma_last(_events(spark, sf_dir), "user_id", "ts", "value")
+
+
+@_register(
+    "q_events_cusum",
+    """
+    WITH b AS (
+      SELECT user_id, event_id AS tb, epoch_us(ts) AS us,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+      FROM events),
+    w AS (
+      SELECT user_id, tb, us,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_e,
+             SUM(vm) OVER (PARTITION BY user_id) AS s_e,
+             SUM(vm) OVER (PARTITION BY user_id ORDER BY us, tb
+                           ROWS UNBOUNDED PRECEDING) AS cum_v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us, tb) AS i
+      FROM b)
+    SELECT user_id, tb, us,
+           CAST(CAST(n_e AS DECIMAL(38,0)) * CAST(cum_v AS DECIMAL(38,0))
+                - CAST(i AS DECIMAL(38,0)) * CAST(s_e AS DECIMAL(38,0))
+                AS BIGINT) AS cusum_scaled,
+           abs(CAST(n_e AS DECIMAL(38,0)) * CAST(cum_v AS DECIMAL(38,0))
+               - CAST(i AS DECIMAL(38,0)) * CAST(s_e AS DECIMAL(38,0)))
+             > CAST(200000000 AS DECIMAL(38,0)) * CAST(n_e AS DECIMAL(38,0))
+             AS flagged
+    FROM w
+    """,
+)
+def q_events_cusum(spark, sf_dir):
+    """CUSUM drift detection per user (operators/signal.py::
+    cusum_flags, threshold 200 value-units): the cumulative deviation
+    from each user's own mean, closed-form n_e*cum_v - i*S_e in exact
+    micro-unit integers (products in DECIMAL(38,0) — no recursion, no
+    division, nothing to diverge). One entity shuffle shared by the
+    three window aggregates."""
+    from walex_spark.operators.signal import cusum_flags
+
+    return cusum_flags(
+        _events(spark, sf_dir), "user_id", "ts", "value", threshold=200.0
+    )
+
+
+@_register(
     "q_cdc_search_index",
     f"""
     WITH ch AS (
@@ -5484,14 +5557,16 @@ DRIVER_ORDER = [
     "q_doc_global_shuffle", "q_doc_pack_sequences",
     "q_emb_ann_sq8", "q_emb_ann_recall", "q_hybrid_rrf",
     "q_doc_leak_safe_split", "q_doc_minhash_est", "q_doc_pipeline_e2e",
-    "q_window_value_funcs", "q_cdc_search_index",
+    "q_window_value_funcs", "q_cdc_search_index", "q_events_ewma",
+    "q_events_cusum",
     # (c) drift-sensitive representatives: flagship + queries whose
     # oracles or operators were touched this round (minhash banding
     # refactor, bench-outlier adjudication, wire codec, sessionize).
-    # (q_cdc_sessionize dropped this round: hard-green in BOTH r04 and
-    # r05 — the new zero-history queries outrank a third witness)
-    "q01_pricing_summary", "q_quantiles", "q_range_join_bands",
-    "q_cdc_pgoutput_decode", "q_doc_minhash_pairs",
+    # (q_cdc_sessionize dropped: hard-green in BOTH r04 and r05;
+    # q01_pricing_summary dropped: entry() smoke-checks it every round;
+    # q_quantiles dropped: oracle unchanged, outlier adjudicated by
+    # qprof — zero-history queries outrank repeat witnesses)
+    "q_range_join_bands", "q_cdc_pgoutput_decode", "q_doc_minhash_pairs",
 ]
 
 
