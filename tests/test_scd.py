@@ -396,3 +396,65 @@ def test_postings_delta_stream_folds_to_batch_postings(spark, tmp_path):
     }
     # live: 1 -> "w", 3 -> "z z q"
     assert folded == batch == {"w": (1, 1), "z": (2, 1), "q": (1, 1)}
+
+
+def test_postings_delta_stream_survives_restart(spark, tmp_path):
+    """Stop the postings stream after batch 1, restart from the same
+    checkpoint, feed batch 2: the restarted query must retract batch-1
+    text from carried state (not re-emit its +deltas), and the folded
+    deltas must equal batch maintenance."""
+    from walex_spark.model import CHANGE_ENVELOPE_SCHEMA
+    from walex_spark.operators.scd import maintain_term_postings
+    from walex_spark.sources.envelope import read_envelope_stream
+    from walex_spark.streaming.postings import postings_delta_stream
+
+    src = str(tmp_path / "env")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    b1 = [
+        _change("INSERT", 100, {"t": "x y"}, key="1"),
+        _change("INSERT", 110, {"t": "y"}, key="2"),
+    ]
+    b2 = [
+        _change("UPDATE", 120, {"t": "z"}, key="1"),   # retract x y from state
+        _change("DELETE", 130, None, old={"t": "y"}, key="2"),
+    ]
+
+    def start():
+        return (
+            postings_delta_stream(
+                read_envelope_stream(spark, src), ["id"], "t"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    spark.createDataFrame(b1, CHANGE_ENVELOPE_SCHEMA).write.parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.createDataFrame(b2, CHANGE_ENVELOPE_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    folded = {}
+    for r in spark.read.parquet(out_dir).collect():
+        tf, df = folded.get(r.term, (0, 0))
+        folded[r.term] = (tf + r.dtf, df + r.ddf)
+    folded = {t: v for t, v in folded.items() if v != (0, 0)}
+    env = spark.createDataFrame(b1 + b2, CHANGE_ENVELOPE_SCHEMA)
+    batch = {
+        r.term: (r.tf_total, r.n_docs)
+        for r in maintain_term_postings(env, ["id"], "t").collect()
+    }
+    assert folded == batch == {"z": (1, 1)}
