@@ -294,3 +294,11 @@ def test_pipeline_e2e_single_content_shuffle_gate(reports):
     r = reports("q_doc_pipeline_e2e")
     assert r.nested_loop_joins <= 1
     assert r.broadcast_exchanges >= 1
+
+
+def test_range_agg_twolevel_no_cross_product(reports):
+    """Two-level range aggregation: summary and boundary joins are
+    bucket equi-joins (no BroadcastNestedLoopJoin — the shape the
+    naive BETWEEN aggregate would plan)."""
+    r = reports("q_range_agg_twolevel")
+    assert r.nested_loop_joins == 0

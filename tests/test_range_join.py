@@ -140,3 +140,44 @@ class TestIntervalOverlap:
         df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
         with pytest.raises(ValueError):
             interval_overlap_join(df, df, "b", "c", "b", "c", 0)
+
+
+def test_point_interval_aggregate_equals_join_aggregate(spark):
+    """The two-level decomposition must equal the join-then-aggregate
+    result exactly, including empty-interior bands, hi<lo drops, and
+    boundary-only matches."""
+    from pyspark.sql import functions as F
+    from walex_spark.operators.range_join import (
+        point_interval_aggregate,
+        point_interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(float(x),) for x in range(0, 200, 3)], "p double"
+    )
+    bands = spark.createDataFrame(
+        [
+            (1, 10.0, 90.0),    # wide: interior + boundary
+            (2, 14.0, 16.0),    # inside one bucket (no interior)
+            (3, 150.0, 149.0),  # empty range -> dropped
+            (4, 190.0, 400.0),  # overhangs the data
+        ],
+        "band_id long, lo double, hi double",
+    )
+    got = {
+        r.band_id: (r.n_matches, float(r.sum_val))
+        for r in point_interval_aggregate(
+            points, bands, "p", "lo", "hi", "p", bucket_width=7.0
+        ).collect()
+    }
+    joined = (
+        point_interval_join(points, bands, "p", "lo", "hi", 7.0)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p").cast("decimal(18,4)")).alias("s"),
+        )
+    )
+    expected = {r.band_id: (r.n, float(r.s)) for r in joined.collect()}
+    assert got == expected
+    assert 3 not in got and got[2][0] == 1  # p=15 only

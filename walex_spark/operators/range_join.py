@@ -112,3 +112,109 @@ def interval_overlap_join(
         & (lv["__lb"] == first_shared)
     )
     return lv.join(rv, cond, "inner").drop("__lb", "__rb")
+
+
+def point_interval_aggregate(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    val_col: str,
+    bucket_width: float,
+    band_keys: list[str] | None = None,
+) -> DataFrame:
+    """COUNT/SUM of points inside each interval WITHOUT materializing
+    the point-interval matches: the two-level (segment-tree) range
+    aggregation.
+
+    point_interval_join + groupBy produces one intermediate row per
+    match — at a span/width ratio of s, that is s× the point count
+    flowing through the join. Here each interval instead:
+
+      1. takes its strictly-INTERIOR buckets' contributions from a
+         per-bucket summary table (count + decimal sum, one narrow
+         aggregate of the points) via the bucket equi-join — O(span/w)
+         summary rows per interval, zero point rows;
+      2. row-joins ONLY its two boundary buckets (residual
+         lo <= p <= hi filter) — the only place point rows move;
+      3. combines the two parts (integer counts and DECIMAL sums are
+         order-free, so the split is exactly the unsplit aggregate).
+
+    Returns intervals' ``band_keys`` (default: all their non-bound
+    columns) with (n_matches, sum_val as DECIMAL(28,6)->double-ready
+    decimal). Intervals with hi < lo are dropped.
+
+    Exactness: the decomposition only reorders an integer count and a
+    decimal sum — both order-free — so the result is bit-identical to
+    the naive BETWEEN-join aggregate, and the ORACLE stays the naive
+    spelling. Interior membership is decided purely on integer bucket
+    ids (floor(x/w)) — no float boundary comparisons that could
+    disagree with the residual filter.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    w = float(bucket_width)
+    b_of = lambda c: F.floor(c / F.lit(w)).cast(T.LongType())  # noqa: E731
+    dec = F.col(val_col).cast(T.DecimalType(18, 4))
+    keys = band_keys or [
+        c for c in intervals.columns if c not in (lo_col, hi_col)
+    ]
+
+    summaries = points.groupBy(b_of(F.col(point_col)).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(dec).alias("__sum"),
+    )
+    iv = (
+        intervals.filter(F.col(lo_col) <= F.col(hi_col))
+        .withColumn("__lo_b", b_of(F.col(lo_col)))
+        .withColumn("__hi_b", b_of(F.col(hi_col)))
+    )
+    interior = (
+        iv.withColumn(
+            "__b",
+            F.explode(
+                F.when(
+                    F.col("__hi_b") - 1 >= F.col("__lo_b") + 1,
+                    F.sequence(F.col("__lo_b") + 1, F.col("__hi_b") - 1),
+                ).otherwise(F.array().cast(T.ArrayType(T.LongType())))
+            ),
+        )
+        .join(summaries, "__b")
+        .groupBy(*keys)
+        .agg(
+            F.sum("__cnt").alias("__n_int"),
+            F.sum("__sum").alias("__s_int"),
+        )
+    )
+    boundary = (
+        iv.withColumn(
+            "__b", F.explode(F.array_distinct(F.array("__lo_b", "__hi_b")))
+        )
+        .join(
+            points.withColumn("__b", b_of(F.col(point_col))),
+            "__b",
+        )
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__n_bnd"),
+            F.sum(dec).alias("__s_bnd"),
+        )
+    )
+    zero = F.lit(0).cast(T.DecimalType(18, 4))
+    combined = boundary.join(interior, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col("__n_bnd"), F.lit(0))
+            + F.coalesce(F.col("__n_int"), F.lit(0))
+        ).cast(T.LongType()).alias("n_matches"),
+        (
+            F.coalesce(F.col("__s_bnd"), zero)
+            + F.coalesce(F.col("__s_int"), zero)
+        ).alias("sum_val"),
+    )
+    return combined.filter(F.col("n_matches") > 0)

@@ -5375,6 +5375,55 @@ def q_doc_pipeline_e2e(spark, sf_dir):
 
 
 @_register(
+    "q_range_agg_twolevel",
+    """
+    SELECT p.p_partkey,
+           COUNT(*) AS n_matches,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS sum_price
+    FROM lineitem l
+    JOIN part p
+      ON l.l_extendedprice >= p.p_retailprice - 50
+     AND l.l_extendedprice <= p.p_retailprice + 50
+    GROUP BY p.p_partkey
+    """,
+)
+def q_range_agg_twolevel(spark, sf_dir):
+    """Range aggregation WITHOUT materializing the matches
+    (range_join.py::point_interval_aggregate): the same per-band
+    count/sum as q_range_join_bands, but interior buckets contribute
+    via a pre-aggregated per-bucket summary (count + decimal sum —
+    both order-free, so the split equals the unsplit aggregate
+    bit-for-bit) and only the two boundary buckets move point rows.
+    The oracle is the NAIVE BETWEEN-join aggregate — identical results
+    prove the decomposition; the win is the s×-smaller intermediate
+    (span/width matches per point never exist as rows)."""
+    from walex_spark.operators.range_join import point_interval_aggregate
+
+    points = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") - 50).alias("band_lo"),
+        (F.col("p_retailprice") + 50).alias("band_hi"),
+    )
+    out = point_interval_aggregate(
+        points,
+        bands,
+        "l_extendedprice",
+        "band_lo",
+        "band_hi",
+        "l_extendedprice",
+        bucket_width=25.0,
+        band_keys=["p_partkey"],
+    )
+    return out.select(
+        "p_partkey",
+        "n_matches",
+        _dbl(F.col("sum_val")).alias("sum_price"),
+    )
+
+
+@_register(
     "q_events_ewma",
     """
     WITH s AS (
@@ -5566,7 +5615,8 @@ DRIVER_ORDER = [
     # q01_pricing_summary dropped: entry() smoke-checks it every round;
     # q_quantiles dropped: oracle unchanged, outlier adjudicated by
     # qprof — zero-history queries outrank repeat witnesses)
-    "q_range_join_bands", "q_cdc_pgoutput_decode", "q_doc_minhash_pairs",
+    # (q_range_join_bands swapped for its zero-history two-level twin)
+    "q_range_agg_twolevel", "q_cdc_pgoutput_decode", "q_doc_minhash_pairs",
 ]
 
 
