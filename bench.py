@@ -47,6 +47,7 @@ HEAVY_OUTPUT = {
     "q_zorder_values",
     "q_unpivot_lineitem",
     "q_events_rolling",
+    "q_events_cusum",
 }
 
 # Keep the final summary line comfortably inside the driver's 2000-byte
