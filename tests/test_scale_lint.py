@@ -1,0 +1,97 @@
+"""Registry-wide scale lint: EVERY registered query's physical plan is
+audited against the global 100 TB rules, not just the hand-pinned
+headliners in test_plans.py.
+
+Rules:
+  1. No CartesianProduct, ever.
+  2. BroadcastNestedLoopJoin only within a small per-query allowance —
+     the bounded metadata broadcasts (one-row corpus stats, centroid
+     tables, query-side ANN frames). Any NEW query that accidentally
+     plans a data-sized BNLJ fails here before it ever reaches a
+     driver round.
+  3. Single-partition windows (empty PARTITION BY over unbounded
+     input) only where declared: global top-k ranks computed AFTER a
+     LIMIT, or metadata-sized frames (per-partition offsets). The
+     allowlist is explicit so adding one is a conscious act.
+
+Plans are built at sf0.001 — the lint asserts what Catalyst PLANS,
+not what it computes, so this stays cheap enough to run over the
+whole registry.
+"""
+
+import re
+
+import pytest
+
+from walex_spark import queries as Q
+from walex_spark.plans import audit
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose plans legitimately carry BroadcastNestedLoopJoins —
+# every entry is a bounded broadcast (one-row aggregate, n_cells-row
+# centroid table, or an already-top-k query frame), documented in the
+# query's own docstring
+BNLJ_ALLOWANCE = {
+    "q_emb_cosine_topk": 1,       # broadcast query side
+    "q_emb_ann_ivf": 2,           # centroid table x2 (corpus+query assign)
+    "q_emb_ann_ivf_trained": 2,
+    "q_emb_ann_ivfpq": 2,
+    "q_emb_ann_pq": 2,            # codebook assigns
+    "q_emb_ann_sq8": 1,           # broadcast query side
+    "q_emb_ann_recall": 2,        # brute-force truth side + zero-hit left join
+    "q_emb_near_dup": 1,          # bucketized self-join residual
+    "q_emb_semantic_dedup": 2,
+    "q_doc_cluster_survivors": 2,
+    "q_doc_leak_safe_split": 2,
+    "q_hybrid_rrf": 2,            # BM25 one-row stats + brute-force query side
+    "q_doc_bm25": 1,              # one-row corpus stats
+    "q_doc_temp_mixture": 1,      # one-row min-count
+    "q_doc_pipeline_e2e": 1,      # one-row min-count (mixture stage)
+    "q_doc_surprisal": 1,         # one-row n_total
+    "q15_top_supplier": 1,        # one-row max-revenue
+    "q22_idle_customers": 1,      # one-row avg balance
+    "q11_important_parts": 1,     # one-row threshold
+    "q_events_outliers": 1,       # one-row global stats
+    "q_doc_weighted_sample": 1,   # one-row max weight
+    "q_quantiles": 0,
+    "q_cdc_time_travel": 1,       # one-row LSN cutoff broadcast
+    "q_doc_heavy_hitters": 1,     # one-row token total
+    "q_doc_term_scores": 1,       # one-row n_docs
+}
+DEFAULT_BNLJ = 0
+
+# queries that legitimately contain a partition-less window: global
+# rank AFTER a LIMIT (TakeOrdered feeds k rows), or a window over a
+# metadata-sized frame (per-partition offsets, partition counts)
+GLOBAL_WINDOW_OK = {
+    "q_doc_bm25",            # rank over the top-k LIMIT output
+    "q_hybrid_rrf",          # rank over two fused top-k lists
+    "q_doc_global_shuffle",  # offsets window over the partition frame
+    "q_doc_pack_sequences",  # same offsets frame (prefix_sums)
+    "q02_top_revenue_orders",  # rank after LIMIT
+    "q03_shipping_priority",
+    "q_doc_vocab_topk",
+    "q_doc_heavy_hitters",
+    "q_doc_bpe_merges",      # metadata argmax per round
+}
+
+
+@pytest.mark.parametrize("name", sorted(Q.QUERIES))
+def test_scale_lint(spark, name):
+    r = audit(Q.QUERIES[name](spark, SF_DIR))
+    tree = r.text.split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree, f"{name}: cartesian product"
+    allowed = BNLJ_ALLOWANCE.get(name, DEFAULT_BNLJ)
+    assert r.nested_loop_joins <= allowed, (
+        f"{name}: {r.nested_loop_joins} BroadcastNestedLoopJoins, "
+        f"allowance {allowed} — a data-sized BNLJ is quadratic at scale"
+    )
+    if name not in GLOBAL_WINDOW_OK:
+        # a Window whose partition spec is empty serializes its input
+        # through one task; detail section shows the window definition
+        for m in re.finditer(r"Window \[[^\]]*\], \[\]", r.text):
+            pytest.fail(
+                f"{name}: partition-less window over undeclared input: "
+                f"{m.group(0)[:100]}"
+            )
