@@ -40,6 +40,7 @@ BNLJ_ALLOWANCE = {
     "q_emb_ann_pq": 2,            # codebook assigns
     "q_emb_ann_sq8": 1,           # broadcast query side
     "q_emb_ann_recall": 2,        # brute-force truth side + zero-hit left join
+    "q_emb_ann_recall_ivf": 2,    # centroid assigns + brute-force truth
     "q_emb_near_dup": 1,          # bucketized self-join residual
     "q_emb_semantic_dedup": 2,
     "q_doc_cluster_survivors": 2,

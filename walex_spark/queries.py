@@ -5375,6 +5375,78 @@ def q_doc_pipeline_e2e(spark, sf_dir):
 
 
 @_register(
+    "q_emb_ann_recall_ivf",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, v AS cv,
+                 sqrt({_FOLD_DOT.format(a='v', b='v')}) AS cent_norm
+          FROM v WHERE vec_id % 125 = 0),
+    cellscore AS (
+      SELECT v.vec_id, c.cell_id,
+             {_FOLD_DOT.format(a='v.v', b='c.cv')} / c.cent_norm AS s
+      FROM v CROSS JOIN c),
+    rankedc AS (
+      SELECT vec_id, cell_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+      FROM cellscore),
+    corpus AS (
+      SELECT r.vec_id AS neighbor_id, v.v AS c_vec,
+             sqrt({_FOLD_DOT.format(a='v.v', b='v.v')}) AS c_norm, r.cell_id
+      FROM rankedc r JOIN v USING (vec_id) WHERE r.rn = 1),
+    probes AS (
+      SELECT r.vec_id AS query_id, v.v AS q_vec,
+             sqrt({_FOLD_DOT.format(a='v.v', b='v.v')}) AS q_norm, r.cell_id
+      FROM rankedc r JOIN v USING (vec_id) WHERE r.rn <= 2 AND r.vec_id < 32),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM (SELECT DISTINCT query_id, neighbor_id,
+                     {_FOLD_DOT.format(a='q_vec', b='c_vec')}
+                       / (q_norm * c_norm) AS cosine
+              FROM probes JOIN corpus USING (cell_id)
+              WHERE query_id <> neighbor_id))
+      WHERE rnk <= 10),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_FOLD_DOT.format(a='q.v', b='cv.v')}
+                          / (sqrt({_FOLD_DOT.format(a='q.v', b='q.v')})
+                             * sqrt({_FOLD_DOT.format(a='cv.v', b='cv.v')}))
+                          DESC, cv.vec_id) AS rnk
+        FROM (SELECT * FROM v WHERE vec_id < 32) q, v cv
+        WHERE q.vec_id <> cv.vec_id)
+      WHERE rnk <= 10),
+    hits AS (
+      SELECT t.query_id, COUNT(*) AS n_hits
+      FROM truth t JOIN approx a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id)
+    SELECT q2.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall
+    FROM (SELECT DISTINCT query_id FROM truth) q2
+    LEFT JOIN hits h ON h.query_id = q2.query_id
+    """,
+)
+def q_emb_ann_recall_ivf(spark, sf_dir):
+    """recall@10 of the IVF index (nprobe=2, 16 strided cells) against
+    exact brute force — the companion eval to q_emb_ann_recall's LSH
+    measurement: together they quantify the recall/cost trade of both
+    candidate-generation families before a production rollout."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 32)
+    truth = sim.brute_force_topk(q, emb, k=10)
+    approx = sim.ann_ivf_topk(
+        q, emb, k=10, centroid_ids=_IVF_CENTROID_IDS, n_probe=2
+    )
+    return sim.recall_at_k(truth, approx, k=10)
+
+
+@_register(
     "q_range_agg_twolevel",
     """
     SELECT p.p_partkey,
@@ -5616,7 +5688,8 @@ DRIVER_ORDER = [
     # q_quantiles dropped: oracle unchanged, outlier adjudicated by
     # qprof — zero-history queries outrank repeat witnesses)
     # (q_range_join_bands swapped for its zero-history two-level twin)
-    "q_range_agg_twolevel", "q_cdc_pgoutput_decode", "q_doc_minhash_pairs",
+    # (q_cdc_pgoutput_decode swapped out: hard-green r04 AND r05)
+    "q_range_agg_twolevel", "q_emb_ann_recall_ivf", "q_doc_minhash_pairs",
 ]
 
 
