@@ -201,3 +201,23 @@ def test_expect_unique_null_keys_use_grouping_semantics(spark):
     )
     m2 = _suite_map(dq.expect_unique(dup, "a", "b", check="u"))
     assert m2 == {"u": (1, False)}
+
+
+def test_suppress_rare_groups_nullsafe_and_threshold(spark):
+    from walex_spark.extensions.expectations import suppress_rare_groups
+
+    rows = (
+        [("a", 1)] * 5          # cohort (a) size 5 -> survives k=3
+        + [("b", 2)] * 2        # size 2 -> suppressed
+        + [(None, 3)] * 4       # NULL cohort size 4 -> MUST survive
+    )
+    df = spark.createDataFrame(rows, "qid string, payload int")
+    kept = suppress_rare_groups(df, ["qid"], k=3).collect()
+    by = {}
+    for r in kept:
+        by[r.qid] = by.get(r.qid, 0) + 1
+    assert by == {"a": 5, None: 4}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        suppress_rare_groups(df, ["qid"], k=0)

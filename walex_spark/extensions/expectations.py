@@ -111,3 +111,34 @@ def run_suite(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def suppress_rare_groups(
+    df: DataFrame, cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity suppression: drop every row whose combination of
+    quasi-identifier ``cols`` occurs fewer than ``k`` times — the
+    governance gate a dataset passes before leaving a trust boundary
+    (rare combinations re-identify individuals).
+
+    NULLs group with SQL GROUPING semantics (a NULL-keyed cohort of
+    size >= k survives like any other). Scale shape: one
+    map-side-combinable count aggregate on the quasi-identifier key,
+    joined back as a LEFT SEMI on the same key — two shuffles that
+    share the partitioning, data never widens.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    big = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= k)
+        .select(*[F.col(c).alias(f"__k_{c}") for c in cols])
+    )
+    # null-SAFE semi-join: a plain USING equi-join would silently drop
+    # every NULL-keyed row even when its cohort is large
+    cond = None
+    for c in cols:
+        term = df[c].eqNullSafe(big[f"__k_{c}"])
+        cond = term if cond is None else cond & term
+    return df.join(big, cond, "left_semi")

@@ -5375,6 +5375,139 @@ def q_doc_pipeline_e2e(spark, sf_dir):
 
 
 @_register(
+    "q_doc_langid_eval",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS de_n,
+             len(list_filter(toks, x -> x IN ('the','and','of','a'))) AS en_n,
+             len(list_filter(toks, x -> x IN ('el','la','de','y'))) AS es_n,
+             len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS fr_n
+      FROM t),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN de_n = 0 AND en_n = 0 AND es_n = 0 AND fr_n = 0 THEN 'und'
+                  WHEN de_n >= en_n AND de_n >= es_n AND de_n >= fr_n THEN 'de'
+                  WHEN en_n >= es_n AND en_n >= fr_n THEN 'en'
+                  WHEN es_n >= fr_n THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM s)
+    SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_doc_langid_eval(spark, sf_dir):
+    """Language-ID confusion matrix: the marker-word classifier's
+    predictions against the documents table's ground-truth lang column
+    — the eval that turns a heuristic into a measured component
+    (per-language precision/recall fall straight out of these counts).
+    One id-keyed join of two narrow frames; the classifier itself
+    filters non-marker tokens before any shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = tx.language_id(docs).select("doc_id", "pred_lang")
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("n"))
+    )
+
+
+@_register(
+    "q_doc_quality_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+    sc AS (
+      SELECT doc_id,
+             length(bin(LEAST(n_total // cnt, 2147483647)
+                        * LEAST(n_total // cnt, 2147483647))) - 1 AS hb
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(hb) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS hbpt
+      FROM sc GROUP BY doc_id),
+    th AS (
+      SELECT quantile_cont(hbpt, 0.33) AS p33,
+             quantile_cont(hbpt, 0.66) AS p66
+      FROM per_doc)
+    SELECT doc_id, hbpt AS half_bits_per_token,
+           CASE WHEN hbpt < p33 THEN 'head'
+                WHEN hbpt < p66 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM per_doc CROSS JOIN th
+    """,
+)
+def q_doc_quality_buckets(spark, sf_dir):
+    """CCNet-style quality stratification: documents split into
+    head/middle/tail buckets at the exact 33rd/66th percentiles of
+    their unigram-surprisal rate (low bits/token = most fluent =
+    head). Exact percentiles interpolate identically in both engines
+    (the q_quantiles contract) and the thresholds are a one-row
+    broadcast; the bucket label is a map-side comparison."""
+    from walex_spark.extensions.search import unigram_surprisal
+
+    per_doc = unigram_surprisal(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("half_bits_per_token").alias("hbpt")
+    )
+    th = per_doc.agg(
+        F.percentile("hbpt", 0.33).alias("p33"),
+        F.percentile("hbpt", 0.66).alias("p66"),
+    )
+    return per_doc.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        F.col("hbpt").alias("half_bits_per_token"),
+        F.when(F.col("hbpt") < F.col("p33"), "head")
+        .when(F.col("hbpt") < F.col("p66"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@_register(
+    "q_kanon_suppress",
+    """
+    WITH g AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2, 3)
+    SELECT o_orderpriority, o_orderstatus, order_year,
+           CAST(n AS BIGINT) AS n
+    FROM g WHERE n >= 130
+    """,
+)
+def q_kanon_suppress(spark, sf_dir):
+    """k-anonymity suppression (expectations.py::suppress_rare_groups,
+    k=130): rows whose (priority, status, order-year) cohort is
+    smaller than k are dropped before the dataset leaves a trust
+    boundary; the query reports the surviving cohorts. The semi-join
+    back is NULL-SAFE (a NULL-keyed cohort of size >= k survives —
+    plain equi-join semantics would silently drop it; unit-tested).
+    One count aggregate + one semi-join sharing the cohort key."""
+    from walex_spark.extensions.expectations import suppress_rare_groups
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast(T.LongType()).alias("order_year"),
+    )
+    kept = suppress_rare_groups(
+        o, ["o_orderpriority", "o_orderstatus", "order_year"], k=130
+    )
+    return kept.groupBy(
+        "o_orderpriority", "o_orderstatus", "order_year"
+    ).agg(F.count(F.lit(1)).cast(T.LongType()).alias("n"))
+
+
+@_register(
     "q_emb_ann_recall_ivf",
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
