@@ -50,7 +50,9 @@ BNLJ_ALLOWANCE = {
     "q_doc_temp_mixture": 1,      # one-row min-count
     "q_doc_pipeline_e2e": 1,      # one-row min-count (mixture stage)
     "q_doc_surprisal": 1,         # one-row n_total
-    "q_doc_quality_buckets": 2,   # n_total + one-row percentile thresholds
+    # n_total (evaluated in two subtrees of the un-checkpointed
+    # surprisal base) + the one-row percentile-threshold broadcast
+    "q_doc_quality_buckets": 3,
     "q15_top_supplier": 1,        # one-row max-revenue
     "q22_idle_customers": 1,      # one-row avg balance
     "q11_important_parts": 1,     # one-row threshold

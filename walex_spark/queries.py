@@ -5397,7 +5397,7 @@ def q_doc_pipeline_e2e(spark, sf_dir):
                   ELSE 'fr' END AS pred_lang
       FROM s)
     SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
-    FROM pred p JOIN documents d USING (doc_id)
+    FROM documents d JOIN pred p USING (doc_id)
     GROUP BY 1, 2
     """,
 )
