@@ -37,11 +37,16 @@ _NOT_ALIAS = frozenset(
 
 
 def _self_contained(sql: str) -> str:
+    # both FROM- and JOIN-position table references are substituted:
+    # "FROM pred p JOIN documents d USING (...)" is as legal as the
+    # FROM spelling, and missing it is a DuckDB catalog error the
+    # EXPLAIN gate only surfaces after the oracle is written
     for t in _UNREGISTERED_TABLES:
 
         def repl(m: re.Match, t: str = t) -> str:
-            scan = f"FROM read_parquet('{_DRIVER_SF_DIR}/{t}.parquet')"
-            alias = m.group(1)
+            kw = m.group(1).upper()
+            scan = f"{kw} read_parquet('{_DRIVER_SF_DIR}/{t}.parquet')"
+            alias = m.group(2)
             if alias and alias.lower() not in _NOT_ALIAS:
                 # "FROM documents d" → keep the query's own alias.
                 return f"{scan} AS {alias}"
@@ -49,7 +54,7 @@ def _self_contained(sql: str) -> str:
             return f"{scan} AS {t}{tail}"
 
         sql = re.sub(
-            rf"\bFROM {t}\b(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+            rf"\b(FROM|JOIN) {t}\b(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
             repl,
             sql,
         )

@@ -121,3 +121,20 @@ def test_extension_oracles_are_self_contained():
     for n in ext:
         sql = os_[n]
         assert "read_parquet" in sql, f"{n} still references a bare view"
+
+
+def test_self_contained_rewrite_handles_join_position():
+    """`JOIN documents d USING (...)` must substitute like the FROM
+    spelling — the confusion-matrix oracle originally hit a DuckDB
+    catalog error because only FROM-position tables were rewritten."""
+    f = entrymod._self_contained
+    got = f("FROM pred p JOIN documents d USING (doc_id)")
+    assert (
+        got
+        == f"FROM pred p JOIN read_parquet('{SF_DIR}/documents.parquet') AS d USING (doc_id)"
+    )
+    got2 = f("FROM pred p JOIN documents USING (doc_id)")
+    assert (
+        got2
+        == f"FROM pred p JOIN read_parquet('{SF_DIR}/documents.parquet') AS documents USING (doc_id)"
+    )
