@@ -78,12 +78,16 @@ GLOBAL_WINDOW_OK = {
     "q_doc_vocab_topk",
     "q_doc_heavy_hitters",
     "q_doc_bpe_merges",      # metadata argmax per round
+    # the per-block boundary carry: a serial window over the
+    # metadata-sized block table, pinned separately in test_plans.py
+    "q_cdc_pgoutput_decode",
 }
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
 def test_scale_lint(spark, name):
-    r = audit(Q.QUERIES[name](spark, SF_DIR))
+    df = Q.QUERIES[name](spark, SF_DIR)
+    r = audit(df)
     tree = r.text.split("\n\n", 1)[0]
     assert "CartesianProduct" not in tree, f"{name}: cartesian product"
     allowed = BNLJ_ALLOWANCE.get(name, DEFAULT_BNLJ)
@@ -92,10 +96,24 @@ def test_scale_lint(spark, name):
         f"allowance {allowed} — a data-sized BNLJ is quadratic at scale"
     )
     if name not in GLOBAL_WINDOW_OK:
-        # a Window whose partition spec is empty serializes its input
-        # through one task; detail section shows the window definition
-        for m in re.finditer(r"Window \[[^\]]*\], \[\]", r.text):
-            pytest.fail(
-                f"{name}: partition-less window over undeclared input: "
-                f"{m.group(0)[:100]}"
-            )
+        # a Window with an EMPTY partition spec serializes its whole
+        # input through one task. In executedPlan().toString() the
+        # operator prints `Window [exprs], [part], [order]` when
+        # partitioned but `Window [exprs], [order]` when not — i.e.
+        # exactly one `], [` separator (shape verified empirically;
+        # explain("formatted") omits the empty spec entirely, which is
+        # why the lint reads the executed plan string instead).
+        # Two-bracket-group Window lines are ambiguous: `[exprs],
+        # [part]` (partitioned, unordered frame — fine) vs `[exprs],
+        # [order]` (GLOBAL ordered window — the single-task shape).
+        # Only an ORDER spec carries ASC/DESC tokens, which is how the
+        # two are told apart.
+        exec_text = df._jdf.queryExecution().executedPlan().toString()
+        for line in exec_text.splitlines():
+            if re.search(r"\bWindow \[", line) and line.count("], [") == 1:
+                tail = line.rsplit("], [", 1)[-1]
+                if " ASC" in tail or " DESC" in tail:
+                    pytest.fail(
+                        f"{name}: partition-less window over undeclared "
+                        f"input: {line.strip()[:140]}"
+                    )
