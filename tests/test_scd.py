@@ -458,3 +458,38 @@ def test_postings_delta_stream_survives_restart(spark, tmp_path):
         for r in maintain_term_postings(env, ["id"], "t").collect()
     }
     assert folded == batch == {"z": (1, 1)}
+
+
+def test_postings_delta_stream_nbsp_matches_batch(spark, tmp_path):
+    """Non-ASCII whitespace (NBSP) must NOT split in the stream if the
+    batch tokenizer keeps it (Java \\s is ASCII-only): fold-equals-
+    batch holds on non-ASCII text too."""
+    from walex_spark.model import CHANGE_ENVELOPE_SCHEMA
+    from walex_spark.operators.scd import maintain_term_postings
+    from walex_spark.sources.envelope import read_envelope_stream
+    from walex_spark.streaming.postings import postings_delta_stream
+
+    rows = [_change("INSERT", 100, {"t": "Foo Bar baz"}, key="1")]
+    src = str(tmp_path / "env")
+    spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA).write.parquet(src)
+    q = (
+        postings_delta_stream(read_envelope_stream(spark, src), ["id"], "t")
+        .writeStream.format("memory")
+        .queryName("postings_nbsp")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        folded = {}
+        for r in spark.table("postings_nbsp").collect():
+            tf, df = folded.get(r.term, (0, 0))
+            folded[r.term] = (tf + r.dtf, df + r.ddf)
+    finally:
+        q.stop()
+    env = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    batch = {
+        r.term: (r.tf_total, r.n_docs)
+        for r in maintain_term_postings(env, ["id"], "t").collect()
+    }
+    assert folded == batch == {"foo bar": (1, 1), "baz": (1, 1)}

@@ -14,8 +14,10 @@ Determinism rules (the queries.py conventions applied to recursions):
 * CUSUM avoids recursion entirely: the cumulative deviation from the
   per-entity mean telescopes to ``n_e·cum_v − i·S_e`` (running sum and
   row index against per-entity totals), all integer micro-units, with
-  the two products in DECIMAL(38,0) so even extreme magnitudes cannot
-  wrap an int64 differently per engine.
+  the two products in DECIMAL(38,0) so extreme magnitudes cannot wrap
+  — and the final BIGINT output cast guarded by an in-plan raise
+  (loud at the exact row, never an opaque ANSI error or a silent
+  pre-ANSI wrap).
 
 Scale shape: both operators shuffle ONCE on the entity key. EWMA
 collects each entity's series into one row (bounded by per-entity
@@ -77,20 +79,20 @@ def ewma_last(
     g = df.groupBy(entity_col).agg(
         series.alias("__s"), F.count(F.lit(1)).alias("n_events")
     )
+    # accumulator is the bare double (Spark's aggregate allows an acc
+    # type different from the element type, unlike DuckDB's
+    # list_reduce) — the per-step IEEE sequence alpha*v + beta*acc is
+    # unchanged, without rebuilding a 3-field struct every step
     folded = F.aggregate(
         F.slice(F.col("__s"), 2, F.greatest(F.size("__s") - 1, F.lit(0))),
-        F.element_at(F.col("__s"), 1),
-        lambda acc, x: F.struct(
-            x["us"].alias("us"),
-            x["tb"].alias("tb"),
-            (F.lit(alpha) * x["v"] + F.lit(beta) * acc["v"]).alias("v"),
-        ),
+        F.element_at(F.col("__s"), 1)["v"],
+        lambda acc, x: F.lit(alpha) * x["v"] + F.lit(beta) * acc,
     )
     return g.select(
         F.col(entity_col),
         F.col("n_events").cast(T.LongType()).alias("n_events"),
         F.element_at(F.col("__s"), -1)["v"].alias("last_value"),
-        folded["v"].alias("ewma"),
+        folded.alias("ewma"),
     )
 
 
@@ -136,10 +138,24 @@ def cusum_flags(
         - i.cast(_DEC38) * s_e.cast(_DEC38)
     )
     bound = F.lit(int(threshold * 1000000)).cast(_DEC38) * n_e.cast(_DEC38)
+    # the DECIMAL(38,0) products cannot wrap — but the BIGINT output
+    # cast could. Fail loud at the exact row instead of crashing with
+    # an opaque ANSI cast error (or, pre-ANSI, silently wrapping).
+    i64 = F.lit((1 << 63) - 1).cast(_DEC38)
+    safe_scaled = F.when(
+        F.abs(cusum_scaled) <= i64, cusum_scaled
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "cusum_flags: |n_e*cum_v - i*S_e| exceeds int64; "
+                "rescale values or split the entity's history"
+            )
+        )
+    )
     return base.select(
         F.col(entity_col),
         F.col("tb"),
         F.col("us"),
-        cusum_scaled.cast(T.LongType()).alias("cusum_scaled"),
+        safe_scaled.cast(T.LongType()).alias("cusum_scaled"),
         (F.abs(cusum_scaled) > bound).alias("flagged"),
     )

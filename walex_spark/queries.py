@@ -2022,7 +2022,11 @@ def q_doc_quality(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+             -- NULL text must classify 'und' like the Spark side (a
+             -- NULL toks would make every CASE branch fall to 'fr')
+             COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> ''),
+                      []::VARCHAR[]) AS toks
       FROM documents),
     s AS (
       SELECT doc_id,
@@ -5379,7 +5383,11 @@ def q_doc_pipeline_e2e(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+             -- NULL text must classify 'und' like the Spark side (a
+             -- NULL toks would make every CASE branch fall to 'fr')
+             COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> ''),
+                      []::VARCHAR[]) AS toks
       FROM documents),
     s AS (
       SELECT doc_id,

@@ -22,16 +22,26 @@ by live keys × document size. Batches cross to Python via Arrow
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 OUT_SCHEMA = "term STRING, dtf INT, ddf INT, lsn BIGINT"
 
+# Java \s is ASCII-only; Python str.split() splits on Unicode
+# whitespace (NBSP, U+2028, ...), which would silently diverge from
+# the batch tokenizer on real-world text — the same hazard the
+# heavy-hitters two-pass hit in round 5. re.ASCII pins the split to
+# the JVM semantics; case-folding happens JVM-side (see pre below).
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
 
-def _token_counts(text: str) -> dict:
+
+def _token_counts(lowered_text: str) -> dict:
     counts: dict = {}
-    for tok in text.lower().split():
-        counts[tok] = counts.get(tok, 0) + 1
+    for tok in _ASCII_WS.split(lowered_text):
+        if tok:
+            counts[tok] = counts.get(tok, 0) + 1
     return counts
 
 
@@ -48,16 +58,20 @@ def postings_delta_stream(
     the fold-equals-batch test."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from walex_spark.operators.transforms import lsn_column
+
     rec = F.coalesce(F.col(record_col), F.col("old_record"))
     pre = env.select(
         F.concat_ws(
             "\x00", *[F.coalesce(rec.getItem(k), F.lit("")) for k in key_cols]
         ).alias("__pk"),
         F.col("op"),
-        (F.col("lsn_hi").cast("bigint") * F.lit(4294967296).cast("bigint")
-         + F.col("lsn_lo").cast("bigint")).alias("lsn"),
+        lsn_column().alias("lsn"),
         F.col("change_idx"),
-        F.col(record_col).getItem(text_field).alias("txt"),
+        # case-fold in the JVM so stored state tokenizes exactly like
+        # the batch operator's F.lower (Python str.lower differs on a
+        # handful of Unicode mappings)
+        F.lower(F.col(record_col).getItem(text_field)).alias("txt"),
     ).filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
 
     def step(key, pdfs, state: GroupState):
