@@ -25,6 +25,31 @@ from pyspark.sql import functions as F
 OUT_SCHEMA = "grp STRING, w INT, lsn BIGINT"
 
 
+def prep_delta_input(
+    env: DataFrame,
+    key_cols: list[str],
+    payload,
+    record_col: str = "record",
+) -> DataFrame:
+    """Shared envelope → (__pk, op, lsn, change_idx, payload) prep for
+    the retraction-delta streams (this module + streaming/postings):
+    NUL-joined null-safe key, the canonical 64-bit lsn
+    (transforms.lsn_column), I/U/D only. ``payload`` is the one
+    operator-specific column (already aliased)."""
+    from walex_spark.operators.transforms import lsn_column
+
+    rec = F.coalesce(F.col(record_col), F.col("old_record"))
+    return env.select(
+        F.concat_ws(
+            "\x00", *[F.coalesce(rec.getItem(k), F.lit("")) for k in key_cols]
+        ).alias("__pk"),
+        F.col("op"),
+        lsn_column().alias("lsn"),
+        F.col("change_idx"),
+        payload,
+    ).filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+
+
 def group_delta_stream(
     env: DataFrame,
     key_cols: list[str],
@@ -34,17 +59,12 @@ def group_delta_stream(
     """Envelope stream → stream of (grp, w, lsn) retraction deltas."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    rec = F.coalesce(F.col(record_col), F.col("old_record"))
-    pre = env.select(
-        F.concat_ws(
-            "\x00", *[F.coalesce(rec.getItem(k), F.lit("")) for k in key_cols]
-        ).alias("__pk"),
-        F.col("op"),
-        (F.col("lsn_hi").cast("bigint") * F.lit(4294967296).cast("bigint")
-         + F.col("lsn_lo").cast("bigint")).alias("lsn"),
-        F.col("change_idx"),
+    pre = prep_delta_input(
+        env,
+        key_cols,
         F.col(record_col).getItem(group_field).alias("grp"),
-    ).filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+        record_col,
+    )
 
     def step(key, pdfs, state: GroupState):
         import pandas as pd

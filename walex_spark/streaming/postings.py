@@ -58,21 +58,17 @@ def postings_delta_stream(
     the fold-equals-batch test."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from walex_spark.operators.transforms import lsn_column
+    from walex_spark.streaming.ivm import prep_delta_input
 
-    rec = F.coalesce(F.col(record_col), F.col("old_record"))
-    pre = env.select(
-        F.concat_ws(
-            "\x00", *[F.coalesce(rec.getItem(k), F.lit("")) for k in key_cols]
-        ).alias("__pk"),
-        F.col("op"),
-        lsn_column().alias("lsn"),
-        F.col("change_idx"),
+    pre = prep_delta_input(
+        env,
+        key_cols,
         # case-fold in the JVM so stored state tokenizes exactly like
         # the batch operator's F.lower (Python str.lower differs on a
         # handful of Unicode mappings)
         F.lower(F.col(record_col).getItem(text_field)).alias("txt"),
-    ).filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+        record_col,
+    )
 
     def step(key, pdfs, state: GroupState):
         import pandas as pd
