@@ -58,3 +58,47 @@ def test_cusum_flags_drift(spark):
     assert [r.flagged for r in u2] == [
         False, False, True, True, True, True, True, False, False, False
     ]
+
+
+def test_ewma_stream_folds_to_batch(spark, tmp_path):
+    """Streaming EWMA across two microbatches equals the batch fold
+    over the full history, bit for bit (state carries the running acc
+    and the tie order matches the batch series sort)."""
+    import datetime as dt
+
+    from walex_spark.streaming.postings import ewma_stream
+
+    def rows(vals, start):
+        return [
+            (start + i, dt.datetime(2024, 1, 1, 0, 0, start + i), 1, float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, value double"
+    b1, b2 = rows([10.0, 20.0, 0.0], 0), rows([40.0, 5.0], 3)
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(b1, schema).write.parquet(src)
+    q = (
+        ewma_stream(
+            spark.readStream.schema(schema).parquet(src),
+            "user_id", "ts", "value",
+        )
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        per_batch = spark.table("ewma_out").collect()
+        # last emitted row for the entity = final ewma
+        final = sorted(per_batch, key=lambda r: r.n_events)[-1]
+    finally:
+        q.stop()
+    batch = ewma_last(
+        spark.createDataFrame(b1 + b2, schema), "user_id", "ts", "value"
+    ).first()
+    assert final.ewma == batch.ewma  # bit-exact
+    assert final.n_events == batch.n_events == 5

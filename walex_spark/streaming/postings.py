@@ -104,3 +104,75 @@ def postings_delta_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUT_SCHEMA = "entity STRING, ewma DOUBLE, n_events BIGINT, last_us BIGINT"
+
+
+def ewma_stream(
+    env: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming EWMA per entity — the stateful twin of
+    operators/signal.py::ewma_last. State is (acc, n, last_us); each
+    micro-batch folds its rows in (event-time, value) order with the
+    SAME alpha*v + beta*acc IEEE step, so the final emitted ewma for
+    an entity equals the batch fold over the full history
+    (fold-equals-batch, pinned like the postings stream).
+
+    Emits one row per (entity, micro-batch) in update-to-append style:
+    the entity's running ewma AFTER this batch. alpha must be
+    binary-exact — validated identically to the batch operator.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from walex_spark.operators.signal import _is_binary_exact
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not _is_binary_exact(alpha):
+        raise ValueError("alpha must be binary-exact (k/1024)")
+    beta = 1.0 - alpha
+
+    pre = env.select(
+        F.col(entity_col).cast("string").alias("entity"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(tiebreak_col).cast("bigint").alias("tb"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    def step(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        # the batch fold sorts its series struct (us, tb, v)
+        # lexicographically — mirror the exact tie order
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["us", "tb", "v"]
+        )
+        if state.exists:
+            acc, n, _last = state.get
+        else:
+            acc, n = None, 0
+        last_us = None
+        for r in rows.itertuples():
+            v = float(r.v)
+            acc = v if acc is None else alpha * v + beta * acc
+            n += 1
+            last_us = int(r.us)
+        state.update((acc, n, last_us))
+        yield pd.DataFrame(
+            [(key[0], acc, n, last_us)],
+            columns=["entity", "ewma", "n_events", "last_us"],
+        )
+
+    return pre.groupBy("entity").applyInPandasWithState(
+        step,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType="acc DOUBLE, n BIGINT, last_us BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
