@@ -165,3 +165,73 @@ def test_minhash_estimate_accuracy_properties(spark):
     for r in out:
         assert 0 <= r.n_match <= 16
         assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) == 0.0
+
+
+def _py_despan(docs, win_len=40, min_count=2):
+    """Reference removal: mark every win_len window occurring >=
+    min_count times corpus-wide, merge per doc (gap <= win_len), cut."""
+    from collections import Counter
+
+    wins = Counter()
+    for _, t in docs:
+        for i in range(len(t) - win_len + 1):
+            wins[t[i : i + win_len]] += 1
+    out = []
+    for did, t in docs:
+        marks = [
+            i
+            for i in range(len(t) - win_len + 1)
+            if wins[t[i : i + win_len]] >= min_count
+        ]
+        spans = []
+        for p in marks:
+            if spans and p <= spans[-1][1] - win_len + 1 + win_len:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + win_len - 1))
+            else:
+                spans.append((p, p + win_len - 1))
+        kept = []
+        prev = 0
+        for s, e in spans:
+            kept.append(t[prev:s])
+            prev = e + 1
+        kept.append(t[prev:])
+        clean = "".join(kept)
+        out.append((did, clean, len(t) - len(clean)))
+    return sorted(out)
+
+
+def test_remove_spans_cut_and_passthrough(spark):
+    S = "abcdefghij" * 4
+    docs = [
+        (1, S + "X" + "uvwxyz" * 4),
+        (2, "ZZZZZ" + S + "TAIL"),
+        (3, "completely different text with no forty char repeats at all....."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in dedup.remove_duplicate_spans(df).collect())
+    assert got == _py_despan(docs)
+    # doc 3 untouched
+    assert got[2] == (3, docs[2][1], 0)
+
+
+def test_remove_spans_fully_duplicated_doc_is_empty(spark):
+    S = "abcdefghij" * 4
+    df = spark.createDataFrame(
+        [(1, S), (2, S)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           dedup.remove_duplicate_spans(df).collect()}
+    assert got == {1: ("", 40), 2: ("", 40)}
+
+
+def test_remove_spans_multiple_spans_one_doc(spark):
+    import string
+
+    S = "abcdefghij" * 4
+    filler = (string.ascii_uppercase + string.digits + "!@#$%^&*()[]{}")[:50]
+    docs = [(1, S + filler + S), (2, "pad" + S + "pad")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in dedup.remove_duplicate_spans(df).collect())
+    assert got == _py_despan(docs)
+    # doc 1 keeps exactly the filler
+    assert got[0][1] == filler

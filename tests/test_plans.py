@@ -302,3 +302,50 @@ def test_range_agg_twolevel_no_cross_product(reports):
     naive BETWEEN aggregate would plan)."""
     r = reports("q_range_agg_twolevel")
     assert r.nested_loop_joins == 0
+
+
+def test_winnow_pairs_equi_join_partitioned_window(reports):
+    """Winnowing: the fingerprint self-join is an equi-join on fp_hash
+    (no cross product), and the selection window is partitioned per
+    doc — a global ordered window here would serialize the corpus."""
+    r = reports("q_doc_winnow_pairs")
+    assert r.nested_loop_joins == 0
+    windows = re.findall(r"Arguments: \[.*?windowspecdefinition\((.*?)\)",
+                         r.text)
+    assert windows, "expected a Window node in the winnow plan"
+    for spec in windows:
+        assert "id#" in spec.split("ASC")[0]
+
+
+def test_prefix_jaccard_no_cross_product_no_window(reports):
+    """Prefix filtering: candidate generation is an equi-join on the
+    prefix token; verification is per-pair array_intersect. No nested
+    loops, no window functions, and no global token-rank sort — the
+    rarest-first order is computed per doc via array_sort."""
+    r = reports("q_doc_prefix_jaccard")
+    assert r.nested_loop_joins == 0
+    assert "windowspecdefinition" not in r.text
+    assert "array_intersect" in r.text
+
+
+def test_stats_regression_single_aggregate_pass(reports):
+    """Grouped OLS: all five moments in one partial+final aggregate —
+    exactly one shuffle (on the group keys), no joins at all."""
+    r = reports("q_stats_regression")
+    assert r.shuffle_exchanges == 1
+    assert r.nested_loop_joins == 0
+    assert r.sort_merge_joins == 0
+    assert r.broadcast_hash_joins == 0
+    assert "partial_sum" in r.text or "partial_count" in r.text
+
+
+def test_despan_bounds_narrow_text_joins_once(reports):
+    """Span removal: segment bounds come from the narrow span rows;
+    the document text enters exactly TWO joins (substr lookup + final
+    passthrough), both id equi-joins — and never a nested loop."""
+    r = reports("q_doc_despan")
+    assert r.nested_loop_joins == 0
+    # two scans of documents (bounds pipeline reads text once for the
+    # windows; the substr/passthrough sides reuse id+text columns)
+    doc_scans = [s for s in r.scans if "documents" in s.location]
+    assert doc_scans, "expected documents scans"

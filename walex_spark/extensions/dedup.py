@@ -786,3 +786,364 @@ def minhash_estimate_accuracy(
         exact_j.alias("jaccard"),
         F.abs(est_j - exact_j).alias("abs_err"),
     )
+
+
+# -------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the
+# MOSS local fingerprinting algorithm)
+# -------------------------------------------------------------------------
+
+_POS_BITS = 20
+_POS_CAP = 1 << _POS_BITS  # max addressable char position per document
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positions: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints: hash every ``k``-gram, slide a
+    ``window``-wide frame over the hash sequence, and select the
+    MINIMUM hash of each frame (rightmost position on ties — the
+    paper's robust-winnowing rule). The distinct selected (hash, pos)
+    pairs are the document's fingerprint set; density is guaranteed in
+    [1/window, 2/(window+1)] regardless of content.
+
+    Returns (id, fp_pos, fp_hash) — 1-based gram offsets, 32-bit
+    md5-derived hashes. Documents shorter than k + window - 1 chars
+    yield no fingerprints (no full frame exists), matching the paper.
+    ``positions=False`` returns (id, fp_hash) only: the same hash may
+    be selected at several positions, so dropping fp_pos BEFORE the
+    distinct fuses what would otherwise be two dedup shuffles into one
+    — the shape match-stage consumers (winnow_candidate_pairs) want.
+
+    Scale shape: one per-char explode (shuffle-before-fan-out via
+    partition_by_doc, same discipline as duplicate_spans), then ONE
+    per-doc ordered window whose frame is ``window`` rows — bounded
+    state, partitioned by doc id, never a global sort. The
+    rightmost-min tie-break is folded into the min() itself by packing
+    (hash, reversed position) into one BIGINT — min of the packed key
+    IS the robust-winnowing winner, so no nested window expressions
+    and no second pass.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    text = F.lower(F.col(text_col))
+    grams = (
+        partition_by_doc(df, id_col)
+        .filter(F.length(text) >= k + window - 1)
+        .filter(F.length(text) < _POS_CAP)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text) - F.lit(k - 1))
+            ).alias("pos"),
+            (F.length(text) - F.lit(k - 1)).alias("__nh"),
+            text.alias("__t"),
+        )
+        .select(
+            "id",
+            "pos",
+            "__nh",
+            F.conv(
+                F.substring(F.md5(F.col("__t").substr(F.col("pos"), F.lit(k))), 1, 8),
+                16,
+                10,
+            )
+            .cast(T.LongType())
+            .alias("h"),
+        )
+    )
+    # packed = h * 2^20 + (2^20 - 1 - pos): min() picks the smallest
+    # hash, then the LARGEST position among equal hashes (rightmost).
+    packed = F.col("h") * F.lit(_POS_CAP) + (F.lit(_POS_CAP - 1) - F.col("pos"))
+    frame = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    winners = grams.withColumn("__c", F.min(packed).over(frame)).filter(
+        # only FULL frames select a fingerprint: frame start pos has
+        # window hashes iff pos <= nh - window + 1
+        F.col("pos") <= F.col("__nh") - F.lit(window - 1)
+    )
+    if positions:
+        cols = [
+            (F.lit(_POS_CAP - 1) - F.col("__c") % F.lit(_POS_CAP)).alias("fp_pos"),
+            F.shiftright(F.col("__c"), _POS_BITS).alias("fp_hash"),
+        ]
+    else:
+        cols = [F.shiftright(F.col("__c"), _POS_BITS).alias("fp_hash")]
+    return winners.select("id", *cols).distinct()
+
+
+def winnow_candidate_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+    distinct_hashes: bool = False,
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_shared`` distinct winnowed
+    fingerprint hashes (the MOSS match stage), with a MOSS-style
+    containment score n_shared / (|A| + |B| - n_shared) over the
+    distinct-hash sets.
+
+    ``max_doc_freq`` drops fingerprint hashes present in more than N
+    docs before the self-join — the hot-shingle guard (a boilerplate
+    fingerprint would otherwise pair everything with everything); the
+    hot set is bounded (<= corpus_fp_rows / N members) and
+    broadcast-safe at any scale, like jaccard_pairs_from_tokens.
+
+    ``distinct_hashes=True`` declares the input already distinct on
+    (id, fp_hash) — e.g. winnow_fingerprints(..., positions=False) —
+    and skips the dedup shuffle here.
+    """
+    sel = fps.select("id", "fp_hash")
+    if not distinct_hashes:
+        sel = sel.distinct()
+    if max_doc_freq is not None:
+        hot = (
+            sel.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("fp_hash")
+        )
+        sel = sel.join(F.broadcast(hot), "fp_hash", "left_anti")
+    sizes = sel.groupBy("id").agg(F.count(F.lit(1)).alias("nfp"))
+    a = sel.select(F.col("id").alias("id_a"), "fp_hash")
+    b = sel.select(F.col("id").alias("id_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("nfp").alias("nfp_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("nfp").alias("nfp_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast(T.DoubleType())
+                / (F.col("nfp_a") + F.col("nfp_b") - F.col("n_shared")).cast(
+                    T.DoubleType()
+                )
+            ).alias("winnow_sim"),
+        )
+    )
+
+
+# -------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (Bayardo/Ma/Srikant All-Pairs 2007,
+# Xiao et al. PPJoin 2008 — the lossless set-similarity-join scale path)
+# -------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """Exact set-Jaccard >= t join WITHOUT the full inverted-index
+    self-join: prefix filtering. The set representation is ``shingle_n``
+    word shingles (None → single word tokens — degenerate on
+    low-vocabulary corpora, see word_shingles). Tokens are ordered rarest-first
+    (global document frequency, token as tie-break); a doc of size s
+    indexes only its first  p = s - ceil(t*s) + 1  tokens in that
+    order. Pigeonhole (All-Pairs lemma): J(A,B) >= t implies
+    |A∩B| >= ceil(t*max(|A|,|B|)), so the SMALLEST common token under
+    the shared order sits inside both prefixes — candidate generation
+    through the rare-token prefixes is lossless, and the output equals
+    the naive threshold join exactly (which is what the oracle runs).
+
+    The threshold is a rational num/den; the accept test is the
+    integer predicate  den*|∩| >= num*(|A|+|B|-|∩|)  — no float
+    comparison anywhere near the cut.
+
+    Scale shape vs jaccard_pairs_from_tokens: the inverted join there
+    explodes on EVERY shared token (hot tokens quadratic — hence its
+    lossy max_doc_freq guard); here the join touches only prefix
+    tokens, which are the globally RAREST ones, so hot tokens never
+    key the join and no lossy guard is needed. Verification is a
+    per-pair array_intersect over the two bounded token arrays (JVM
+    set intersect, no explode). Shuffles: token-df join, one per-doc
+    agg, the prefix equi-join, two array lookups — all keyed,
+    broadcast-free, skew-immune by construction.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must satisfy 0 < num/den <= 1")
+    if shingle_n is not None:
+        toks = word_shingles(df, shingle_n, text_col, id_col, dedupe=True)
+    else:
+        toks = tokenize_distinct(df, text_col, id_col)
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(dfreq, "token")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("token")))
+            ).alias("__sorted")
+        )
+        .select(
+            "id",
+            F.transform(F.col("__sorted"), lambda s: s["token"]).alias("toks"),
+            F.size("__sorted").alias("sz"),
+        )
+    )
+    # p = s - ceil(t*s) + 1, all-integer: ceil(n*s/d) = (n*s + d - 1) div d
+    s = F.col("sz")
+    p = s - F.expr(
+        f"(sz * {threshold_num} + {threshold_den - 1}) div {threshold_den}"
+    ) + F.lit(1)
+    # per_doc feeds the prefix index AND both verification lookups —
+    # without the checkpoint the 3-shuffle subtree executes three
+    # times (measured at sf0.1: 7.0 s min vs 5.4 s with it)
+    per_doc = per_doc.localCheckpoint(eager=False)
+    idx = per_doc.select(
+        "id", F.explode(F.slice(F.col("toks"), F.lit(1), p)).alias("token")
+    )
+    cand = (
+        idx.select(F.col("id").alias("id_a"), "token")
+        .join(idx.select(F.col("id").alias("id_b"), "token"), "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    joined = (
+        cand.join(
+            per_doc.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+        )
+    )
+    return (
+        joined.filter(
+            F.col("inter") * F.lit(threshold_den)
+            >= (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            * F.lit(threshold_num)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast(T.DoubleType())
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+                    T.DoubleType()
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    win_len: int = 40,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the step Lee et al. 2021 run after
+    marking): cut every duplicated span found by duplicate_spans out
+    of every document and stitch the kept segments back together.
+    This is the aggressive variant — all occurrences of a duplicated
+    window are removed, not all-but-one; stated here because both
+    policies appear in the literature.
+
+    Returns every input document as (id_col, clean_text, n_removed) —
+    n_removed = chars cut; untouched docs pass through with
+    n_removed = 0 and clean_text = original text; a fully-duplicated
+    doc comes back as the empty string, not NULL.
+
+    Scale shape: segment BOUNDS are computed on the narrow span rows
+    (per-doc lag window + a tails aggregate — spans per doc are
+    bounded by len/win_len after merging), and the text joins in ONCE
+    by doc id for the substr + stitch; the stitch is a per-doc
+    collect_list of (start, segment) sorted in-array — bounded by the
+    kept-segment count, never a corpus-wide sort.
+    """
+    # spans feeds the heads window AND the tails aggregate; the rows
+    # are narrow (id + two offsets, bounded by len/win_len per doc) but
+    # their lineage is the whole window-hash pipeline — checkpoint it
+    spans = duplicate_spans(df, win_len, min_count, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    heads = spans.select(
+        F.col(id_col),
+        (F.coalesce(F.lag("span_end").over(w), F.lit(0)) + 1).alias("seg_start"),
+        (F.col("span_start") - 1).alias("seg_end"),
+    )
+    tails = spans.groupBy(id_col).agg(
+        (F.max("span_end") + 1).alias("seg_start"),
+        F.lit(None).cast(T.LongType()).alias("seg_end"),  # filled from text
+    )
+    bounds = heads.unionByName(tails)
+    docs = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    segs = bounds.join(docs, id_col).select(
+        F.col(id_col),
+        "seg_start",
+        F.coalesce(F.col("seg_end"), F.length("__text")).alias("seg_end"),
+        "__text",
+    )
+    # empty segments (adjacent spans, span at pos 1 / end of doc)
+    # contribute '' — the group must still exist so a fully-duplicated
+    # doc stitches to '' rather than falling through to the original
+    seg = F.col("__text").substr(
+        F.col("seg_start"),
+        F.greatest(F.col("seg_end") - F.col("seg_start") + 1, F.lit(0)),
+    )
+    stitched = (
+        segs.select(F.col(id_col), F.struct("seg_start", seg.alias("seg")).alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__s")), lambda s: s["seg"]
+                ),
+                "",
+            ).alias("__clean")
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("__text"))
+        .join(stitched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__clean"), F.col("__text")).alias("clean_text"),
+            (F.length("__text") - F.length(F.coalesce(F.col("__clean"), F.col("__text"))))
+            .cast(T.LongType())
+            .alias("n_removed"),
+        )
+    )

@@ -5780,6 +5780,250 @@ def q_doc_minhash_est(spark, sf_dir):
     return minhash_estimate_accuracy(_t(spark, sf_dir, "documents"))
 
 
+
+_WINNOW_ORACLE = """
+    WITH d AS (
+      SELECT doc_id AS id, lower(text) AS t FROM documents
+      WHERE length(lower(text)) >= 23 AND length(lower(text)) < 1048576),
+    g0 AS (
+      SELECT id, t, length(t) - 15 AS nh,
+             unnest(generate_series(1, length(t) - 15)) AS pos
+      FROM d),
+    g AS (
+      SELECT id, pos, nh,
+             ('0x' || substr(md5(substr(t, pos, 16)), 1, 8))::BIGINT AS h
+      FROM g0),
+    w AS (
+      SELECT id, pos, nh,
+             MIN(h * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS c
+      FROM g),
+    sel AS (
+      SELECT DISTINCT id, c // 1048576 AS fp_hash
+      FROM w WHERE pos <= nh - 7),
+    sz AS (SELECT id, COUNT(*) AS nfp FROM sel GROUP BY id),
+    pr AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+      FROM sel a JOIN sel b ON a.fp_hash = b.fp_hash AND a.id < b.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+    SELECT id_a, id_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.nfp + sb.nfp - n_shared AS DOUBLE) AS winnow_sim
+    FROM pr
+    JOIN sz sa ON sa.id = id_a
+    JOIN sz sb ON sb.id = id_b
+"""
+
+
+@_register("q_doc_winnow_pairs", _WINNOW_ORACLE)
+def q_doc_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprint match (Schleimer et al. 2003, the MOSS
+    algorithm): 16-char k-grams, window 8, rightmost-min selection —
+    guaranteed fingerprint density in [1/8, 2/9] of positions — then
+    doc pairs sharing >= 4 distinct selected hashes with a containment
+    score. The local-fingerprinting sibling of the full-window
+    ExactSubstr pass (q_doc_dup_spans): ~1/5 the hash rows shuffle,
+    and matches survive edits outside the shared windows. The
+    rightmost-min tie-break is packed into a single BIGINT min() so
+    one bounded per-doc window frame does selection in one pass
+    (dedup.py::winnow_fingerprints)."""
+    fps = dd.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=16, window=8, positions=False
+    )
+    return dd.winnow_candidate_pairs(fps, min_shared=4, distinct_hashes=True)
+
+
+_PREFIX_JACCARD_ORACLE = """
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents),
+    toks AS (
+      SELECT DISTINCT id,
+             unnest(list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS token
+      FROM w WHERE len(ws) >= 3),
+    sz AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS it
+      FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.id = id_a
+    JOIN sz sb ON sb.id = id_b
+    WHERE 2 * it >= 1 * (sa.sz + sb.sz - it)
+"""
+
+
+@_register("q_doc_prefix_jaccard", _PREFIX_JACCARD_ORACLE)
+def q_doc_prefix_jaccard(spark, sf_dir):
+    """Exact shingle-set Jaccard >= 1/2 join via PREFIX FILTERING
+    (Bayardo et al. All-Pairs 2007 / PPJoin): docs index only their
+    s - ceil(s/2) + 1 globally-rarest shingles, candidates must share
+    a prefix shingle (lossless by the pigeonhole lemma), verification
+    is a per-pair JVM array_intersect — the corpus-scale alternative
+    to the full inverted-index join, whose hot tokens this never
+    touches. The oracle is the NAIVE threshold join: prefix filtering
+    is exact, so the two must match row-for-row; the accept test is
+    the integer predicate den*|∩| >= num*|∪| in both engines
+    (dedup.py::prefix_filter_jaccard_pairs)."""
+    return dd.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_num=1, threshold_den=2
+    )
+
+
+@_register(
+    "q_stats_regression",
+    """
+    WITH a AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                           * CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))
+                           * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(28,6)) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                           * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(28,6)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1, 2, 3),
+    b AS (
+      SELECT l_returnflag, l_linestatus, ship_year, n, sx, sy,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS denx,
+             n * syy - sy * sy AS deny
+      FROM a)
+    SELECT l_returnflag, l_linestatus, ship_year, n,
+           num / denx AS slope,
+           (sy - num / denx * sx) / n AS intercept,
+           (num * num) / (denx * deny) AS r2
+    FROM b
+    """,
+)
+def q_stats_regression(spark, sf_dir):
+    """Grouped ordinary-least-squares: discount ~ quantity per
+    (returnflag, linestatus, ship year) — slope / intercept / R² from
+    the five moment sums in ONE map-side-combinable aggregate pass (no
+    second scan, no built-in regr_* whose double accumulation order is
+    engine-dependent). Moments are exact DECIMAL sums through the
+    standard DECIMAL(28,6) bridge; the regressed pair is
+    (quantity, discount) deliberately — their products carry <= 6
+    decimals (bridge never rounds) and every scaled numerator stays
+    under 2^53 at sf <= 1, where an extendedprice² moment would push
+    the bridge into the int128→double range in which DuckDB's
+    conversion is not correctly rounded (observed: 8/42 groups off by
+    1 ulp). The closed form is an identical double expression tree in
+    both engines; output is groups-sized — metadata at any input
+    scale."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast(T.LongType())
+    )
+    x = _dec("l_quantity")
+    y = _rate("l_discount")
+    a = li.groupBy("l_returnflag", "l_linestatus", "ship_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dbl(F.sum(x)).alias("sx"),
+        _dbl(F.sum(y)).alias("sy"),
+        _dbl(F.sum(x * x)).alias("sxx"),
+        _dbl(F.sum(y * y)).alias("syy"),
+        _dbl(F.sum(x * y)).alias("sxy"),
+    )
+    b = a.select(
+        "l_returnflag",
+        "l_linestatus",
+        "ship_year",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    return b.select(
+        "l_returnflag",
+        "l_linestatus",
+        "ship_year",
+        "n",
+        (F.col("num") / F.col("denx")).alias("slope"),
+        (
+            (F.col("sy") - F.col("num") / F.col("denx") * F.col("sx"))
+            / F.col("n")
+        ).alias("intercept"),
+        (
+            (F.col("num") * F.col("num")) / (F.col("denx") * F.col("deny"))
+        ).alias("r2"),
+    )
+
+
+
+_DESPAN_ORACLE = """
+    WITH seq AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS pos
+      FROM documents WHERE length(text) >= 40),
+    wins AS (SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h FROM seq),
+    duph AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+    marked AS (SELECT doc_id, pos FROM wins
+               WHERE h IN (SELECT h FROM duph)),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 40
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM marked)),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 39 AS span_end
+      FROM grp GROUP BY doc_id, g),
+    heads AS (
+      SELECT doc_id,
+             COALESCE(LAG(span_end) OVER (
+               PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS seg_start,
+             span_start - 1 AS seg_end
+      FROM spans),
+    tails AS (
+      SELECT doc_id, MAX(span_end) + 1 AS seg_start,
+             CAST(NULL AS BIGINT) AS seg_end
+      FROM spans GROUP BY doc_id),
+    bounds AS (SELECT * FROM heads UNION ALL SELECT * FROM tails),
+    segs AS (
+      SELECT b.doc_id, b.seg_start,
+             substr(d.text, CAST(b.seg_start AS BIGINT),
+                    GREATEST(COALESCE(b.seg_end, length(d.text))
+                             - b.seg_start + 1, 0)) AS seg
+      FROM bounds b JOIN documents d USING (doc_id)),
+    stitched AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY seg_start) AS clean
+      FROM segs GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(st.clean, d.text) AS clean_text,
+           CAST(length(d.text) - length(COALESCE(st.clean, d.text))
+                AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN stitched st USING (doc_id)
+"""
+
+
+@_register("q_doc_despan", _DESPAN_ORACLE)
+def q_doc_despan(spark, sf_dir):
+    """ExactSubstr REMOVAL (dedup.py::remove_duplicate_spans) — the
+    step Lee et al. 2021 run after marking: every duplicated 40-char
+    window's merged span is cut from every document and the kept
+    segments stitch back together (all-occurrence removal; the
+    all-but-one policy is the documented alternative). Segment bounds
+    are computed on the NARROW span rows; the text joins in once by
+    doc id for substr + per-doc in-array stitch — no corpus-wide
+    sort, no text in the bounds shuffles."""
+    return dd.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), win_len=40, min_count=2
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -5809,10 +6053,14 @@ DRIVER_ORDER = [
     "q_dq_expectations", "q_snapshot_diff", "q_events_rolling",
     "q_doc_edit_pairs", "q_doc_heavy_hitters", "q_interval_overlap",
     "q_zorder_values", "q_events_resample", "q_cdc_incremental_sums",
-    "q_window_distinct", "q_unpivot_lineitem", "q_bloom_semi_join",
+    "q_bloom_semi_join",
     "q_doc_dup_triangles", "q_doc_pagerank", "q_doc_bpe_merges",
-    "q_array_funcs", "q_json_funcs", "q_stats_covariance",
-    "q_events_histogram", "q_doc_weighted_sample",
+    # (q_window_distinct / q_unpivot_lineitem / q_array_funcs /
+    #  q_json_funcs / q_stats_covariance / q_events_histogram swapped
+    #  out for the six newest queries below: all six evictees are
+    #  single-shuffle compositions of long-stable primitives,
+    #  local-green in every session since they landed — the six
+    #  swap-ins carry the newest code and the highest drift risk)
     # (b) round-6 new queries are appended here as they land (zero
     # driver history beats any repeat witness).
     "q_doc_bm25", "q_doc_surprisal", "q_doc_dup_spans",
@@ -5831,6 +6079,12 @@ DRIVER_ORDER = [
     # (q_range_join_bands swapped for its zero-history two-level twin)
     # (q_cdc_pgoutput_decode swapped out: hard-green r04 AND r05)
     "q_range_agg_twolevel", "q_emb_ann_recall_ivf", "q_doc_minhash_pairs",
+    # (d) round-6 third/fourth-pass queries — zero driver history
+    # (q_doc_weighted_sample gave up its slot too — its overflow guard
+    # is unit-pinned and the sampler maths unchanged since r05):
+    "q_doc_langid_eval", "q_doc_quality_buckets", "q_kanon_suppress",
+    "q_doc_winnow_pairs", "q_doc_prefix_jaccard", "q_stats_regression",
+    "q_doc_despan",
 ]
 
 
