@@ -66,7 +66,11 @@ def test_driver_window_rotation():
 
     window = list(entrymod.queries())[:50]
     assert window[: len(DRIVER_ORDER)] == DRIVER_ORDER
-    assert "q_events_funnel" in window and "q_doc_weighted_sample" in window
+    # r06 fourth pass: the seven newest zero-history queries hold the
+    # tail slots (weighted_sample and five stable single-shuffle
+    # compositions gave up theirs — see DRIVER_ORDER comments)
+    assert "q_events_funnel" in window and "q_doc_despan" in window
+    assert "q_doc_winnow_pairs" in window and "q_doc_weighted_sample" not in window
     # registry keeps natural declaration order (no import-time mutation)
     assert list(QUERIES)[:2] == ["q01_pricing_summary", "q02_top_revenue_orders"]
     # oracle ordering mirrors query ordering for the shared keys
