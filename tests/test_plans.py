@@ -341,11 +341,20 @@ def test_stats_regression_single_aggregate_pass(reports):
 
 def test_despan_bounds_narrow_text_joins_once(reports):
     """Span removal: segment bounds come from the narrow span rows;
-    the document text enters exactly TWO joins (substr lookup + final
-    passthrough), both id equi-joins — and never a nested loop."""
+    the document text enters exactly TWO id equi-joins (substr lookup
+    + final passthrough) — never a nested loop. The span pipeline
+    itself sits behind its lazy checkpoint, so the visible plan is
+    exactly the bounds/stitch shape being pinned here."""
     r = reports("q_doc_despan")
     assert r.nested_loop_joins == 0
-    # two scans of documents (bounds pipeline reads text once for the
-    # windows; the substr/passthrough sides reuse id+text columns)
+    # text enters exactly the two equi-joins, nothing else
+    assert r.sort_merge_joins + r.broadcast_hash_joins == 2
+    # exactly two documents scans, each pruned to (doc_id, text)
     doc_scans = [s for s in r.scans if "documents" in s.location]
-    assert doc_scans, "expected documents scans"
+    assert len(doc_scans) == 2
+    for s in doc_scans:
+        assert set(s.read_columns) == {"doc_id", "text"}
+    # every window is per-doc partitioned (the heads lag) — a global
+    # ordered window here would serialize the corpus
+    for spec in re.findall(r"windowspecdefinition\((.*?)\)", r.text):
+        assert spec.lstrip().startswith("doc_id#")

@@ -2,7 +2,7 @@
 exact-Jaccard join (extensions/dedup.py).
 
 Both operators replay against pure-python references on seeded random
-corpora: winnowing against a literal implementation of the robust
+corpora: winnowing against a literal implementation of the standard
 rightmost-min rule (Schleimer et al. 2003 §4), the prefix join against
 the brute-force all-pairs threshold join it must equal exactly (the
 filter is lossless by the All-Pairs pigeonhole lemma — any missing or
@@ -90,8 +90,8 @@ def test_winnow_density_bounds(spark):
 
 def test_winnow_rightmost_tie_break(spark):
     # a period-repeating string makes every k-gram hash recur: the
-    # frame minimum appears twice in one window and the ROBUST rule
-    # must keep the rightmost occurrence
+    # frame minimum appears twice in one window and the paper's
+    # standard rule must keep the rightmost occurrence
     text = "abcabcabcabcabc"
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
     got = {

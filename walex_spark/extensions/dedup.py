@@ -793,7 +793,13 @@ def minhash_estimate_accuracy(
 # MOSS local fingerprinting algorithm)
 # -------------------------------------------------------------------------
 
-_POS_BITS = 20
+# position packing: packed = hash·2^30 + reversed-pos must fit int64 in
+# BOTH engines — with 32-bit hashes the max is (2^32−1)·2^30 + 2^30−1
+# < 2^62, so 30 position bits is the widest safe choice. Documents at
+# or above 2^30 chars (1 GiB of text — far past any training-document
+# size) are EXCLUDED from fingerprinting; the bound is documented in
+# winnow_fingerprints and mirrored by the oracle.
+_POS_BITS = 30
 _POS_CAP = 1 << _POS_BITS  # max addressable char position per document
 
 
@@ -807,14 +813,21 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Winnowing document fingerprints: hash every ``k``-gram, slide a
     ``window``-wide frame over the hash sequence, and select the
-    MINIMUM hash of each frame (rightmost position on ties — the
-    paper's robust-winnowing rule). The distinct selected (hash, pos)
-    pairs are the document's fingerprint set; density is guaranteed in
-    [1/window, 2/(window+1)] regardless of content.
+    MINIMUM hash of each frame, rightmost position on ties — the
+    paper's STANDARD winnowing rule (§4; robust winnowing, which
+    instead re-selects the previous window's fingerprint on ties, is a
+    different rule and NOT what this implements — changing the
+    tie-break would silently diverge from the oracle and the python
+    reference test). Expected density for random hashes is
+    2/(window+1) (the paper's Theorem; adversarial tie-heavy input
+    can select up to one fingerprint per window, and never fewer than
+    one per window span).
 
     Returns (id, fp_pos, fp_hash) — 1-based gram offsets, 32-bit
     md5-derived hashes. Documents shorter than k + window - 1 chars
-    yield no fingerprints (no full frame exists), matching the paper.
+    yield no fingerprints (no full frame exists), matching the paper;
+    documents of 2^30 chars or more are likewise excluded (the
+    position-packing bound — see _POS_BITS).
     ``positions=False`` returns (id, fp_hash) only: the same hash may
     be selected at several positions, so dropping fp_pos BEFORE the
     distinct fuses what would otherwise be two dedup shuffles into one
@@ -826,7 +839,7 @@ def winnow_fingerprints(
     state, partitioned by doc id, never a global sort. The
     rightmost-min tie-break is folded into the min() itself by packing
     (hash, reversed position) into one BIGINT — min of the packed key
-    IS the robust-winnowing winner, so no nested window expressions
+    IS the rightmost-min winner, so no nested window expressions
     and no second pass.
     """
     if k < 2:

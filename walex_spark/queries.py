@@ -5784,7 +5784,7 @@ def q_doc_minhash_est(spark, sf_dir):
 _WINNOW_ORACLE = """
     WITH d AS (
       SELECT doc_id AS id, lower(text) AS t FROM documents
-      WHERE length(lower(text)) >= 23 AND length(lower(text)) < 1048576),
+      WHERE length(lower(text)) >= 23 AND length(lower(text)) < 1073741824),
     g0 AS (
       SELECT id, t, length(t) - 15 AS nh,
              unnest(generate_series(1, length(t) - 15)) AS pos
@@ -5795,12 +5795,12 @@ _WINNOW_ORACLE = """
       FROM g0),
     w AS (
       SELECT id, pos, nh,
-             MIN(h * 1048576 + (1048575 - pos)) OVER (
+             MIN(h * 1073741824 + (1073741823 - pos)) OVER (
                PARTITION BY id ORDER BY pos
                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS c
       FROM g),
     sel AS (
-      SELECT DISTINCT id, c // 1048576 AS fp_hash
+      SELECT DISTINCT id, c // 1073741824 AS fp_hash
       FROM w WHERE pos <= nh - 7),
     sz AS (SELECT id, COUNT(*) AS nfp FROM sel GROUP BY id),
     pr AS (
@@ -5819,8 +5819,9 @@ _WINNOW_ORACLE = """
 @_register("q_doc_winnow_pairs", _WINNOW_ORACLE)
 def q_doc_winnow_pairs(spark, sf_dir):
     """Winnowing fingerprint match (Schleimer et al. 2003, the MOSS
-    algorithm): 16-char k-grams, window 8, rightmost-min selection —
-    guaranteed fingerprint density in [1/8, 2/9] of positions — then
+    algorithm): 16-char k-grams, window 8, the paper's standard
+    rightmost-min selection (expected density 2/9 of positions for
+    random hashes) — then
     doc pairs sharing >= 4 distinct selected hashes with a containment
     score. The local-fingerprinting sibling of the full-window
     ExactSubstr pass (q_doc_dup_spans): ~1/5 the hash rows shuffle,
