@@ -1,0 +1,111 @@
+"""Fold-equals-batch contracts for the incremental span/winnow dedup
+twins (streaming/dedup_incr.py) across >= 2 micro-batches, mirroring
+the postings-delta test design: drive process_batch per epoch, fold
+the emissions, compare against the batch operator over the full
+corpus. Also pins replay idempotence (re-running an epoch changes
+nothing) — the at-least-once foreachBatch contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.extensions import dedup as dd
+from walex_spark.streaming.dedup_incr import (
+    IncrementalDespanIndex,
+    IncrementalWinnowIndex,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _epochs(docs, n=3):
+    # deterministic split: epoch = doc_id mod n — every epoch gets a
+    # mix of dup-cluster members, so cross-epoch matches exist
+    return [docs.filter(F.col("doc_id") % n == i) for i in range(n)]
+
+
+def _pairs_key(rows):
+    return sorted(
+        (r.id_a, r.id_b, r.n_shared, round(r.winnow_sim, 12)) for r in rows
+    )
+
+
+def test_winnow_fold_equals_batch(spark, docs, tmp_path):
+    idx = IncrementalWinnowIndex(str(tmp_path / "widx"), k=8, window=4, min_shared=2)
+    emitted = []
+    for e, b in enumerate(_epochs(docs)):
+        emitted.extend(idx.process_batch(b, e).collect())
+    batch = dd.winnow_candidate_pairs(
+        dd.winnow_fingerprints(docs, 8, 4, positions=False),
+        min_shared=2,
+        distinct_hashes=True,
+    ).collect()
+    assert _pairs_key(emitted) == _pairs_key(batch)
+    # each pair emitted exactly once across epochs
+    seen = [(r.id_a, r.id_b) for r in emitted]
+    assert len(seen) == len(set(seen))
+
+
+def test_winnow_replay_idempotent(spark, docs, tmp_path):
+    idx = IncrementalWinnowIndex(str(tmp_path / "widx"), k=8, window=4, min_shared=2)
+    e0, e1 = _epochs(docs, 2)
+    idx.process_batch(e0, 0)
+    first = _pairs_key(idx.process_batch(e1, 1).collect())
+    # crash-replay of epoch 1: same rows out, index unchanged
+    replay = _pairs_key(idx.process_batch(e1, 1).collect())
+    assert replay == first
+    assert (
+        idx.fingerprints(spark).count()
+        == dd.winnow_fingerprints(docs, 8, 4, positions=False).count()
+    )
+
+
+def _latest_per_doc(rows_with_epoch):
+    best = {}
+    for epoch, r in rows_with_epoch:
+        cur = best.get(r.id)
+        if cur is None or epoch >= cur[0]:
+            best[r.id] = (epoch, r.clean_text, r.n_removed)
+    return {i: (t, n) for i, (_, t, n) in best.items()}
+
+
+def test_despan_fold_equals_batch(spark, docs, tmp_path):
+    idx = IncrementalDespanIndex(str(tmp_path / "didx"), win_len=40, min_count=2)
+    rows = []
+    for e, b in enumerate(_epochs(docs)):
+        rows.extend((e, r) for r in idx.process_batch(b, e).collect())
+    folded = _latest_per_doc(rows)
+    batch = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dd.remove_duplicate_spans(docs, win_len=40, min_count=2).collect()
+    }
+    assert folded == batch
+    # the retroactive-correction path actually fired: some doc was
+    # emitted in more than one epoch (otherwise this test proves less
+    # than it claims)
+    emitted_ids = [r.id for _, r in rows]
+    assert len(emitted_ids) > len(set(emitted_ids)), (
+        "no cross-epoch re-emission happened — pick a split that "
+        "spreads duplicate spans across epochs"
+    )
+
+
+def test_despan_replay_idempotent(spark, docs, tmp_path):
+    idx = IncrementalDespanIndex(str(tmp_path / "didx"), win_len=40, min_count=2)
+    e0, e1 = _epochs(docs, 2)
+    idx.process_batch(e0, 0)
+    first = sorted(
+        (r.id, r.clean_text, r.n_removed)
+        for r in idx.process_batch(e1, 1).collect()
+    )
+    replay = sorted(
+        (r.id, r.clean_text, r.n_removed)
+        for r in idx.process_batch(e1, 1).collect()
+    )
+    assert replay == first

@@ -55,22 +55,27 @@ def test_oracle_runs_in_driver_duckdb(driver_duck, name):
 
 
 def test_driver_window_rotation():
-    """r06 window pin: the driver's hard gate reads only the first 50
-    queries() entries. This round rotates the 32 round-5
-    second-session queries (zero driver history in any round) into the
-    window, alongside this round's new queries and drift-sensitive
-    representatives. The ordering must apply ONLY at the
-    __spark_entry__ surface — the registry itself keeps natural
-    declaration order for bench/profiler consumers."""
+    """r07 window pin: the driver's hard gate reads only the first 50
+    queries() entries. This round the window leads with the 7 queries
+    that had NO driver CORRECTNESS row in any round (rotated out by
+    mistake in r06 — the rotation rule itself is now enforced by
+    tests/test_driver_window.py), then the two new incremental dedup
+    twins, then the 40 stalest repeat witnesses (last hard row r04).
+    The ordering must apply ONLY at the __spark_entry__ surface — the
+    registry itself keeps natural declaration order for bench/profiler
+    consumers."""
     from walex_spark.queries import DRIVER_ORDER, QUERIES
 
     window = list(entrymod.queries())[:50]
     assert window[: len(DRIVER_ORDER)] == DRIVER_ORDER
-    # r06 fourth pass: the seven newest zero-history queries hold the
-    # tail slots (weighted_sample and five stable single-shuffle
-    # compositions gave up theirs — see DRIVER_ORDER comments)
-    assert "q_events_funnel" in window and "q_doc_despan" in window
-    assert "q_doc_winnow_pairs" in window and "q_doc_weighted_sample" not in window
+    # the 7 never-witnessed queries head the window, non-negotiable
+    assert window[:7] == [
+        "q_window_distinct", "q_unpivot_lineitem", "q_array_funcs",
+        "q_json_funcs", "q_stats_covariance", "q_events_histogram",
+        "q_doc_weighted_sample",
+    ]
+    # the r07-new incremental twins are windowed (zero history)
+    assert "q_doc_winnow_incr" in window and "q_doc_despan_incr" in window
     # registry keeps natural declaration order (no import-time mutation)
     assert list(QUERIES)[:2] == ["q01_pricing_summary", "q02_top_revenue_orders"]
     # oracle ordering mirrors query ordering for the shared keys

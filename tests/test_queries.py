@@ -32,11 +32,11 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_approx_distinct_accuracy(spark):
-    """q_approx_distinct has no cross-engine oracle (HLL sketches are
-    engine-specific); pin its accuracy contract instead: relative error
-    within 3x the requested rsd of the exact distinct count."""
+    """q_approx_distinct's hash-checked surface is the boolean bounds
+    verdict (raw HLL sketch values are engine-specific); pin the
+    underlying accuracy contract here too: every group's verdict must
+    be true, i.e. relative error within 3x the requested rsd."""
     rows = Q.QUERIES["q_approx_distinct"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        err = abs(r.approx_custs - r.exact_custs) / max(r.exact_custs, 1)
-        assert err <= 0.06, (r.o_orderpriority, r.approx_custs, r.exact_custs)
+        assert r.within_bound, (r.o_orderpriority, r.exact_custs)

@@ -14,11 +14,23 @@ Rules:
      LIMIT, or metadata-sized frames (per-partition offsets). The
      allowlist is explicit so adding one is a conscious act.
 
+  4. Per-query Exchange BUDGET (exchange_budgets.json, measured from
+     the live plans): a refactor that silently adds a shuffle to any
+     registered query fails the lint. The docstrings' "one shuffle"
+     claims are contracts now, not prose. A query that legitimately
+     needs another exchange updates its budget IN the same change —
+     a conscious, reviewable act. Queries that legitimately drop an
+     exchange should tighten their budget (asserted <=, so looser
+     budgets don't fail, but the gap is reported by
+     tools/refresh_exchange_budgets.py).
+
 Plans are built at sf0.001 — the lint asserts what Catalyst PLANS,
 not what it computes, so this stays cheap enough to run over the
 whole registry.
 """
 
+import json
+import os
 import re
 
 import pytest
@@ -27,6 +39,9 @@ from walex_spark import queries as Q
 from walex_spark.plans import audit
 
 SF_DIR = "/root/testdata/sf0.001"
+
+with open(os.path.join(os.path.dirname(__file__), "exchange_budgets.json")) as f:
+    EXCHANGE_BUDGETS = json.load(f)
 
 # queries whose plans legitimately carry BroadcastNestedLoopJoins —
 # every entry is a bounded broadcast (one-row aggregate, n_cells-row
@@ -94,6 +109,16 @@ def test_scale_lint(spark, name):
     assert r.nested_loop_joins <= allowed, (
         f"{name}: {r.nested_loop_joins} BroadcastNestedLoopJoins, "
         f"allowance {allowed} — a data-sized BNLJ is quadratic at scale"
+    )
+    budget = EXCHANGE_BUDGETS.get(name)
+    assert budget is not None, (
+        f"{name}: no exchange budget — run tools/refresh_exchange_budgets.py "
+        "and commit the new entry with the query"
+    )
+    assert r.shuffle_exchanges <= budget, (
+        f"{name}: {r.shuffle_exchanges} shuffle Exchanges, budget {budget} "
+        "— a refactor added a shuffle; either remove it or consciously "
+        "raise the budget in tests/exchange_budgets.json"
     )
     if name not in GLOBAL_WINDOW_OK:
         # a Window with an EMPTY partition spec serializes its whole

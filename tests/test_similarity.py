@@ -1,12 +1,13 @@
 """IVF k-means training invariants (extensions/similarity.py).
 
 The correctness bar for the trained quantizer is ENGINE DETERMINISM:
-centroid component sums accumulate as DECIMAL(28,12) (exact,
-order-independent) and are never divided by the count (cosine is
-scale-invariant), so the same corpus must yield bit-identical
-centroids at any partitioning — that's what lets a DuckDB oracle
-replay the training (test_queries / q_emb_ann_ivf_trained pins the
-cross-engine half)."""
+centroid component sums are vec_id-ordered double folds (the same
+pattern as PQ codebook training — explicit order, no double→decimal
+cast whose rounding differs across engines) and are never divided by
+the count (cosine is scale-invariant), so the same corpus must yield
+bit-identical centroids at any partitioning — that's what lets a
+DuckDB oracle replay the training (test_queries /
+q_emb_ann_ivf_trained pins the cross-engine half)."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -66,6 +67,51 @@ def test_trained_topk_shape(emb):
 def test_trained_requires_init():
     with pytest.raises(ValueError):
         sim.ann_ivf_trained_topk(None, None, dim=64)
+
+
+def test_centroid_sums_match_python_ordered_fold(emb, spark):
+    """Model test for the summation path that carried the decimal-cast
+    hazard (SURVEY §12.1): after one Lloyd's iteration, every centroid
+    component must bit-equal a pure-Python left fold of the assigned
+    members' components in vec_id order. A double→decimal→double
+    round-trip (the old implementation) diverges from this fold by
+    1 ulp whenever a member component's shortest decimal repr rounds
+    across the 12th-place boundary; the ordered fold cannot."""
+    seed = F.pmod(F.col("vec_id"), F.lit(25)) == 0
+    trained = {
+        r.cell_id: list(r.cv)
+        for r in sim.train_ivf_centroids(emb, seed, dim=64, iters=1).collect()
+    }
+
+    # replay: seed centroids -> Spark's own assignment -> Python fold
+    v = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cents0 = emb.filter(seed).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        sim.l2_norm(F.col("embedding")).alias("cent_norm"),
+    )
+    assigned = sim.assign_ivf_cells(
+        v, cents0, rank=1, id_col="vid", vec_col="v"
+    ).collect()
+    members = {}
+    for r in assigned:
+        members.setdefault(r.cell_id, []).append((r.vid, list(r.v)))
+    expect = {}
+    for cell, rows in members.items():
+        rows.sort()  # vec_id order — the fold order both engines pin
+        comps = []
+        for i in range(64):
+            acc = 0.0
+            for _, vec in rows:
+                acc = acc + vec[i]
+            comps.append(acc)
+        expect[cell] = comps
+    assert set(trained) == set(expect)
+    for cell in expect:
+        assert trained[cell] == expect[cell], f"cell {cell} diverged"
 
 
 # ---------------------------------------------------------------------

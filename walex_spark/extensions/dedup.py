@@ -170,7 +170,10 @@ def minhash_candidate_pairs(
     word n-gram shingles (the canonical construction — see
     word_shingles for why bag-of-words blows up); 1 = bag of words.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     # exploded (id, token) + groupBy-min beats a row-local
     # array_min(transform(...)) signature: higher-order functions are
@@ -724,7 +727,10 @@ def minhash_estimate_accuracy(
     near-dup subset — never the corpus. The signature re-join ships K
     longs per doc.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     tokens_multiset = word_shingles(
         df, shingle_n, text_col, id_col, dedupe=False
     )
@@ -872,8 +878,9 @@ def winnow_fingerprints(
             .alias("h"),
         )
     )
-    # packed = h * 2^20 + (2^20 - 1 - pos): min() picks the smallest
-    # hash, then the LARGEST position among equal hashes (rightmost).
+    # packed = h * _POS_CAP + (_POS_CAP - 1 - pos), _POS_CAP = 2^_POS_BITS
+    # = 2^30: min() picks the smallest hash, then the LARGEST position
+    # among equal hashes (rightmost).
     packed = F.col("h") * F.lit(_POS_CAP) + (F.lit(_POS_CAP - 1) - F.col("pos"))
     frame = (
         Window.partitionBy("id")

@@ -91,7 +91,11 @@ def bm25_topk(
     # corpus stats: N and total token count from one narrow agg pass
     stats = df.select(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).alias("total_tokens"),
+        # NULL-text guard: pre-ANSI size(NULL) is -1, which would
+        # silently skew avgdl where the oracle's SUM skips NULLs —
+        # count NULL docs as zero tokens on both engines instead
+        F.sum(F.when(toks.isNotNull(), F.size(toks)).otherwise(F.lit(0)))
+        .alias("total_tokens"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
@@ -234,7 +238,7 @@ def rrf_fuse(
     id_col: str = "doc_id",
     rank_col: str = "rnk",
     k_const: int = 60,
-    top_k: int | None = None,
+    top_k: int | None = 100,
 ) -> DataFrame:
     """Reciprocal-rank fusion of two ranked retrieval lists (the
     standard hybrid-search combiner: lexical BM25 + embedding ANN).
@@ -250,7 +254,13 @@ def rrf_fuse(
     Scale shape: a full-outer equi-join of two k-row lists per query
     context — both sides are already top-k bounded, so this is
     metadata-sized relative to the corpus; TakeOrdered for the final
-    cut.
+    cut. The final ``rnk`` is a partition-less ordered window, which
+    is only safe because it runs AFTER the ``top_k`` LIMIT; ``top_k``
+    therefore defaults to 100 rather than None. Passing
+    ``top_k=None`` is allowed ONLY for inputs that are already
+    top-k-bounded lists (the intended use) — never hand this an
+    unbounded frame with ``top_k=None``, the single-task window would
+    serialize it.
     """
     a = ranked_a.select(
         F.col(id_col), F.col(rank_col).cast(T.LongType()).alias("rank_a")

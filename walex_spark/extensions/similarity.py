@@ -444,10 +444,16 @@ def train_ivf_centroids(
         by the count: cosine is scale-invariant, so ranking against the
         sum vector equals ranking against the mean — and skipping the
         division avoids engine-specific decimal-division rounding;
-      - the sums accumulate as DECIMAL(28,12) (exact, order-independent
-        addition), then cast to double — the repo's standard
-        determinism ruleset (queries.py docstring): a double sum would
-        vary with partition order.
+      - the sums are member-id-ORDERED double folds (the same fix
+        train_pq_codebooks uses): casting an arbitrary double to
+        DECIMAL rounds differently across engines at the 12th-place
+        boundary (Spark rounds the shortest decimal repr, DuckDB the
+        exact binary expansion — the 1-ulp divergence observed in PQ
+        codebook training), while folding the raw doubles in explicit
+        vec_id order is bit-exact everywhere AND deterministic at any
+        parallelism. Memory per (cell, dim) group is bounded by cell
+        population — coarse quantizers train on a bounded sample at
+        any real scale, exactly like PQ codebooks.
 
     A cell that captures no vectors drops out (k shrinks) — also
     deterministic. Returns (cell_id, cv: array<double>, cent_norm).
@@ -464,7 +470,6 @@ def train_ivf_centroids(
     cells), exactly where the budget flips the strategy. Override to 0
     to force the join path.
     """
-    dec = T.DecimalType(28, 12)
     v = corpus.select(
         F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
     )
@@ -486,24 +491,35 @@ def train_ivf_centroids(
             v, cents, rank=1, id_col="vid", vec_col="v",
             max_literal_nodes=assign_max_literal_nodes,
         )
-        # component sums via posexplode + ONE generic decimal aggregate
-        # instead of `dim` parallel sum columns: the wide form compiled a
-        # ~7 s whole-stage-codegen tree (64 decimal aggregates) before
-        # touching any data; the narrow form is generic exprs with
-        # near-zero compile. Same decimal values (order-independent
-        # addition per (cell, dim)), one extra metadata-sized shuffle
+        # component sums via posexplode + ONE generic aggregate per
+        # (cell, dim) instead of `dim` parallel sum columns: the wide
+        # form compiled a ~7 s whole-stage-codegen tree (64 aggregates)
+        # before touching any data; the narrow form is generic exprs
+        # with near-zero compile. The per-component sum is a vec_id-
+        # ordered double fold (see docstring — the PQ 1-ulp decimal
+        # hazard, fixed the same way), one extra metadata-sized shuffle
         # (n_cells x dim rows) for the re-assembly groupBy.
         sums = (
-            assigned.select("cell_id", F.posexplode("v").alias("__dim", "__x"))
+            assigned.select(
+                "cell_id",
+                F.col("vid"),
+                F.posexplode("v").alias("__dim", "__x"),
+            )
             .groupBy("cell_id", "__dim")
-            .agg(F.sum(F.col("__x").cast(dec)).alias("__s"))
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("vid", "__x"))),
+                    F.lit(0.0),
+                    lambda acc, st: acc + st["__x"],
+                ).alias("__s")
+            )
         )
         cents = (
             sums.groupBy("cell_id")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("__dim", "__s"))),
-                    lambda st: st["__s"].cast(T.DoubleType()),
+                    lambda st: st["__s"],
                 ).alias("cv")
             )
             .withColumn("cent_norm", l2_norm(F.col("cv")))

@@ -2242,13 +2242,18 @@ def q_emb_ann_ivf(spark, sf_dir):
 
 
 def _ivf_sum_list_sql(dim: int = 64) -> str:
-    """Per-cell centroid as component-wise DECIMAL(28,12) sums cast to
-    DOUBLE — exact, order-independent addition, so Spark (any partition
-    order) and DuckDB agree bit-for-bit. Cosine is scale-invariant, so
-    the sum vector ranks identically to the mean and the count division
+    """Per-cell centroid as component-wise vec_id-ORDERED double folds
+    (list_reduce over list(... ORDER BY vec_id)) — the identical
+    evaluation order train_ivf_centroids folds in, so Spark (any
+    partition order) and DuckDB agree bit-for-bit. This replaced the
+    original DECIMAL(28,12) sums: double→decimal casts round
+    differently across engines at the 12th-place boundary (the 1-ulp
+    PQ-codebook divergence, SURVEY §12.1), while an explicit-order
+    double fold has no cast at all. Cosine is scale-invariant, so the
+    sum vector ranks identically to the mean and the count division
     (whose rounding differs between engines) never happens."""
     comps = ", ".join(
-        f"CAST(SUM(CAST(v.v[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE)"
+        f"list_reduce(list(v.v[{i + 1}] ORDER BY vec_id), (p, q) -> p + q)"
         for i in range(dim)
     )
     return f"[{comps}]"
@@ -2398,22 +2403,44 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
-@_register("q_approx_distinct")  # no SQL oracle: HLL sketches differ per engine
+_APPROX_DISTINCT_ORACLE = """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           COUNT(*) AS n_orders,
+           TRUE AS within_bound
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@_register("q_approx_distinct", _APPROX_DISTINCT_ORACLE)
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) beside the exact distinct
     count — the sketch is THE distinct-count strategy at 100 TB (fixed
-    ~kB of state per group vs a shuffle of every distinct key). Sketch
-    values are engine-specific, so this is a rows-only gate; the
-    accuracy contract (relative error within 3·rsd of exact) is pinned
-    by tests/test_queries.py::test_approx_distinct_accuracy."""
+    ~kB of state per group vs a shuffle of every distinct key). The raw
+    sketch value is engine-specific, so the hash-checked surface is a
+    bounds VERDICT: `within_bound` is true iff the HLL estimate lands
+    within 3·rsd of the exact count (rsd=0.02 → ±6%, far looser than
+    HLL++'s published behavior). The oracle asserts TRUE for every
+    group, so a sketch regression past the bound flips the hash gate
+    red. Exact-value accuracy is additionally pinned by
+    tests/test_queries.py::test_approx_distinct_accuracy."""
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
-            F.count_distinct("o_custkey").alias("exact_custs"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+    rsd = 0.02
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=rsd).alias("approx_custs"),
+        F.count_distinct("o_custkey").alias("exact_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    within = (
+        F.abs(F.col("approx_custs") - F.col("exact_custs"))
+        <= 3 * rsd * F.col("exact_custs")
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_custs",
+        "n_orders",
+        within.alias("within_bound"),
     )
 
 
@@ -6025,6 +6052,73 @@ def q_doc_despan(spark, sf_dir):
     )
 
 
+@_register("q_doc_winnow_incr", _WINNOW_ORACLE)
+def q_doc_winnow_incr(spark, sf_dir):
+    """INCREMENTAL winnowing match (streaming/dedup_incr.py::
+    IncrementalWinnowIndex — the foreachBatch twin of
+    q_doc_winnow_pairs): the corpus arrives in 3 micro-batches
+    (doc_id mod 3); each epoch fingerprints its docs, emits every
+    pair whose later member just arrived (new-vs-indexed + new-vs-new
+    keyed joins on fp_hash against the parquet index), and appends to
+    the index. The UNION of the three emissions is returned and must
+    equal the batch operator — same oracle as q_doc_winnow_pairs, the
+    fold-equals-batch contract made driver-checkable. Same parameters
+    as the batch query (k=16, window=8, min_shared=4)."""
+    import tempfile
+
+    from walex_spark.streaming.dedup_incr import IncrementalWinnowIndex
+
+    root = tempfile.mkdtemp(prefix="winnow_incr_")
+    docs = _t(spark, sf_dir, "documents")
+    idx = IncrementalWinnowIndex(
+        f"{root}/idx", k=16, window=8, min_shared=4
+    )
+    outs = []
+    for e in range(3):
+        out = idx.process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+        path = f"{root}/out-{e}"
+        out.write.mode("overwrite").parquet(path)
+        outs.append(path)
+    return spark.read.parquet(*outs)
+
+
+@_register("q_doc_despan_incr", _DESPAN_ORACLE)
+def q_doc_despan_incr(spark, sf_dir):
+    """INCREMENTAL ExactSubstr removal (streaming/dedup_incr.py::
+    IncrementalDespanIndex — the foreachBatch twin of q_doc_despan):
+    3 micro-batches (doc_id mod 3); each epoch indexes its docs'
+    window hashes, folds per-epoch PARTIAL hash counts to find
+    newly-duplicated windows, and emits UPSERTS — every new doc plus
+    every already-indexed doc whose span set just changed (the
+    retroactive-correction path append mode can't express as
+    retractions). The LATEST emission per doc is returned and must
+    equal the batch operator — same oracle as q_doc_despan."""
+    import tempfile
+
+    from walex_spark.streaming.dedup_incr import IncrementalDespanIndex
+
+    root = tempfile.mkdtemp(prefix="despan_incr_")
+    docs = _t(spark, sf_dir, "documents")
+    idx = IncrementalDespanIndex(f"{root}/idx", win_len=40, min_count=2)
+    outs = []
+    for e in range(3):
+        out = idx.process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+        path = f"{root}/out-{e}"
+        out.withColumn("epoch", F.lit(e)).write.mode("overwrite").parquet(path)
+        outs.append(path)
+    em = spark.read.parquet(*outs)
+    w = Window.partitionBy("id").orderBy(F.col("epoch").desc())
+    return (
+        em.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id").alias("doc_id"),
+            "clean_text",
+            "n_removed",
+        )
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -6044,7 +6138,50 @@ def q_doc_despan(spark, sf_dir):
 #            this round's new queries + a handful of drift-sensitive
 #            representatives. The relational set re-witnessed in r05;
 #            the r04 extension set re-witnessed in r04.
+#   r07:     (this round) the 7 queries that have NEVER had a hard
+#            driver row in any round (r06's rotation wrongly treated
+#            "local-green since landing" as "long-stable" — they had
+#            zero driver history) + the 40 stalest queries (last hard
+#            row r04) + slots for r07-new queries. After this round
+#            every oracle-bearing registry query has at least one
+#            driver row and none is staler than two rounds.
+#
+# RULE (codified after the r06 violation, test-enforced by
+# tests/test_driver_window.py): a query with NO driver CORRECTNESS
+# row in ANY recorded round may never be rotated out of the window —
+# zero-history queries outrank every repeat witness, however stable
+# their local gate looks. Local-green is self-administered; only the
+# driver row is a hard signal.
 DRIVER_ORDER = [
+    # (a) zero-driver-history queries — never in any round's window;
+    # entered the registry in r05's second session, swapped out in
+    # r06 by mistake. Head of the window, non-negotiable.
+    "q_window_distinct", "q_unpivot_lineitem", "q_array_funcs",
+    "q_json_funcs", "q_stats_covariance", "q_events_histogram",
+    "q_doc_weighted_sample",
+    # (b) r07-new queries: the incremental dedup twins (zero history
+    # beats any repeat witness).
+    "q_doc_winnow_incr", "q_doc_despan_incr",
+    # (c) the 40 stalest queries: last hard row r04 — two rounds of
+    # code drift (incl. this round's IVF decimal-fold fix and the
+    # q_approx_distinct oracle upgrade) since their last witness.
+    "q_cdc_filter_events", "q_cdc_event_projection", "q_cdc_latest_state",
+    "q_cdc_dedup_replay", "q_cdc_changes_diff", "q_cdc_unwatched_filters",
+    "q_cdc_pg_cast", "q_cdc_txn_stats", "q_cdc_tumbling_window",
+    "q_cdc_txn_assembly", "q_cdc_toast_resolve", "q_cdc_event_json",
+    "q_doc_exact_dedup", "q_doc_trigram_jaccard", "q_doc_simhash",
+    "q_doc_token_stats", "q_doc_quality", "q_doc_langid",
+    "q_doc_fingerprint", "q_doc_subword_tokens", "q_emb_cosine_topk",
+    "q_emb_ann_lsh", "q_emb_ann_multiprobe", "q_emb_near_dup",
+    "q_multimodal_frames", "q_approx_distinct", "q_multimodal_features",
+    "q_doc_sample", "q_doc_stratified_sample", "q_doc_pack_shards",
+    "q_doc_vocab_topk", "q_cdc_change_lag", "q_doc_repetition",
+    "q_doc_decontaminate", "q_doc_chunks", "q_doc_term_scores",
+    "q_doc_redact", "q_quantiles", "q_range_join_bands",
+    "q_doc_hash_embed",
+]
+
+_DRIVER_ORDER_R06 = [
     # (a) round-5 second-session + late additions: never had a hard
     # driver row in ANY round.
     "q_events_funnel", "q_events_retention", "q_window_rank_funcs",
@@ -6097,7 +6234,10 @@ def driver_ordered(mapping: dict) -> dict:
     natural registry order.
     """
     prio = [n for n in DRIVER_ORDER if n in mapping]
-    missing = set(DRIVER_ORDER) - set(prio)
+    # names absent from the mapping must still be real queries: the
+    # ORACLES mapping legitimately lacks rows-only queries
+    # (q_multimodal_features), but a typo must fail loudly
+    missing = set(DRIVER_ORDER) - set(prio) - set(QUERIES)
     assert not missing, f"DRIVER_ORDER names unknown queries: {missing}"
     # the driver gate stops at 50: a longer priority list silently
     # pushes its own tail out of the checked window

@@ -1,0 +1,374 @@
+"""Incremental (streaming) twins of the batch span/winnow dedup
+operators — new documents arrive in micro-batches and are matched
+against the already-indexed corpus, completing the streaming-parity
+story the CDC layer already has (postings_delta_stream's design:
+append-only emissions whose fold equals the batch operator).
+
+No reference counterpart (walex routes CDC events; these are the
+driver-mandated LLM-pipeline extensions) — the batch semantics being
+mirrored are extensions/dedup.py::winnow_candidate_pairs and
+::remove_duplicate_spans.
+
+Both operators are ``foreachBatch``-shaped: a class holding a durable
+parquet index directory, with ``process_batch(batch_df, epoch_id)``
+called per micro-batch (wire it as
+``writeStream.foreachBatch(idx.process_batch)`` in a real deployment;
+tests and registry queries drive it directly, which is the same code
+path foreachBatch invokes). Index writes follow materialize.py's
+replay discipline: each epoch writes its own ``e-<epoch>`` directory
+and re-processing a crashed epoch overwrites it idempotently, so the
+at-least-once foreachBatch contract yields exactly-once index state.
+
+FOLD-EQUALS-BATCH contracts (pinned by tests/test_dedup_incr.py):
+
+  - winnow: documents are immutable and a doc's fingerprint set is
+    fixed on arrival, so a pair's (n_shared, winnow_sim) never changes
+    after both members arrived. Each epoch emits exactly the pairs
+    whose LATER member arrived in that epoch; the UNION of emissions
+    over all epochs equals winnow_candidate_pairs over the full
+    corpus. Append-only — no retractions needed.
+
+  - despan: a window becomes duplicated only when its ``min_count``-th
+    occurrence arrives, which retroactively changes the clean text of
+    EARLIER documents holding that window. Append mode cannot retract,
+    so the operator emits UPSERTS (doc_id, clean_text, n_removed,
+    epoch): every new doc emits on arrival, and every already-indexed
+    doc whose span set changed re-emits. The latest emission per doc
+    (max epoch) equals remove_duplicate_spans over the full corpus —
+    the same emit-the-correction design as postings deltas, keyed by
+    doc instead of term.
+
+Scale shape: all per-epoch work is keyed joins/aggregates against the
+parquet index (hash join on fp_hash / window hash — the index side is
+read with filters pushed to the scan); no index-wide recompute except
+the despan hash-count fold, which folds per-epoch PARTIAL counts
+(h, n) — index growth per epoch is the epoch's own distinct hashes,
+and the fold is a map-side-combinable sum, not a rescan of raw
+occurrences. Occurrence rows (h, id, pos) are the distributed
+suffix-array stand-in of Lee et al. — state linear in corpus size,
+exactly like the batch operator's shuffle, but persisted. Document
+text is stored once per doc (the same state the postings stream keeps
+per key).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from walex_spark.extensions import dedup as dd
+
+
+def _epoch_dirs(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d) for d in os.listdir(root) if d.startswith("e-")
+    )
+
+
+def _read_union(spark: SparkSession, root: str, schema: str) -> DataFrame:
+    dirs = _epoch_dirs(root)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def _write_epoch(df: DataFrame, root: str, epoch_id: int) -> None:
+    # overwrite-by-epoch: replaying a crashed micro-batch rewrites the
+    # same directory with the same rows — idempotent under the
+    # at-least-once foreachBatch contract
+    df.write.mode("overwrite").parquet(os.path.join(root, f"e-{epoch_id}"))
+
+
+class IncrementalWinnowIndex:
+    """Winnowing fingerprint index + per-epoch new-pair emission.
+
+    Each epoch: fingerprint the new docs (the batch operator's own
+    winnow_fingerprints, positions=False), emit every candidate pair
+    whose later member is in this epoch (new-vs-indexed plus
+    new-vs-new), then append the new fingerprints to the index.
+
+    ``max_doc_freq`` is deliberately NOT supported: hotness is a
+    corpus-global property, so a hash that turns hot in epoch 3 would
+    retroactively invalidate pairs emitted in epoch 1 — the batch
+    operator and the fold would diverge. Appliers that need the hot
+    guard run it on the folded output.
+    """
+
+    FP_SCHEMA = "id BIGINT, fp_hash BIGINT"
+
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 8,
+        window: int = 4,
+        min_shared: int = 2,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.index_dir = index_dir
+        self.k, self.window = k, window
+        self.min_shared = min_shared
+        self.text_col, self.id_col = text_col, id_col
+
+    def _fp_root(self) -> str:
+        return os.path.join(self.index_dir, "fps")
+
+    def fingerprints(self, spark: SparkSession) -> DataFrame:
+        return _read_union(spark, self._fp_root(), self.FP_SCHEMA)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        """Index the epoch's docs; return the epoch's NEW pairs
+        (id_a, id_b, n_shared, winnow_sim) — the same row shape as
+        winnow_candidate_pairs."""
+        spark = batch_df.sparkSession
+        new_fps = dd.winnow_fingerprints(
+            batch_df, self.k, self.window, self.text_col, self.id_col,
+            positions=False,
+        ).select(
+            F.col("id").cast(T.LongType()).alias("id"),
+            F.col("fp_hash").cast(T.LongType()).alias("fp_hash"),
+        )
+        _write_epoch(new_fps, self._fp_root(), epoch_id)
+        # read the epoch's own rows back from the index: `all_fps`
+        # below must be the post-epoch index, and reading parquet both
+        # cuts the recompute and makes replay exact
+        all_fps = self.fingerprints(spark)
+        new_ids = (
+            spark.read.schema(self.FP_SCHEMA)
+            .parquet(os.path.join(self._fp_root(), f"e-{epoch_id}"))
+            .select("id")
+            .distinct()
+        )
+        sizes = all_fps.groupBy("id").agg(F.count(F.lit(1)).alias("nfp"))
+        new_side = all_fps.join(new_ids, "id", "left_semi")
+        # every (pair, hash) where the pair's LATER member is new:
+        # join new-side rows against the whole index; distinct on the
+        # normalized pair before counting (a new-new pair meets twice)
+        shared = (
+            new_side.select(F.col("id").alias("id_n"), "fp_hash")
+            .join(all_fps.select(F.col("id").alias("id_o"), "fp_hash"), "fp_hash")
+            .filter(F.col("id_n") != F.col("id_o"))
+            .select(
+                F.least("id_n", "id_o").alias("id_a"),
+                F.greatest("id_n", "id_o").alias("id_b"),
+                "fp_hash",
+            )
+            .distinct()
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= self.min_shared)
+        )
+        # drop pairs whose BOTH members predate this epoch (already
+        # emitted by an earlier epoch): keep pairs with >=1 new member
+        keep = shared.join(
+            new_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi"
+        ).unionByName(
+            shared.join(
+                new_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
+            )
+        ).distinct()
+        return (
+            keep.join(
+                sizes.select(F.col("id").alias("id_a"), F.col("nfp").alias("nfp_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("id").alias("id_b"), F.col("nfp").alias("nfp_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "n_shared",
+                (
+                    F.col("n_shared").cast(T.DoubleType())
+                    / (
+                        F.col("nfp_a") + F.col("nfp_b") - F.col("n_shared")
+                    ).cast(T.DoubleType())
+                ).alias("winnow_sim"),
+            )
+        )
+
+
+class IncrementalDespanIndex:
+    """ExactSubstr removal index + per-epoch upsert emission.
+
+    State per epoch: (a) raw window-hash occurrences (h, id, pos) —
+    the distributed suffix-array stand-in, appended once per doc;
+    (b) per-epoch PARTIAL hash counts (h, n) so duplicated-hash
+    detection folds partial aggregates instead of rescanning raw
+    occurrences; (c) doc texts (id, text) for re-cleaning.
+
+    Emission per epoch: every NEW doc (cleaned against all duplicated
+    windows known so far) plus every OLD doc whose window set gained a
+    newly-duplicated hash this epoch. Latest-emission-per-doc equals
+    the batch remove_duplicate_spans over everything indexed.
+    """
+
+    WIN_SCHEMA = "id BIGINT, pos INT, h STRING"
+    CNT_SCHEMA = "h STRING, n BIGINT"
+    DOC_SCHEMA = "id BIGINT, text STRING"
+
+    def __init__(
+        self,
+        index_dir: str,
+        win_len: int = 40,
+        min_count: int = 2,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        if win_len < 2:
+            raise ValueError("win_len must be >= 2")
+        if min_count < 2:
+            raise ValueError("min_count must be >= 2")
+        self.index_dir = index_dir
+        self.win_len, self.min_count = win_len, min_count
+        self.text_col, self.id_col = text_col, id_col
+
+    def _root(self, kind: str) -> str:
+        return os.path.join(self.index_dir, kind)
+
+    def _window_hashes(self, docs: DataFrame) -> DataFrame:
+        """(id, pos, h) — the same per-char md5 windows the batch
+        operator shuffles (duplicate_spans' wins frame), shuffle-
+        before-fan-out included."""
+        text = F.col("text")
+        return (
+            dd.partition_by_doc(docs, "id")
+            .filter(F.length(text) >= self.win_len)
+            .select(
+                "id",
+                F.explode(
+                    F.sequence(F.lit(1), F.length(text) - F.lit(self.win_len - 1))
+                ).alias("pos"),
+                text.alias("__t"),
+            )
+            .select(
+                "id",
+                "pos",
+                F.md5(F.col("__t").substr(F.col("pos"), F.lit(self.win_len))).alias("h"),
+            )
+        )
+
+    def _clean(self, docs: DataFrame, marked: DataFrame) -> DataFrame:
+        """docs (id, text) + marked dup-window rows (id, pos) →
+        (id, clean_text, n_removed): the batch operator's span merge +
+        segment stitch, restricted to the given docs."""
+        w = Window.partitionBy("id").orderBy("pos")
+        grouped = (
+            marked.withColumn("__prev", F.lag("pos").over(w))
+            .withColumn(
+                "__brk",
+                F.when(
+                    F.col("__prev").isNull()
+                    | (F.col("pos") > F.col("__prev") + F.lit(self.win_len)),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn(
+                "__grp",
+                F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+        )
+        spans = grouped.groupBy("id", "__grp").agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(self.win_len - 1)).alias("e"),
+        )
+        # kept segments = gaps between spans (1-based inclusive), then
+        # per-doc substr + ordered stitch — same shape as
+        # remove_duplicate_spans' SQL oracle
+        per_doc = spans.groupBy("id").agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp")
+        )
+        joined = docs.join(per_doc, "id", "left")
+        segs = F.when(F.col("sp").isNull(), F.array(F.col("text"))).otherwise(
+            F.filter(
+                F.zip_with(
+                    # gap starts: 1, e_i+1 ...; gap ends: s_i-1 ..., len
+                    F.concat(
+                        F.array(F.lit(1)),
+                        F.transform(F.col("sp"), lambda st: st["e"] + 1),
+                    ),
+                    F.concat(
+                        F.transform(F.col("sp"), lambda st: st["s"] - 1),
+                        F.array(F.length("text")),
+                    ),
+                    lambda gs, ge: F.when(
+                        ge >= gs, F.col("text").substr(gs, ge - gs + 1)
+                    ).otherwise(F.lit("")),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        )
+        return joined.select(
+            "id",
+            F.concat_ws("", segs).alias("clean_text"),
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        """Index the epoch's docs; return the epoch's UPSERTS
+        (id, clean_text, n_removed)."""
+        spark = batch_df.sparkSession
+        docs_new = batch_df.select(
+            F.col(self.id_col).cast(T.LongType()).alias("id"),
+            F.col(self.text_col).alias("text"),
+        )
+        wins_new = self._window_hashes(docs_new)
+        _write_epoch(wins_new, self._root("wins"), epoch_id)
+        wins_new = spark.read.schema(self.WIN_SCHEMA).parquet(
+            os.path.join(self._root("wins"), f"e-{epoch_id}")
+        )
+        cnt_new = wins_new.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+        _write_epoch(cnt_new, self._root("cnt"), epoch_id)
+        _write_epoch(docs_new, self._root("docs"), epoch_id)
+
+        # partial-count fold over ALL epochs vs over PRIOR epochs:
+        # newly-duplicated hashes are the difference
+        def _totals(dirs):
+            if not dirs:
+                return spark.createDataFrame([], self.CNT_SCHEMA)
+            return (
+                spark.read.schema(self.CNT_SCHEMA).parquet(*dirs)
+                .groupBy("h").agg(F.sum("n").alias("n"))
+            )
+
+        all_dirs = _epoch_dirs(self._root("cnt"))
+        cur = os.path.join(self._root("cnt"), f"e-{epoch_id}")
+        old_dirs = [d for d in all_dirs if d != cur]
+        dup_all = _totals(all_dirs).filter(F.col("n") >= self.min_count).select("h")
+        dup_old = _totals(old_dirs).filter(F.col("n") >= self.min_count).select("h")
+        newly_dup = dup_all.join(dup_old, "h", "left_anti")
+
+        all_wins = _read_union(spark, self._root("wins"), self.WIN_SCHEMA)
+        all_docs = _read_union(spark, self._root("docs"), self.DOC_SCHEMA)
+        new_ids = docs_new.select("id").distinct()
+        # affected OLD docs: hold a window that became duplicated now
+        affected_old = (
+            all_wins.join(newly_dup, "h", "left_semi")
+            .select("id")
+            .distinct()
+            .join(new_ids, "id", "left_anti")
+        )
+        emit_ids = affected_old.unionByName(new_ids).distinct()
+        marked = (
+            all_wins.join(emit_ids, "id", "left_semi")
+            .join(dup_all, "h", "left_semi")
+            .select("id", "pos")
+        )
+        docs_emit = all_docs.join(emit_ids, "id", "left_semi")
+        return self._clean_with_removed(docs_emit, marked)
+
+    def _clean_with_removed(self, docs: DataFrame, marked: DataFrame) -> DataFrame:
+        out = self._clean(docs, marked)
+        return out.join(docs.select("id", "text"), "id").select(
+            "id",
+            "clean_text",
+            (F.length("text") - F.length("clean_text"))
+            .cast(T.LongType())
+            .alias("n_removed"),
+        )
