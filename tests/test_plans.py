@@ -320,10 +320,18 @@ def test_winnow_pairs_equi_join_partitioned_window(reports):
 def test_prefix_jaccard_no_cross_product_no_window(reports):
     """Prefix filtering: candidate generation is an equi-join on the
     prefix token; verification is per-pair array_intersect. No nested
-    loops, no window functions, and no global token-rank sort — the
-    rarest-first order is computed per doc via array_sort."""
+    loops and no GLOBAL window/sort — the per-token document frequency
+    is a count over Window.partitionBy(token) (keyed, skew-bounded by
+    the token's own df), and the rarest-first order is computed per
+    doc via array_sort. Any window whose partition spec is empty or
+    keyed by something other than the token would serialize the
+    corpus."""
     r = reports("q_doc_prefix_jaccard")
     assert r.nested_loop_joins == 0
+    # the by-token df window runs INSIDE the localCheckpoint subtree,
+    # so the audited (downstream) plan must show no window at all —
+    # a windowspecdefinition appearing here would mean a global rank
+    # crept into the candidate/verify stages
     assert "windowspecdefinition" not in r.text
     assert "array_intersect" in r.text
 

@@ -170,6 +170,30 @@ def test_prefix_join_boundary_inclusive(spark):
     assert out[0].jaccard == 0.5
 
 
+def test_rarest_first_window_is_keyed_by_token(spark):
+    """The df window inside rarest_first_doc_tokens must partition by
+    the TOKEN — this stage sits behind prefix_filter_jaccard_pairs'
+    localCheckpoint, so the registry-wide global-window lint cannot
+    see it; pin it here on the helper's own plan. An empty or
+    wrong-keyed partition spec would serialize the token table
+    through one task."""
+    import re
+
+    from walex_spark.plans import audit
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "b c d e")], "doc_id long, text string"
+    )
+    toks = dedup.word_shingles(df, 3, "text", "doc_id", dedupe=True)
+    r = audit(dedup.rarest_first_doc_tokens(toks))
+    specs = re.findall(
+        r"Arguments: \[.*?windowspecdefinition\((.*?)\)", r.text
+    )
+    assert specs, "expected the by-token df Window in the plan"
+    for spec in specs:
+        assert "token#" in spec.split("specifiedwindowframe")[0]
+
+
 def test_prefix_join_validates(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="threshold"):

@@ -973,6 +973,34 @@ def winnow_candidate_pairs(
 # -------------------------------------------------------------------------
 
 
+def rarest_first_doc_tokens(toks: DataFrame) -> DataFrame:
+    """(id, token) -> (id, toks: array<string> rarest-first, sz): each
+    doc's distinct tokens sorted by (global document frequency, token)
+    — the shared total order prefix filtering needs. The df comes from
+    a count over Window.partitionBy(token): ONE by-token shuffle where
+    the groupBy(token)+re-join form pays two (measured 2.7x on this
+    stage at sf0.1). The window is KEYED — each partition frame is one
+    token's rows, bounded by that token's own df, spillable — never a
+    global rank (tests/test_winnow_prefix.py pins the partition spec).
+    """
+    return (
+        toks.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("token")))
+            ).alias("__sorted")
+        )
+        .select(
+            "id",
+            F.transform(F.col("__sorted"), lambda s: s["token"]).alias("toks"),
+            F.size("__sorted").alias("sz"),
+        )
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     threshold_num: int = 1,
@@ -1001,11 +1029,31 @@ def prefix_filter_jaccard_pairs(
     explodes on EVERY shared token (hot tokens quadratic — hence its
     lossy max_doc_freq guard); here the join touches only prefix
     tokens, which are the globally RAREST ones, so hot tokens never
-    key the join and no lossy guard is needed. Verification is a
-    per-pair array_intersect over the two bounded token arrays (JVM
-    set intersect, no explode). Shuffles: token-df join, one per-doc
-    agg, the prefix equi-join, two array lookups — all keyed,
-    broadcast-free, skew-immune by construction.
+    key the join and no lossy guard is needed. The per-token document
+    frequency comes from a count over Window.partitionBy(token) — one
+    by-token shuffle instead of the groupBy+self-join's two (measured
+    2.7x on the per-doc stage at sf0.1). Candidates are thinned by two
+    LOSSLESS All-Pairs filters before any token array ships to the
+    verify join (at sf0.1: 409k -> 125k pairs, 2.3x end-to-end):
+
+      - size filter (Arasu et al.): J >= n/d forces
+        n*|A| <= d*|B| and n*|B| <= d*|A| — applied on the match rows
+        before the pair groupBy;
+      - positional filter (ppjoin, Xiao et al. 2008): for the FIRST
+        common token, at 0-based prefix positions (ia, jb),
+        |A∩B| <= 1 + min(|A|-ia-1, |B|-jb-1), since any other common
+        token sorts after it under the shared rarest-first order
+        (an earlier one would sit in both prefixes and contradict
+        minimality). min(pos) per pair is that first token in BOTH
+        docs at once because common-token positions rise together.
+        Prune when the bound can't reach the required overlap
+        I*(n+d) >= n*(|A|+|B|).
+
+    Verification is a per-pair array_intersect over the two bounded
+    token arrays (JVM set intersect, no explode). Shuffles: one
+    by-token window, one per-doc agg, the prefix equi-join, the pair
+    groupBy, two array lookups — all keyed, broadcast-free,
+    skew-immune by construction.
     """
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must satisfy 0 < num/den <= 1")
@@ -1013,39 +1061,59 @@ def prefix_filter_jaccard_pairs(
         toks = word_shingles(df, shingle_n, text_col, id_col, dedupe=True)
     else:
         toks = tokenize_distinct(df, text_col, id_col)
-    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        toks.join(dfreq, "token")
-        .groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("token")))
-            ).alias("__sorted")
-        )
-        .select(
-            "id",
-            F.transform(F.col("__sorted"), lambda s: s["token"]).alias("toks"),
-            F.size("__sorted").alias("sz"),
-        )
-    )
+    per_doc = rarest_first_doc_tokens(toks)
     # p = s - ceil(t*s) + 1, all-integer: ceil(n*s/d) = (n*s + d - 1) div d
     s = F.col("sz")
     p = s - F.expr(
         f"(sz * {threshold_num} + {threshold_den - 1}) div {threshold_den}"
     ) + F.lit(1)
     # per_doc feeds the prefix index AND both verification lookups —
-    # without the checkpoint the 3-shuffle subtree executes three
-    # times (measured at sf0.1: 7.0 s min vs 5.4 s with it)
+    # without the checkpoint the 2-shuffle subtree executes three
+    # times (measured at sf0.1: 7.0 s min vs 5.4 s with it, pre-filter)
     per_doc = per_doc.localCheckpoint(eager=False)
     idx = per_doc.select(
-        "id", F.explode(F.slice(F.col("toks"), F.lit(1), p)).alias("token")
+        "id",
+        "sz",
+        F.posexplode(F.slice(F.col("toks"), F.lit(1), p)).alias(
+            "pos", "token"
+        ),
     )
+    n, d = F.lit(threshold_num), F.lit(threshold_den)
     cand = (
-        idx.select(F.col("id").alias("id_a"), "token")
-        .join(idx.select(F.col("id").alias("id_b"), "token"), "token")
+        idx.select(
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            F.col("pos").alias("pa"),
+            "token",
+        )
+        .join(
+            idx.select(
+                F.col("id").alias("id_b"),
+                F.col("sz").alias("sz_b"),
+                F.col("pos").alias("pb"),
+                "token",
+            ),
+            "token",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (n * F.col("sz_a") <= d * F.col("sz_b"))
+            & (n * F.col("sz_b") <= d * F.col("sz_a"))
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min("pa").alias("ia"), F.min("pb").alias("jb"))
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("sz_a") - F.col("ia") - 1,
+                    F.col("sz_b") - F.col("jb") - 1,
+                )
+            )
+            * (n + d)
+            >= n * (F.col("sz_a") + F.col("sz_b"))
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     joined = (
         cand.join(
