@@ -143,9 +143,10 @@ class TestIntervalOverlap:
 
 
 def test_point_interval_aggregate_equals_join_aggregate(spark):
-    """The two-level decomposition must equal the join-then-aggregate
-    result exactly, including empty-interior bands, hi<lo drops, and
-    boundary-only matches."""
+    """The event-differencing decomposition must equal the
+    join-then-aggregate result exactly, including single-point bands,
+    hi<lo drops, bound-equal-to-point ties (closed-interval
+    inclusivity on both edges), and bands overhanging the data."""
     from pyspark.sql import functions as F
     from walex_spark.operators.range_join import (
         point_interval_aggregate,
@@ -153,21 +154,25 @@ def test_point_interval_aggregate_equals_join_aggregate(spark):
     )
 
     points = spark.createDataFrame(
-        [(float(x),) for x in range(0, 200, 3)], "p double"
+        # multiples of 3 plus DUPLICATED values at 12 and 90 — ties on
+        # the sort key must all land on the correct side of a probe
+        [(float(x),) for x in range(0, 200, 3)] + [(12.0,), (90.0,)],
+        "p double",
     )
     bands = spark.createDataFrame(
         [
-            (1, 10.0, 90.0),    # wide: interior + boundary
-            (2, 14.0, 16.0),    # inside one bucket (no interior)
+            (1, 10.0, 90.0),    # wide; hi ties a (duplicated) point
+            (2, 14.0, 16.0),    # single interior point
             (3, 150.0, 149.0),  # empty range -> dropped
             (4, 190.0, 400.0),  # overhangs the data
+            (5, 12.0, 15.0),    # lo ties a duplicated point value
         ],
         "band_id long, lo double, hi double",
     )
     got = {
         r.band_id: (r.n_matches, float(r.sum_val))
         for r in point_interval_aggregate(
-            points, bands, "p", "lo", "hi", "p", bucket_width=7.0
+            points, bands, "p", "lo", "hi", "p"
         ).collect()
     }
     joined = (

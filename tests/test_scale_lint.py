@@ -88,6 +88,7 @@ GLOBAL_WINDOW_OK = {
     "q_hybrid_rrf",          # rank over two fused top-k lists
     "q_doc_global_shuffle",  # offsets window over the partition frame
     "q_doc_pack_sequences",  # same offsets frame (prefix_sums)
+    "q_range_agg_twolevel",  # same offsets frame (prefix_sums_multi)
     "q02_top_revenue_orders",  # rank after LIMIT
     "q03_shipping_priority",
     "q_doc_vocab_topk",

@@ -38,7 +38,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["global_sorted_index", "prefix_sums", "shuffle_key"]
+__all__ = [
+    "global_sorted_index",
+    "prefix_sums",
+    "prefix_sums_multi",
+    "shuffle_key",
+]
 
 
 def shuffle_key(id_col: Column, salt: str = "shuffle") -> Column:
@@ -126,3 +131,65 @@ def prefix_sums(
         )
         .drop("__pid", "__local", "__psum", "__off")
     )
+
+
+def prefix_sums_multi(
+    df: DataFrame,
+    order_cols: list,
+    value_cols: list[str],
+    cum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``prefix_sums`` for SEVERAL value columns in ONE range shuffle:
+    each ``cum_cols[i]`` = the exclusive prefix sum of
+    ``value_cols[i]`` under the ``order_cols`` order. Unlike
+    ``prefix_sums`` (which casts to long), each cum column keeps the
+    natural ``sum`` type of its value column — integral values stay
+    integer-exact, DECIMAL values stay decimal-exact (both are
+    order-free additions, so results are bit-identical at any
+    parallelism and in any oracle engine).
+
+    ``order_cols`` need not be a TOTAL order when only the cum VALUES
+    are consumed: rows tied on the full key are interchangeable inside
+    an order-free sum, so every distinct-key row still sees exactly
+    the set of strictly-earlier rows. (Positions, as in
+    global_sorted_index, would need a tiebreaker; sums do not.)
+
+    Same cost as prefix_sums: the range shuffle + one pid-hash
+    exchange; the offsets frame is one row per partition (broadcast).
+    """
+    if len(value_cols) != len(cum_cols):
+        raise ValueError("value_cols and cum_cols must align")
+    s, cols = _ranged(df, order_cols, num_partitions)
+    s = s.withColumn("__pid", F.spark_partition_id())
+    lw = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    parts = s.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__psum{i}") for i, v in enumerate(value_cols)]
+    )
+    ow = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = parts.select(
+        "__pid",
+        *[
+            F.sum(f"__psum{i}").over(ow).alias(f"__off{i}")
+            for i in range(len(value_cols))
+        ],
+    )
+    out = s
+    for i, v in enumerate(value_cols):
+        out = out.withColumn(f"__local{i}", F.sum(v).over(lw))
+    out = out.join(F.broadcast(offs), "__pid")
+    zero = F.lit(0)
+    for i, c in enumerate(cum_cols):
+        out = out.withColumn(
+            c,
+            F.coalesce(F.col(f"__off{i}"), zero)
+            + F.coalesce(F.col(f"__local{i}"), zero),
+        )
+    drop = ["__pid"] + [f"__local{i}" for i in range(len(value_cols))] + [
+        f"__off{i}" for i in range(len(value_cols))
+    ]
+    return out.drop(*drop)

@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["point_interval_join", "interval_overlap_join"]
+from walex_spark.operators.ordering import prefix_sums_multi
+
+__all__ = [
+    "point_interval_join",
+    "interval_overlap_join",
+    "point_interval_aggregate",
+]
 
 
 def point_interval_join(
@@ -121,100 +127,100 @@ def point_interval_aggregate(
     lo_col: str,
     hi_col: str,
     val_col: str,
-    bucket_width: float,
     band_keys: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """COUNT/SUM of points inside each interval WITHOUT materializing
-    the point-interval matches: the two-level (segment-tree) range
-    aggregation.
+    the point-interval matches: event-differencing over ONE global
+    prefix sum (the distributed Fenwick/merge-path answer).
 
-    point_interval_join + groupBy produces one intermediate row per
-    match — at a span/width ratio of s, that is s× the point count
-    flowing through the join. Here each interval instead:
+    Every interval becomes two EVENTS on the value axis — a lo probe
+    that must see the count/sum of points strictly below lo, and a hi
+    probe that must see points at or below hi. Points and events
+    co-sort by (value, tag) with tags ordered lo-event < point <
+    hi-event, so each probe's EXCLUSIVE prefix (ordering.py::
+    prefix_sums_multi — range shuffle + per-partition running window +
+    broadcast partition offsets) is exactly its predicate's point set.
+    interval answer = hi-prefix − lo-prefix; groupBy(band_keys) sums
+    the signed probes.
 
-      1. takes its strictly-INTERIOR buckets' contributions from a
-         per-bucket summary table (count + decimal sum, one narrow
-         aggregate of the points) via the bucket equi-join — O(span/w)
-         summary rows per interval, zero point rows;
-      2. row-joins ONLY its two boundary buckets (residual
-         lo <= p <= hi filter) — the only place point rows move;
-      3. combines the two parts (integer counts and DECIMAL sums are
-         order-free, so the split is exactly the unsplit aggregate).
+    Why not the bucketized two-level (interior-summary + boundary-row)
+    form this replaced: its boundary term joins each interval's edge
+    buckets to the POINT ROWS inside them, which scales as
+    interval_density × point_density — measured 71× wall at a 10×
+    both-sides data step (SURVEY §14, r07 scale checkpoint). The
+    event form moves each point and each probe through the shuffle
+    exactly once: linear in rows, no multiplicative term, no
+    bucket_width to mistune. Skew: equal VALUES land in one range
+    partition (any global sort's exposure) — bounded by the value
+    histogram, not by interval×point products.
 
     Returns intervals' ``band_keys`` (default: all their non-bound
-    columns) with (n_matches, sum_val as DECIMAL(28,6)->double-ready
-    decimal). Intervals with hi < lo are dropped.
+    columns) with (n_matches, sum_val as a decimal ready for the
+    caller's DECIMAL(28,6)->double normalization). Intervals with
+    hi < lo are dropped; keys whose intervals match nothing are
+    dropped (inner-join groupBy parity).
 
-    Exactness: the decomposition only reorders an integer count and a
-    decimal sum — both order-free — so the result is bit-identical to
-    the naive BETWEEN-join aggregate, and the ORACLE stays the naive
-    spelling. Interior membership is decided purely on integer bucket
-    ids (floor(x/w)) — no float boundary comparisons that could
-    disagree with the residual filter.
+    Exactness: the decomposition only regroups an integer count and a
+    DECIMAL(18,4) sum — both order-free — so the result is
+    bit-identical to the naive BETWEEN-join aggregate, and the ORACLE
+    stays the naive spelling. Points and bounds are compared under
+    Spark's own union type coercion (exact decimal widening — never a
+    float rebucketing).
     """
-    if bucket_width <= 0:
-        raise ValueError("bucket_width must be > 0")
-    w = float(bucket_width)
-    b_of = lambda c: F.floor(c / F.lit(w)).cast(T.LongType())  # noqa: E731
-    dec = F.col(val_col).cast(T.DecimalType(18, 4))
     keys = band_keys or [
         c for c in intervals.columns if c not in (lo_col, hi_col)
     ]
+    dec = T.DecimalType(18, 4)
+    zero_dec = F.lit(0).cast(dec)
+    iv = intervals.filter(F.col(lo_col) <= F.col(hi_col))
 
-    summaries = points.groupBy(b_of(F.col(point_col)).alias("__b")).agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.sum(dec).alias("__sum"),
+    def _key_nulls(src: DataFrame):
+        return [
+            F.lit(None).cast(src.schema[k].dataType).alias(k) for k in keys
+        ]
+
+    pts = points.filter(F.col(point_col).isNotNull()).select(
+        F.col(point_col).alias("__v"),
+        F.lit(0).alias("__tag"),
+        F.lit(1).cast(T.LongType()).alias("__cnt"),
+        F.col(val_col).cast(dec).alias("__val"),
+        *_key_nulls(intervals),
+        F.lit(0).alias("__sign"),
     )
-    iv = (
-        intervals.filter(F.col(lo_col) <= F.col(hi_col))
-        .withColumn("__lo_b", b_of(F.col(lo_col)))
-        .withColumn("__hi_b", b_of(F.col(hi_col)))
-    )
-    interior = (
-        iv.withColumn(
-            "__b",
-            F.explode(
-                F.when(
-                    F.col("__hi_b") - 1 >= F.col("__lo_b") + 1,
-                    F.sequence(F.col("__lo_b") + 1, F.col("__hi_b") - 1),
-                ).otherwise(F.array().cast(T.ArrayType(T.LongType())))
-            ),
+
+    def _probe(bound_col: str, tag: int, sign: int) -> DataFrame:
+        return iv.select(
+            F.col(bound_col).alias("__v"),
+            F.lit(tag).alias("__tag"),
+            F.lit(0).cast(T.LongType()).alias("__cnt"),
+            zero_dec.alias("__val"),
+            *keys,
+            F.lit(sign).alias("__sign"),
         )
-        .join(summaries, "__b")
+
+    events = pts.unionByName(_probe(lo_col, -1, -1)).unionByName(
+        _probe(hi_col, 1, 1)
+    )
+    pre = prefix_sums_multi(
+        events,
+        ["__v", "__tag"],
+        ["__cnt", "__val"],
+        ["__ccnt", "__cval"],
+        num_partitions=num_partitions,
+    )
+    combined = (
+        pre.filter(F.col("__tag") != 0)
         .groupBy(*keys)
         .agg(
-            F.sum("__cnt").alias("__n_int"),
-            F.sum("__sum").alias("__s_int"),
+            F.sum(F.col("__sign") * F.col("__ccnt"))
+            .cast(T.LongType())
+            .alias("n_matches"),
+            F.sum(
+                F.when(F.col("__sign") > 0, F.col("__cval")).otherwise(
+                    -F.col("__cval")
+                )
+            ).alias("sum_val"),
         )
-    )
-    boundary = (
-        iv.withColumn(
-            "__b", F.explode(F.array_distinct(F.array("__lo_b", "__hi_b")))
-        )
-        .join(
-            points.withColumn("__b", b_of(F.col(point_col))),
-            "__b",
-        )
-        .filter(
-            (F.col(point_col) >= F.col(lo_col))
-            & (F.col(point_col) <= F.col(hi_col))
-        )
-        .groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("__n_bnd"),
-            F.sum(dec).alias("__s_bnd"),
-        )
-    )
-    zero = F.lit(0).cast(T.DecimalType(18, 4))
-    combined = boundary.join(interior, keys, "full_outer").select(
-        *keys,
-        (
-            F.coalesce(F.col("__n_bnd"), F.lit(0))
-            + F.coalesce(F.col("__n_int"), F.lit(0))
-        ).cast(T.LongType()).alias("n_matches"),
-        (
-            F.coalesce(F.col("__s_bnd"), zero)
-            + F.coalesce(F.col("__s_int"), zero)
-        ).alias("sum_val"),
     )
     return combined.filter(F.col("n_matches") > 0)

@@ -5631,13 +5631,19 @@ def q_emb_ann_recall_ivf(spark, sf_dir):
 def q_range_agg_twolevel(spark, sf_dir):
     """Range aggregation WITHOUT materializing the matches
     (range_join.py::point_interval_aggregate): the same per-band
-    count/sum as q_range_join_bands, but interior buckets contribute
-    via a pre-aggregated per-bucket summary (count + decimal sum —
-    both order-free, so the split equals the unsplit aggregate
-    bit-for-bit) and only the two boundary buckets move point rows.
+    count/sum as q_range_join_bands via event-differencing — each band
+    becomes a lo and a hi probe on the price axis, one global prefix
+    sum (range shuffle + partition-offset broadcast) gives every probe
+    its count/decimal-sum of prices at-or-below it, and the band's
+    answer is the probe difference (integer count and decimal sum are
+    order-free, so this equals the unsplit aggregate bit-for-bit).
     The oracle is the NAIVE BETWEEN-join aggregate — identical results
-    prove the decomposition; the win is the s×-smaller intermediate
-    (span/width matches per point never exist as rows)."""
+    prove the decomposition; the win is that the ~matches-sized
+    intermediate never exists as rows: each point crosses the shuffle
+    once, so the plan scales linearly where both the match join AND
+    the earlier bucketized form (boundary term = interval_density ×
+    point_density, 71× wall at a 10× data step — SURVEY §14) blow up
+    quadratically."""
     from walex_spark.operators.range_join import point_interval_aggregate
 
     points = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
@@ -5653,7 +5659,6 @@ def q_range_agg_twolevel(spark, sf_dir):
         "band_lo",
         "band_hi",
         "l_extendedprice",
-        bucket_width=25.0,
         band_keys=["p_partkey"],
     )
     return out.select(
