@@ -56,6 +56,53 @@ def test_prefix_sums_matches_python_model_many_partitions(spark):
         cum += v
 
 
+def test_prefix_sums_multi_long_and_decimal(spark):
+    """prefix_sums_multi: two value columns in one range shuffle, each
+    keeping its natural sum type — the long count stays integer-exact,
+    the DECIMAL(18,4) sum stays decimal-exact (no long cast)."""
+    import decimal
+
+    from walex_spark.operators.ordering import prefix_sums_multi
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            rng.randint(-3, 3),
+            decimal.Decimal(rng.randint(-99999, 99999)) / 10000,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, n long, d decimal(18,4)"
+    ).repartition(9)
+    out = prefix_sums_multi(df, ["id"], ["n", "d"], ["cn", "cd"])
+    got = {r.id: (r.cn, decimal.Decimal(r.cd)) for r in out.collect()}
+    cum_n, cum_d = 0, decimal.Decimal(0)
+    for i, n, d in sorted(rows):
+        assert got[i] == (cum_n, cum_d), i
+        cum_n += n
+        cum_d += d
+
+
+def test_prefix_sums_multi_tied_keys_consistent(spark):
+    """Rows TIED on the full order key are interchangeable inside an
+    order-free sum: with k tied rows of value v after prefix P, the
+    tied rows' cums must be exactly the set {P, P+v, …, P+(k-1)v} and
+    every strictly-later row must see P + k·v."""
+    from walex_spark.operators.ordering import prefix_sums_multi
+
+    rows = [(1, 10)] + [(5, 7)] * 3 + [(9, 100)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(4)
+    out = prefix_sums_multi(df, ["k"], ["v"], ["cv"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r.cv)
+    assert by_key[1] == [0]
+    assert sorted(by_key[5]) == [10, 17, 24]
+    assert by_key[9] == [31]
+
+
 def test_duplicate_spans_matches_python_model(spark):
     from walex_spark.extensions.dedup import duplicate_spans
 

@@ -12,9 +12,20 @@ each scaled table is 10 key-offset replicas of the sf0.1 table, with
 two de-duplication perturbations so replication does not manufacture
 super-linear work that real 10x data would not have:
 
-  - documents: each replica appends a short replica tag to the text, so
-    near/exact-dup CLUSTERS grow 10x in count but not in size — pair
-    outputs scale linearly, as they would on real data;
+  - documents: replica i>0 DELETES every (6+i)-th word. Two designs
+    this replaced, both measured as harness artifacts (SURVEY §14):
+    a trailing replica tag leaves cross-replica shingle Jaccard ~0.93
+    (116x LSH candidate growth at the 10x step — MinHash correctly
+    pairs every replica family); an interleaved every-5-words tag
+    creates tag-bearing shingles whose discriminating power drops to
+    2 words, colliding across UNRELATED same-replica docs (70x).
+    Deletion creates no new tokens, so unrelated docs share nothing
+    new; within a replica the same deletion hits near-identical docs
+    identically (clusters preserved); across replicas the differing
+    periods leave J ~= (1-3/p1)(1-3/p2)-ish ~ 0.3, below the
+    registry's near-dup thresholds. Dup clusters therefore grow 10x
+    in count but not in size — pair outputs scale linearly, as on
+    real data;
   - embeddings: component 0 gets a tiny per-replica offset, same
     reason for ANN/near-dup pair families.
 
@@ -78,7 +89,14 @@ def build(spark):
                     continue
                 r = r.withColumn(kcol, F.col(kcol) + F.lit(i * KEY_STRIDE))
             if t == "documents" and i > 0:
-                r = r.withColumn("text", F.concat(F.col("text"), F.lit(f" r{i}")))
+                r = r.withColumn(
+                    "text",
+                    F.regexp_replace(
+                        F.col("text"),
+                        r"((?:\S+ ){%d})\S+ " % (5 + i),
+                        "$1",
+                    ),
+                )
             if t == "embeddings" and i > 0:
                 r = r.withColumn(
                     "embedding",
