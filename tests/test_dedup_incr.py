@@ -96,6 +96,60 @@ def test_despan_fold_equals_batch(spark, docs, tmp_path):
     )
 
 
+def test_winnow_foreachbatch_stream_e2e(spark, docs, tmp_path):
+    """REAL Structured Streaming wiring, not a direct-call simulation:
+    the corpus arrives as 3 parquet file drops, readStream with
+    maxFilesPerTrigger=1 turns each drop into its own microbatch, and
+    writeStream.foreachBatch(idx.process_batch) — the deployment shape
+    the module docstring promises — drives the index. The folded
+    emissions must equal the batch operator, same contract as the
+    direct-call test."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e, b in enumerate(_epochs(docs)):
+        staged = str(tmp_path / f"stage{e}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{e}.parquet")
+
+    idx = IncrementalWinnowIndex(
+        str(tmp_path / "widx"), k=8, window=4, min_shared=2
+    )
+    out_root = str(tmp_path / "out")
+
+    def sink(batch_df, epoch_id):
+        idx.process_batch(batch_df, epoch_id).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/e-{epoch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.read.parquet(f"{out_root}/e-*").collect()
+    batch = dd.winnow_candidate_pairs(
+        dd.winnow_fingerprints(docs, 8, 4, positions=False),
+        min_shared=2,
+        distinct_hashes=True,
+    ).collect()
+    assert _pairs_key(emitted) == _pairs_key(batch)
+
+
 def test_despan_replay_idempotent(spark, docs, tmp_path):
     idx = IncrementalDespanIndex(str(tmp_path / "didx"), win_len=40, min_count=2)
     e0, e1 = _epochs(docs, 2)

@@ -29,6 +29,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=3, help="runs per query")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--json",
+        metavar="PATH",
+        help="also write {query: {median,min,max}} JSON to PATH",
+    )
     ap.add_argument("names", nargs="*", help="default: the 10 slowest from BENCH_DETAIL.json")
     args = ap.parse_args()
 
@@ -54,6 +59,7 @@ def main() -> int:
     spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").count()
 
     print(f"{'query':35} {'median':>8} {'min':>8} {'max':>8}  note")
+    report = {}
     for name in names:
         times = []
         for _ in range(args.n):
@@ -64,6 +70,19 @@ def main() -> int:
         med, lo, hi = statistics.median(times), min(times), max(times)
         note = "THROTTLE-SUSPECT" if hi > 2.5 * lo else ""
         print(f"{name:35} {med:7.2f}s {lo:7.2f}s {hi:7.2f}s  {note}")
+        report[name] = {
+            "median": round(med, 3),
+            "min": round(lo, 3),
+            "max": round(hi, 3),
+        }
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(
+                {"sf": args.sf, "runs_per_query": args.n, "queries": report},
+                f,
+                indent=1,
+            )
+            f.write("\n")
     spark.stop()
     return 0
 
