@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["train_bpe_merges", "merge_pair"]
+__all__ = ["train_bpe_merges", "merge_pair", "encode_words"]
 
 
 def merge_pair(seq_arr: Column, a: str, b: str, merged: str) -> Column:
@@ -59,6 +59,42 @@ def merge_pair(seq_arr: Column, a: str, b: str, merged: str) -> Column:
     return F.aggregate(
         seq_arr, F.array().cast(T.ArrayType(T.StringType())), step
     )
+
+
+def encode_words(
+    words: DataFrame,
+    merges: list[tuple[int, str, str]],
+    word_col: str = "word",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """APPLY trained merges: every ``word_col`` value gains ``out_col``
+    = its BPE token array (array<string>) under the given merge list.
+
+    The standard encoder semantics (matching every reference BPE):
+    split the word to characters, then apply each merge in TRAINED
+    ORDER as a greedy leftmost fold (merge_pair — the same JVM
+    F.aggregate the trainer uses, so train and encode can never
+    disagree on a word the trainer saw). Words unseen at training time
+    encode through the identical path — merges simply match or don't.
+
+    Scale shape: call this on the DISTINCT-word table and join the
+    result back to the corpus (the trainer's own O(vocab) trick) —
+    the fold then runs once per vocabulary entry, not once per
+    occurrence. The merge list is metadata (tens to tens of thousands
+    of entries in practice; each becomes three string literals in ONE
+    projection), never a join side.
+
+    Invariant worth stating: concat(tokens) == word for every row —
+    BPE merges only ever fuse adjacent symbols, so the token sequence
+    always re-spells the word (the model test pins this).
+    """
+    seq = F.split(
+        F.rtrim(F.regexp_replace(F.col(word_col), "(.)", "$1 ")), " "
+    )
+    for _, pair, merged in merges:
+        a, b = pair.split(" ")
+        seq = merge_pair(seq, a, b, merged)
+    return words.withColumn(out_col, seq)
 
 
 def train_bpe_merges(

@@ -4652,6 +4652,131 @@ def q_doc_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(merges, schema)
 
 
+def _bpe_apply_iter_sql(i: int) -> str:
+    """One unrolled merge APPLICATION over the full-vocabulary chain
+    e{i-1} -> e{i}: the same greedy-leftmost gaps-and-islands as the
+    training iteration, but the pair comes from the trained b{i}
+    instead of being re-counted (an empty b{i} — early stop — makes
+    every m=0 and e{i} = e{i-1}, matching the trainer)."""
+    p = i - 1
+    return f"""
+    es{i} AS (
+      SELECT seq, z[1] AS s, z[2] AS pos
+      FROM (SELECT seq,
+                   unnest(list_zip(string_split(seq, ' '),
+                          generate_series(1, len(string_split(seq, ' '))))) AS z
+            FROM e{p})),
+    emt{i} AS (
+      SELECT seq, pos, s,
+             CASE WHEN s || ' ' || lead(s) OVER (PARTITION BY seq ORDER BY pos)
+                       = (SELECT pair FROM b{i}) THEN 1 ELSE 0 END AS m
+      FROM es{i}),
+    eisl{i} AS (
+      SELECT seq, pos, s, m,
+             CASE WHEN m = 1 THEN
+               pos - ROW_NUMBER() OVER (PARTITION BY seq, m ORDER BY pos)
+             END AS isl
+      FROM emt{i}),
+    eg{i} AS (
+      SELECT seq, pos, s, m,
+             CASE WHEN m = 1 THEN
+               (pos - MIN(pos) OVER (PARTITION BY seq, isl)) % 2
+             END AS off
+      FROM eisl{i}),
+    er{i} AS (
+      SELECT seq, pos,
+             CASE WHEN m = 1 AND off = 0 THEN (SELECT merged FROM b{i})
+                  ELSE s END AS s2,
+             COALESCE(lag(CASE WHEN m = 1 AND off = 0 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY seq ORDER BY pos), 0) AS consumed
+      FROM eg{i}),
+    e{i} AS (
+      SELECT string_agg(s2, ' ' ORDER BY pos) AS seq
+      FROM er{i} WHERE consumed = 0 GROUP BY seq)"""
+
+
+_BPE_ENCODE_ORACLE_SQL = (
+    """
+    WITH w0 AS (
+      SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents WHERE doc_id < 200)
+      GROUP BY 1),"""
+    + ",".join(_bpe_iter_sql(i) for i in range(1, _BPE_MERGES + 1))
+    + """,
+    e0 AS (
+      SELECT DISTINCT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)),"""
+    + ",".join(_bpe_apply_iter_sql(i) for i in range(1, _BPE_MERGES + 1))
+    + f""",
+    enc AS (
+      SELECT replace(seq, ' ', '') AS word,
+             len(string_split(seq, ' ')) AS n_tok
+      FROM e{_BPE_MERGES}),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents)
+    SELECT occ.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(occ.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(enc.n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM occ JOIN enc ON occ.word = enc.word
+    GROUP BY occ.doc_id"""
+)
+
+
+@_register("q_doc_bpe_encode", _BPE_ENCODE_ORACLE_SQL)
+def q_doc_bpe_encode(spark, sf_dir):
+    """BPE ENCODING (extensions/bpe.py::encode_words) — the apply half
+    of the tokenizer story q_doc_bpe_merges trains: the six merges
+    learned on the bounded corpus (doc_id < 200) encode EVERY document
+    (including words the trainer never saw), reported per doc as
+    (n_words, n_chars, n_bpe_tokens). Encoding runs once per DISTINCT
+    word (the trainer's own O(vocab) trick) as six chained greedy
+    leftmost JVM array folds — the identical merge_pair the trainer
+    used, so train and apply cannot disagree — then joins back to the
+    word occurrences. The oracle replays training (the existing
+    unrolled six-round SQL) AND application (the same gaps-and-islands
+    merge, pair taken from each round's b_i) over the full vocabulary.
+    concat(tokens) == word always (merges only fuse adjacent symbols),
+    so n_chars doubles as a cross-check that no token was lost."""
+    from walex_spark.extensions.bpe import encode_words, train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(
+        docs.filter(F.col("doc_id") < 200), _BPE_MERGES
+    )
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("word"),
+    )
+    vocab = occ.select("word").distinct()
+    enc = encode_words(vocab, merges).select(
+        "word",
+        F.length("word").alias("__wlen"),
+        F.size("tokens").alias("__ntok"),
+    )
+    return (
+        occ.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__wlen").cast(T.LongType()).alias("n_chars"),
+            F.sum("__ntok").cast(T.LongType()).alias("n_bpe_tokens"),
+        )
+    )
+
+
 @_register(
     "q_array_funcs",
     """
@@ -6164,9 +6289,9 @@ DRIVER_ORDER = [
     "q_window_distinct", "q_unpivot_lineitem", "q_array_funcs",
     "q_json_funcs", "q_stats_covariance", "q_events_histogram",
     "q_doc_weighted_sample",
-    # (b) r07-new queries: the incremental dedup twins (zero history
-    # beats any repeat witness).
-    "q_doc_winnow_incr", "q_doc_despan_incr",
+    # (b) r07-new queries: the incremental dedup twins + the BPE
+    # encoder (zero history beats any repeat witness).
+    "q_doc_winnow_incr", "q_doc_despan_incr", "q_doc_bpe_encode",
     # (c) the 40 stalest queries: last hard row r04 — two rounds of
     # code drift (incl. this round's IVF decimal-fold fix and the
     # q_approx_distinct oracle upgrade) since their last witness.
