@@ -150,6 +150,77 @@ def test_winnow_foreachbatch_stream_e2e(spark, docs, tmp_path):
     assert _pairs_key(emitted) == _pairs_key(batch)
 
 
+def _live_file_count(root):
+    import glob
+    import os
+
+    return len(
+        [
+            f
+            for f in glob.glob(f"{root}/**/*.parquet", recursive=True)
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+    )
+
+
+def test_winnow_compaction_bounded_and_identical(spark, docs, tmp_path):
+    """Many epochs with compact_every=K: live dir count per root stays
+    bounded (~K+1, not O(epochs)), superseded dirs are removed from
+    disk, and the folded emissions are identical to the batch operator
+    — compaction is pure maintenance, invisible to semantics."""
+    from walex_spark.streaming.dedup_incr import _epoch_dirs
+
+    n_epochs, k = 24, 4
+    idx = IncrementalWinnowIndex(
+        str(tmp_path / "widx"), k=8, window=4, min_shared=2, compact_every=k
+    )
+    emitted = []
+    max_live = 0
+    for e in range(n_epochs):
+        b = docs.filter(F.col("doc_id") % n_epochs == e)
+        emitted.extend(idx.process_batch(b, e).collect())
+        max_live = max(max_live, len(_epoch_dirs(str(tmp_path / "widx" / "fps"))))
+    assert max_live <= k + 1, f"live dirs grew to {max_live}"
+    # on-disk parquet file count is bounded by live dirs x files/dir
+    # (superseded dirs removed), not by epoch count: without
+    # compaction this root pair would hold ~n_epochs * shuffle
+    # partitions * 2 files (~384 here)
+    nsp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _live_file_count(str(tmp_path / "widx")) <= 2 * (k + 1) * (nsp + 1)
+    batch = dd.winnow_candidate_pairs(
+        dd.winnow_fingerprints(docs, 8, 4, positions=False),
+        min_shared=2,
+        distinct_hashes=True,
+    ).collect()
+    assert _pairs_key(emitted) == _pairs_key(batch)
+
+
+def test_despan_compaction_bounded_and_identical(spark, docs, tmp_path):
+    """Same contract for the despan index: with compact_every the cnt
+    root's partial counts pre-fold during compaction and the fold
+    still equals the batch operator."""
+    from walex_spark.streaming.dedup_incr import _epoch_dirs
+
+    n_epochs, k = 12, 3
+    idx = IncrementalDespanIndex(
+        str(tmp_path / "didx"), win_len=40, min_count=2, compact_every=k
+    )
+    rows = []
+    for e in range(n_epochs):
+        b = docs.filter(F.col("doc_id") % n_epochs == e)
+        rows.extend((e, r) for r in idx.process_batch(b, e).collect())
+        for kind in ("wins", "cnt", "docs"):
+            assert (
+                len(_epoch_dirs(str(tmp_path / "didx" / kind))) <= k + 1
+            )
+    folded = _latest_per_doc(rows)
+    batch = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dd.remove_duplicate_spans(docs, win_len=40, min_count=2).collect()
+    }
+    assert folded == batch
+
+
 def test_despan_replay_idempotent(spark, docs, tmp_path):
     idx = IncrementalDespanIndex(str(tmp_path / "didx"), win_len=40, min_count=2)
     e0, e1 = _epochs(docs, 2)

@@ -7,6 +7,13 @@ reviewable act: ADDED rows are new queries, RAISED rows mean a plan
 gained a shuffle (justify it in the commit), LOWERED rows are
 improvements worth keeping tight.
 
+Caveat: the incremental-dedup queries (q_doc_winnow_incr,
+q_doc_despan_incr) run their per-epoch index writes EAGERLY at
+query-construction time; the audited plan — and therefore the pinned
+budget — covers only the final fold-read union, not the per-epoch
+work. The per-epoch plans are audited separately by
+tests/test_dedup_incr.py's shape assertions.
+
 Usage: python tools/refresh_exchange_budgets.py [--write]
 """
 

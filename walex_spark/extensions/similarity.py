@@ -761,11 +761,14 @@ def train_pq_codebooks(
 
       - init: the seed rows' own subvectors (code id = seed id, so
         ties are reproducible);
-      - update: component-wise DECIMAL(28,12) sums (exact,
-        order-independent) divided by the count as DOUBLE — the
-        repo's standard exact-mean pattern. Unlike the cosine IVF
-        trainer the division is required: L2 is not scale-invariant,
-        so the sum vector would NOT rank like the mean;
+      - update: member-id-ORDERED double folds (collect members per
+        codeword sorted by vid, fold each component left-to-right) —
+        bit-exact across engines and at any parallelism, unlike a
+        double-to-DECIMAL cast whose rounding diverges between Spark
+        and DuckDB at the 12th place (see the inline note below).
+        The division by count is required here (unlike the cosine
+        IVF trainer): L2 is not scale-invariant, so the sum vector
+        would NOT rank like the mean;
       - a codeword that captures no subvectors drops out.
 
     Returns (m, code, cw: array<double>) — n_sub x K rows, metadata-

@@ -165,12 +165,30 @@ def point_interval_aggregate(
     DECIMAL(18,4) sum — both order-free — so the result is
     bit-identical to the naive BETWEEN-join aggregate, and the ORACLE
     stays the naive spelling. Points and bounds are compared under
-    Spark's own union type coercion (exact decimal widening — never a
-    float rebucketing).
+    Spark's own union type coercion, which this function REQUIRES to
+    be exact (decimal/integral widening): mixing a float/double side
+    with a decimal/integral side would coerce the union to DOUBLE,
+    where values beyond 2^53 (or non-representable decimals) silently
+    re-order against the probes — such mixes raise ValueError instead
+    of voiding the contract silently. All-float inputs are fine (the
+    comparison is then the same float order the naive join uses).
     """
     keys = band_keys or [
         c for c in intervals.columns if c not in (lo_col, hi_col)
     ]
+    axis_types = [
+        points.schema[point_col].dataType,
+        intervals.schema[lo_col].dataType,
+        intervals.schema[hi_col].dataType,
+    ]
+    exact = [isinstance(t, (T.DecimalType, T.IntegralType)) for t in axis_types]
+    if any(exact) and not all(exact):
+        raise ValueError(
+            "point_interval_aggregate: value-axis types mix exact "
+            f"(decimal/integral) and floating ({axis_types}); the union "
+            "would coerce to DOUBLE and break the bit-exactness contract. "
+            "Cast all three to a common decimal/integral type first."
+        )
     dec = T.DecimalType(18, 4)
     zero_dec = F.lit(0).cast(dec)
     iv = intervals.filter(F.col(lo_col) <= F.col(hi_col))

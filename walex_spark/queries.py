@@ -28,6 +28,27 @@ from walex_spark.extensions import dedup as dd
 from walex_spark.extensions import similarity as sim
 from walex_spark.extensions import text as tx
 
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-process scratch root for queries that materialize epoch
+    indexes (the incremental dedup twins). One mkdtemp per process,
+    removed at interpreter exit — registry-wide sweeps (scale lint,
+    budget refresh, bench min-of-N) no longer leak a /tmp dir per
+    invocation. Each CALL still gets a fresh subdir so re-runs within
+    one process never collide."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    try:
+        root = _SCRATCH_ROOT
+    except NameError:
+        root = tempfile.mkdtemp(prefix="walex_q_scratch_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOT = root
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
 DEC = T.DecimalType(18, 4)
 RATE = T.DecimalType(8, 4)
 
@@ -6194,11 +6215,9 @@ def q_doc_winnow_incr(spark, sf_dir):
     equal the batch operator — same oracle as q_doc_winnow_pairs, the
     fold-equals-batch contract made driver-checkable. Same parameters
     as the batch query (k=16, window=8, min_shared=4)."""
-    import tempfile
-
     from walex_spark.streaming.dedup_incr import IncrementalWinnowIndex
 
-    root = tempfile.mkdtemp(prefix="winnow_incr_")
+    root = _scratch_dir("winnow_incr_")
     docs = _t(spark, sf_dir, "documents")
     idx = IncrementalWinnowIndex(
         f"{root}/idx", k=16, window=8, min_shared=4
@@ -6223,11 +6242,9 @@ def q_doc_despan_incr(spark, sf_dir):
     retroactive-correction path append mode can't express as
     retractions). The LATEST emission per doc is returned and must
     equal the batch operator — same oracle as q_doc_despan."""
-    import tempfile
-
     from walex_spark.streaming.dedup_incr import IncrementalDespanIndex
 
-    root = tempfile.mkdtemp(prefix="despan_incr_")
+    root = _scratch_dir("despan_incr_")
     docs = _t(spark, sf_dir, "documents")
     idx = IncrementalDespanIndex(f"{root}/idx", win_len=40, min_count=2)
     outs = []

@@ -62,12 +62,97 @@ from pyspark.sql import types as T
 from walex_spark.extensions import dedup as dd
 
 
+def _manifest_upto(root: str) -> int:
+    """Highest epoch folded into the root's compacted dir, or -1.
+
+    The manifest is the COMPACTION PUBLISH POINT: `c-<upto>` parquet
+    data is invisible until `_manifest.json` names it (flipped with
+    os.replace — atomic on POSIX), so a crash mid-compaction leaves
+    the live set exactly as before."""
+    p = os.path.join(root, "_manifest.json")
+    if not os.path.isfile(p):
+        return -1
+    import json
+
+    with open(p) as f:
+        return int(json.load(f)["upto"])
+
+
 def _epoch_dirs(root: str) -> list[str]:
+    """Live data dirs for a root: the compacted dir named by the
+    manifest (if any) plus every epoch dir NEWER than it. Epoch dirs
+    at or below the manifest's `upto` are superseded — kept on disk
+    only until the post-flip cleanup removes them."""
     if not os.path.isdir(root):
         return []
-    return sorted(
-        os.path.join(root, d) for d in os.listdir(root) if d.startswith("e-")
+    upto = _manifest_upto(root)
+    dirs = []
+    if upto >= 0:
+        dirs.append(os.path.join(root, f"c-{upto}"))
+    dirs += sorted(
+        (
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("e-") and int(d[2:]) > upto
+        ),
+        key=lambda d: int(os.path.basename(d)[2:]),
     )
+    return dirs
+
+
+def _compact_root(
+    spark: SparkSession, root: str, schema: str, agg=None
+) -> bool:
+    """Fold every live dir of ``root`` into ONE compacted dir under
+    the manifest-flip protocol (sinks/compact.py's publish discipline:
+    rewrite to a fresh dir, publish with one atomic rename):
+
+      1. write union(live dirs) [optionally pre-folded by ``agg``]
+         to ``c-<max epoch>`` — invisible to readers until step 2;
+      2. flip ``_manifest.json`` to name it (tmp + os.replace);
+      3. best-effort removal of the superseded dirs.
+
+    Replay safety: compaction runs AFTER the current epoch's write,
+    so a crashed-and-replayed micro-batch either (a) crashed before
+    the flip — the manifest still names the old state, the replay
+    overwrites its e-dir and re-compacts idempotently — or (b)
+    crashed after the flip — the replayed e-dir write lands below
+    `upto` and is invisible to readers (same rows, already folded).
+
+    Bounds the per-epoch fold input AND the small-files count: with
+    ``compact_every=K`` a root holds at most K+1 live dirs no matter
+    how many epochs have run. Returns True if a compaction happened.
+    """
+    import json
+    import shutil
+
+    dirs = _epoch_dirs(root)
+    if len(dirs) <= 1:
+        return False
+    upto = max(
+        int(os.path.basename(d).split("-", 1)[1]) for d in dirs
+    )
+    df = spark.read.schema(schema).parquet(*dirs)
+    if agg is not None:
+        df = agg(df)
+    out = os.path.join(root, f"c-{upto}")
+    # size-targeted file count (sinks/compact.py's rule) — one file in
+    # the sandbox, proportional at real index sizes
+    import math
+
+    from walex_spark.sinks.compact import plan_compaction
+
+    total = sum(plan_compaction(d)["total_bytes"] for d in dirs)
+    n_files = max(1, math.ceil(total / (128 * 1024 * 1024)))
+    df.coalesce(n_files).write.mode("overwrite").parquet(out)
+    tmp = os.path.join(root, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"upto": upto}, f)
+    os.replace(tmp, os.path.join(root, "_manifest.json"))
+    for d in dirs:
+        if d != out:
+            shutil.rmtree(d, ignore_errors=True)
+    return True
 
 
 def _read_union(spark: SparkSession, root: str, schema: str) -> DataFrame:
@@ -97,9 +182,21 @@ class IncrementalWinnowIndex:
     retroactively invalidate pairs emitted in epoch 1 — the batch
     operator and the fold would diverge. Appliers that need the hot
     guard run it on the folded output.
+
+    PER-EPOCH COST CONTRACT: every per-epoch AGGREGATION is over the
+    epoch's own rows (fingerprinting + the per-doc nfp count); index-
+    wide work is limited to keyed joins/narrow scans against the
+    parquet state. A doc's fingerprint count is immutable at arrival,
+    so (id, nfp) is persisted per epoch alongside the fingerprints and
+    union-read back — never re-aggregated over the full index (the
+    r07-verdict nit). ``compact_every=K`` bounds live dirs per root to
+    ~K regardless of epoch count (manifest-flip compaction at the
+    START of a batch, when no reader can hold a plan over the old
+    dirs).
     """
 
     FP_SCHEMA = "id BIGINT, fp_hash BIGINT"
+    SIZES_SCHEMA = "id BIGINT, nfp BIGINT"
 
     def __init__(
         self,
@@ -109,23 +206,40 @@ class IncrementalWinnowIndex:
         min_shared: int = 2,
         text_col: str = "text",
         id_col: str = "doc_id",
+        compact_every: int = 0,
     ):
         self.index_dir = index_dir
         self.k, self.window = k, window
         self.min_shared = min_shared
         self.text_col, self.id_col = text_col, id_col
+        self.compact_every = compact_every
 
     def _fp_root(self) -> str:
         return os.path.join(self.index_dir, "fps")
 
+    def _sizes_root(self) -> str:
+        return os.path.join(self.index_dir, "sizes")
+
     def fingerprints(self, spark: SparkSession) -> DataFrame:
         return _read_union(spark, self._fp_root(), self.FP_SCHEMA)
+
+    def compact(self, spark: SparkSession) -> bool:
+        """Fold all live epoch dirs into one compacted dir per root
+        (manifest-flip; see _compact_root). Safe whenever no emitted
+        DataFrame from a previous batch is still un-materialized."""
+        a = _compact_root(spark, self._fp_root(), self.FP_SCHEMA)
+        b = _compact_root(spark, self._sizes_root(), self.SIZES_SCHEMA)
+        return a or b
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
         """Index the epoch's docs; return the epoch's NEW pairs
         (id_a, id_b, n_shared, winnow_sim) — the same row shape as
         winnow_candidate_pairs."""
         spark = batch_df.sparkSession
+        if self.compact_every and len(_epoch_dirs(self._fp_root())) >= (
+            self.compact_every + 1
+        ):
+            self.compact(spark)
         new_fps = dd.winnow_fingerprints(
             batch_df, self.k, self.window, self.text_col, self.id_col,
             positions=False,
@@ -137,14 +251,19 @@ class IncrementalWinnowIndex:
         # read the epoch's own rows back from the index: `all_fps`
         # below must be the post-epoch index, and reading parquet both
         # cuts the recompute and makes replay exact
-        all_fps = self.fingerprints(spark)
-        new_ids = (
-            spark.read.schema(self.FP_SCHEMA)
-            .parquet(os.path.join(self._fp_root(), f"e-{epoch_id}"))
-            .select("id")
-            .distinct()
+        ep_fps = spark.read.schema(self.FP_SCHEMA).parquet(
+            os.path.join(self._fp_root(), f"e-{epoch_id}")
         )
-        sizes = all_fps.groupBy("id").agg(F.count(F.lit(1)).alias("nfp"))
+        # (id, nfp) is fixed at arrival — persist it with the epoch so
+        # later epochs union-read instead of re-aggregating the index
+        _write_epoch(
+            ep_fps.groupBy("id").agg(F.count(F.lit(1)).alias("nfp")),
+            self._sizes_root(),
+            epoch_id,
+        )
+        all_fps = self.fingerprints(spark)
+        new_ids = ep_fps.select("id").distinct()
+        sizes = _read_union(spark, self._sizes_root(), self.SIZES_SCHEMA)
         new_side = all_fps.join(new_ids, "id", "left_semi")
         # every (pair, hash) where the pair's LATER member is new:
         # join new-side rows against the whole index; distinct on the
@@ -221,6 +340,7 @@ class IncrementalDespanIndex:
         min_count: int = 2,
         text_col: str = "text",
         id_col: str = "doc_id",
+        compact_every: int = 0,
     ):
         if win_len < 2:
             raise ValueError("win_len must be >= 2")
@@ -229,9 +349,25 @@ class IncrementalDespanIndex:
         self.index_dir = index_dir
         self.win_len, self.min_count = win_len, min_count
         self.text_col, self.id_col = text_col, id_col
+        self.compact_every = compact_every
 
     def _root(self, kind: str) -> str:
         return os.path.join(self.index_dir, kind)
+
+    def compact(self, spark: SparkSession) -> bool:
+        """Fold live epoch dirs into one compacted dir per root. The
+        cnt root PRE-FOLDS partial counts (groupBy h, sum n) during
+        the rewrite, so the per-epoch _totals fold input stays bounded
+        by compact_every partials instead of growing with epochs."""
+        a = _compact_root(spark, self._root("wins"), self.WIN_SCHEMA)
+        b = _compact_root(
+            spark,
+            self._root("cnt"),
+            self.CNT_SCHEMA,
+            agg=lambda df: df.groupBy("h").agg(F.sum("n").alias("n")),
+        )
+        c = _compact_root(spark, self._root("docs"), self.DOC_SCHEMA)
+        return a or b or c
 
     def _window_hashes(self, docs: DataFrame) -> DataFrame:
         """(id, pos, h) — the same per-char md5 windows the batch
@@ -314,6 +450,10 @@ class IncrementalDespanIndex:
         """Index the epoch's docs; return the epoch's UPSERTS
         (id, clean_text, n_removed)."""
         spark = batch_df.sparkSession
+        if self.compact_every and len(_epoch_dirs(self._root("cnt"))) >= (
+            self.compact_every + 1
+        ):
+            self.compact(spark)
         docs_new = batch_df.select(
             F.col(self.id_col).cast(T.LongType()).alias("id"),
             F.col(self.text_col).alias("text"),
