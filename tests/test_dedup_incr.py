@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from walex_spark.extensions import dedup as dd
 from walex_spark.streaming.dedup_incr import (
     IncrementalDespanIndex,
+    IncrementalPrefixJaccardIndex,
     IncrementalWinnowIndex,
 )
 
@@ -150,6 +151,62 @@ def test_winnow_foreachbatch_stream_e2e(spark, docs, tmp_path):
     assert _pairs_key(emitted) == _pairs_key(batch)
 
 
+def _jac_key(rows):
+    return sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in rows)
+
+
+def test_prefix_jaccard_fold_equals_batch(spark, docs, tmp_path):
+    """The fixed-order incremental twin must fold to EXACTLY the batch
+    prefix_filter_jaccard_pairs output (both equal the naive threshold
+    join — the prefix order only affects candidate generation, never
+    the accept set)."""
+    idx = IncrementalPrefixJaccardIndex(
+        str(tmp_path / "pidx"), threshold_num=1, threshold_den=2
+    )
+    emitted = []
+    for e, b in enumerate(_epochs(docs)):
+        emitted.extend(idx.process_batch(b, e).collect())
+    batch = dd.prefix_filter_jaccard_pairs(
+        docs, threshold_num=1, threshold_den=2
+    ).collect()
+    assert _jac_key(emitted) == _jac_key(batch)
+    assert emitted, "empty pair set proves nothing — corpus has near-dups"
+    # each pair emitted exactly once across epochs
+    seen = [(r.id_a, r.id_b) for r in emitted]
+    assert len(seen) == len(set(seen))
+
+
+def test_prefix_jaccard_replay_idempotent(spark, docs, tmp_path):
+    idx = IncrementalPrefixJaccardIndex(
+        str(tmp_path / "pidx"), threshold_num=1, threshold_den=2
+    )
+    e0, e1 = _epochs(docs, 2)
+    idx.process_batch(e0, 0)
+    first = _jac_key(idx.process_batch(e1, 1).collect())
+    replay = _jac_key(idx.process_batch(e1, 1).collect())
+    assert replay == first
+
+
+def test_prefix_jaccard_compaction_identical(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import _epoch_dirs
+
+    n_epochs, k = 8, 3
+    idx = IncrementalPrefixJaccardIndex(
+        str(tmp_path / "pidx"), threshold_num=1, threshold_den=2, compact_every=k
+    )
+    emitted = []
+    for e in range(n_epochs):
+        emitted.extend(
+            idx.process_batch(docs.filter(F.col("doc_id") % n_epochs == e), e).collect()
+        )
+        for kind in ("pre", "toks"):
+            assert len(_epoch_dirs(str(tmp_path / "pidx" / kind))) <= k + 1
+    batch = dd.prefix_filter_jaccard_pairs(
+        docs, threshold_num=1, threshold_den=2
+    ).collect()
+    assert _jac_key(emitted) == _jac_key(batch)
+
+
 def _live_file_count(root):
     import glob
     import os
@@ -219,6 +276,55 @@ def test_despan_compaction_bounded_and_identical(spark, docs, tmp_path):
         for r in dd.remove_duplicate_spans(docs, win_len=40, min_count=2).collect()
     }
     assert folded == batch
+
+
+def test_prefix_jaccard_foreachbatch_stream_e2e(spark, docs, tmp_path):
+    """Real Structured Streaming wiring for the prefix-Jaccard twin,
+    mirroring the winnow e2e: 3 parquet drops -> maxFilesPerTrigger=1
+    -> writeStream.foreachBatch(idx.process_batch); folded emissions
+    equal the batch operator."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e, b in enumerate(_epochs(docs)):
+        staged = str(tmp_path / f"stage{e}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{e}.parquet")
+
+    idx = IncrementalPrefixJaccardIndex(
+        str(tmp_path / "pidx"), threshold_num=1, threshold_den=2
+    )
+    out_root = str(tmp_path / "out")
+
+    def sink(batch_df, epoch_id):
+        idx.process_batch(batch_df, epoch_id).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/e-{epoch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.read.parquet(f"{out_root}/e-*").collect()
+    batch = dd.prefix_filter_jaccard_pairs(
+        docs, threshold_num=1, threshold_den=2
+    ).collect()
+    assert _jac_key(emitted) == _jac_key(batch)
 
 
 def test_despan_replay_idempotent(spark, docs, tmp_path):

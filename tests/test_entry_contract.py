@@ -55,27 +55,20 @@ def test_oracle_runs_in_driver_duckdb(driver_duck, name):
 
 
 def test_driver_window_rotation():
-    """r07 window pin: the driver's hard gate reads only the first 50
-    queries() entries. This round the window leads with the 7 queries
-    that had NO driver CORRECTNESS row in any round (rotated out by
-    mistake in r06 — the rotation rule itself is now enforced by
-    tests/test_driver_window.py), then the two new incremental dedup
-    twins, then the 40 stalest repeat witnesses (last hard row r04).
-    The ordering must apply ONLY at the __spark_entry__ surface — the
-    registry itself keeps natural declaration order for bench/profiler
-    consumers."""
+    """r08 window pin: the driver's hard gate reads only the first 50
+    queries() entries. This round the window leads with the two
+    zero-HARD-history queries — q_multimodal_features (gained its
+    byte-stripe oracle this round; its prior rows were no_oracle) and
+    the new q_doc_prefix_incr — then the 48 stalest repeat witnesses
+    (last hard row r05). The ordering must apply ONLY at the
+    __spark_entry__ surface — the registry itself keeps natural
+    declaration order for bench/profiler consumers."""
     from walex_spark.queries import DRIVER_ORDER, QUERIES
 
     window = list(entrymod.queries())[:50]
     assert window[: len(DRIVER_ORDER)] == DRIVER_ORDER
-    # the 7 never-witnessed queries head the window, non-negotiable
-    assert window[:7] == [
-        "q_window_distinct", "q_unpivot_lineitem", "q_array_funcs",
-        "q_json_funcs", "q_stats_covariance", "q_events_histogram",
-        "q_doc_weighted_sample",
-    ]
-    # the r07-new incremental twins are windowed (zero history)
-    assert "q_doc_winnow_incr" in window and "q_doc_despan_incr" in window
+    # zero-hard-history queries head the window, non-negotiable
+    assert window[:2] == ["q_multimodal_features", "q_doc_prefix_incr"]
     # registry keeps natural declaration order (no import-time mutation)
     assert list(QUERIES)[:2] == ["q01_pricing_summary", "q02_top_revenue_orders"]
     # oracle ordering mirrors query ordering for the shared keys

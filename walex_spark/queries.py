@@ -2465,11 +2465,35 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
-@_register("q_multimodal_features")  # no SQL oracle: mapInPandas feature stub
+@_register(
+    "q_multimodal_features",
+    """
+    WITH b AS (SELECT doc_id AS media_id, text, encode(text) AS p FROM documents),
+    hx AS (SELECT media_id, text, hex(p) AS h, octet_length(p) AS n FROM b),
+    bytes AS (SELECT media_id, h,
+                     unnest(generate_series(0, CAST(n AS INT) - 1)) AS j
+              FROM hx),
+    per AS (SELECT media_id, j % 8 AS stripe,
+                   SUM(('0x' || substr(h, 2*j + 1, 2))::BIGINT) AS s
+            FROM bytes GROUP BY media_id, stripe)
+    SELECT hx.media_id, CAST(hx.n AS BIGINT) AS n_bytes, sha256(hx.text) AS sha,
+           COALESCE(CAST((f0.s % 997) / 997.0 AS REAL), CAST(0.0 AS REAL)) AS f0,
+           COALESCE(CAST((f7.s % 997) / 997.0 AS REAL), CAST(0.0 AS REAL)) AS f7
+    FROM hx LEFT JOIN per f0 ON hx.media_id = f0.media_id AND f0.stripe = 0
+            LEFT JOIN per f7 ON hx.media_id = f7.media_id AND f7.stripe = 7
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (decode kernel stubbed — no codec libs in the container; the
-    batch/partition plumbing is the real thing being exercised)."""
+    batch/partition plumbing is the real thing being exercised).
+
+    The stub kernel (multimodal.py::_fake_feature) is deterministic —
+    byte-stripe sums mod 997 — so it IS oracle-checkable: DuckDB
+    recomputes each stripe sum from hex(payload) two chars at a time
+    (formerly the registry's one rows-only entry). Both engines emit
+    the float32 the array<float> column stores; the oracle casts its
+    float64 through REAL so the doubles widen identically."""
     from walex_spark.extensions.multimodal import documents_as_media, extract_features
 
     media = documents_as_media(_t(spark, sf_dir, "documents"))
@@ -2478,8 +2502,8 @@ def q_multimodal_features(spark, sf_dir):
         "media_id",
         "n_bytes",
         "sha",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", 8), 6).alias("f7"),
+        F.element_at("feature", 1).alias("f0"),
+        F.element_at("feature", 8).alias("f7"),
     )
 
 
@@ -6266,6 +6290,34 @@ def q_doc_despan_incr(spark, sf_dir):
     )
 
 
+@_register("q_doc_prefix_incr", _PREFIX_JACCARD_ORACLE)
+def q_doc_prefix_incr(spark, sf_dir):
+    """INCREMENTAL prefix-filtered Jaccard (streaming/dedup_incr.py::
+    IncrementalPrefixJaccardIndex — the foreachBatch twin of
+    q_doc_prefix_jaccard, closing the last batch-only near-dup
+    family): 3 micro-batches (doc_id mod 3); each epoch indexes its
+    docs' prefix tokens under a FIXED (xxhash64, token) order — the
+    All-Pairs lemma is order-agnostic, so losslessness survives the
+    corpus-global rarest-first order being unavailable incrementally —
+    and emits every >= 1/2 pair whose later member just arrived. The
+    UNION of emissions is returned; same oracle as the batch query
+    (the naive threshold join)."""
+    from walex_spark.streaming.dedup_incr import IncrementalPrefixJaccardIndex
+
+    root = _scratch_dir("prefix_incr_")
+    docs = _t(spark, sf_dir, "documents")
+    idx = IncrementalPrefixJaccardIndex(
+        f"{root}/idx", threshold_num=1, threshold_den=2
+    )
+    outs = []
+    for e in range(3):
+        out = idx.process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+        path = f"{root}/out-{e}"
+        out.write.mode("overwrite").parquet(path)
+        outs.append(path)
+    return spark.read.parquet(*outs)
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -6299,7 +6351,44 @@ def q_doc_despan_incr(spark, sf_dir):
 # zero-history queries outrank every repeat witness, however stable
 # their local gate looks. Local-green is self-administered; only the
 # driver row is a hard signal.
+#   r08:     (this round) the two zero-HARD-history queries —
+#            q_multimodal_features (gained its byte-stripe oracle in
+#            r08; its only prior rows were no_oracle, which the
+#            tightened test_driver_window.py no longer counts) and
+#            q_doc_prefix_incr (new) — plus 48 of the 50 stalest
+#            queries (last hard row r05). The two r05 queries giving
+#            up slots, with reasons: q01_pricing_summary (entry()
+#            smoke-runs it EVERY round and it heads bench.py — the
+#            most-exercised query in the repo) and q_scalar_funcs
+#            (pure built-in scalar projections, no repo operator
+#            code, hard-green in r02 AND r05). Both become
+#            stale-flagged by the new test_stale_witnesses_are_in_window
+#            once r09's files land, so they head the r09 window.
 DRIVER_ORDER = [
+    # (a) zero-hard-history queries (rule below), head of the window:
+    "q_multimodal_features", "q_doc_prefix_incr",
+    # (b) the 48 stalest queries — last hard driver row r05, three
+    # rounds of code drift (incl. this round's incremental-dedup and
+    # oracle changes) since their last witness:
+    "q02_top_revenue_orders", "q03_shipping_priority", "q04_order_priority",
+    "q05_region_volume", "q06_forecast_revenue", "q07_nation_volume",
+    "q08_market_share", "q09_profit_by_nation", "q10_returned_items",
+    "q11_important_parts", "q12_ship_priority_lag", "q13_order_distribution",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_part_stock_suppliers", "q21_sole_late_supplier", "q22_idle_customers",
+    "q_anti_join", "q_case_having", "q_cdc_apply_deltas",
+    "q_cdc_asof_state", "q_cdc_pgoutput_decode", "q_cdc_scd2",
+    "q_cdc_sessionize", "q_cdc_time_travel", "q_cube_orders",
+    "q_date_funcs", "q_distinct_agg", "q_doc_cluster_survivors",
+    "q_doc_dup_clusters", "q_doc_normalize", "q_emb_ann_ivf",
+    "q_emb_ann_ivf_trained", "q_emb_semantic_dedup", "q_grouping_sets",
+    "q_multimodal_meta", "q_pivot_status_priority", "q_profile_orders",
+    "q_rollup_lineitem", "q_semi_join", "q_set_ops",
+    "q_window_lag_lead", "q_window_running_total", "q_window_topn_per_group",
+]
+
+_DRIVER_ORDER_R07 = [
     # (a) zero-driver-history queries — never in any round's window;
     # entered the registry in r05's second session, swapped out in
     # r06 by mistake. Head of the window, non-negotiable.

@@ -314,6 +314,208 @@ class IncrementalWinnowIndex:
         )
 
 
+class IncrementalPrefixJaccardIndex:
+    """Prefix-filtered exact-Jaccard index + per-epoch new-pair
+    emission — the streaming twin of
+    extensions/dedup.py::prefix_filter_jaccard_pairs (the last
+    batch-only near-dup family after winnow/despan got their twins).
+
+    DESIGN DIFFERENCE FROM THE BATCH OPERATOR, same reasoning as the
+    winnow twin's max_doc_freq refusal: the batch prefix order is
+    rarest-first by GLOBAL document frequency — a corpus-global
+    property that changes as epochs arrive, and re-ordering would
+    retroactively invalidate every indexed prefix. The All-Pairs
+    pigeonhole lemma, however, is order-agnostic: candidate generation
+    through the first  p = s - ceil(t*s) + 1  tokens is LOSSLESS under
+    ANY total order shared by all docs. The twin therefore fixes the
+    order to (xxhash64(token), token) — epoch-independent, uniform
+    (so no systematic hot-token prefixes), identical for every doc
+    forever. df-rarest-first remains the better PERFORMANCE choice
+    where the corpus is static; the fixed order trades some candidate
+    selectivity for incremental correctness. Both of ppjoin's lossless
+    filters (size + positional) remain valid — they only assume the
+    shared order.
+
+    Emission contract: documents are immutable, token sets and
+    prefixes are fixed at arrival, so J(A,B) and the pair's candidacy
+    never change after both members arrived — each epoch emits exactly
+    the >= threshold pairs whose LATER member arrived in it, and the
+    UNION of emissions equals prefix_filter_jaccard_pairs over the
+    full corpus (which itself equals the naive threshold join — the
+    shared SQL oracle). Append-only, no retractions.
+    """
+
+    PRE_SCHEMA = "id BIGINT, sz INT, pos INT, token STRING"
+    TOK_SCHEMA = "id BIGINT, sz INT, toks ARRAY<STRING>"
+
+    def __init__(
+        self,
+        index_dir: str,
+        threshold_num: int = 1,
+        threshold_den: int = 2,
+        shingle_n: int | None = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        compact_every: int = 0,
+    ):
+        if not (0 < threshold_num <= threshold_den):
+            raise ValueError("threshold must satisfy 0 < num/den <= 1")
+        self.index_dir = index_dir
+        self.tn, self.td = threshold_num, threshold_den
+        self.shingle_n = shingle_n
+        self.text_col, self.id_col = text_col, id_col
+        self.compact_every = compact_every
+
+    def _root(self, kind: str) -> str:
+        return os.path.join(self.index_dir, kind)
+
+    def compact(self, spark: SparkSession) -> bool:
+        a = _compact_root(spark, self._root("pre"), self.PRE_SCHEMA)
+        b = _compact_root(spark, self._root("toks"), self.TOK_SCHEMA)
+        return a or b
+
+    def _per_doc(self, batch_df: DataFrame) -> DataFrame:
+        """(id, toks: array<string> in the FIXED (xxhash64, token)
+        order, sz) for the epoch's docs — the twin of
+        rarest_first_doc_tokens minus the corpus-global df."""
+        if self.shingle_n is not None:
+            toks = dd.word_shingles(
+                batch_df, self.shingle_n, self.text_col, self.id_col, dedupe=True
+            )
+        else:
+            toks = dd.tokenize_distinct(batch_df, self.text_col, self.id_col)
+        return (
+            toks.groupBy("id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.xxhash64("token").alias("o"), F.col("token"))
+                    )
+                ).alias("__sorted")
+            )
+            .select(
+                F.col("id").cast(T.LongType()).alias("id"),
+                F.size("__sorted").cast(T.IntegerType()).alias("sz"),
+                F.transform(F.col("__sorted"), lambda s: s["token"]).alias("toks"),
+            )
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        """Index the epoch's docs; return the epoch's NEW pairs
+        (id_a, id_b, jaccard) — the batch operator's row shape."""
+        spark = batch_df.sparkSession
+        if self.compact_every and len(_epoch_dirs(self._root("pre"))) >= (
+            self.compact_every + 1
+        ):
+            self.compact(spark)
+        per_doc = self._per_doc(batch_df)
+        p = F.col("sz") - F.expr(
+            f"(sz * {self.tn} + {self.td - 1}) div {self.td}"
+        ) + F.lit(1)
+        pre_new = per_doc.select(
+            "id",
+            "sz",
+            F.posexplode(F.slice(F.col("toks"), F.lit(1), p)).alias("pos", "token"),
+        ).select("id", "sz", F.col("pos").cast(T.IntegerType()).alias("pos"), "token")
+        _write_epoch(per_doc.select("id", "sz", "toks"), self._root("toks"), epoch_id)
+        _write_epoch(pre_new, self._root("pre"), epoch_id)
+        # replay-exact: the epoch's own rows come back from the index
+        ep_pre = spark.read.schema(self.PRE_SCHEMA).parquet(
+            os.path.join(self._root("pre"), f"e-{epoch_id}")
+        )
+        all_pre = _read_union(spark, self._root("pre"), self.PRE_SCHEMA)
+        all_toks = _read_union(spark, self._root("toks"), self.TOK_SCHEMA)
+        n, d = F.lit(self.tn), F.lit(self.td)
+        matched = (
+            ep_pre.select(
+                F.col("id").alias("id_n"),
+                F.col("sz").alias("sz_n"),
+                F.col("pos").alias("pn"),
+                "token",
+            )
+            .join(
+                all_pre.select(
+                    F.col("id").alias("id_o"),
+                    F.col("sz").alias("sz_o"),
+                    F.col("pos").alias("po"),
+                    "token",
+                ),
+                "token",
+            )
+            .filter(F.col("id_n") != F.col("id_o"))
+            # All-Pairs size filter (order-free)
+            .filter(
+                (n * F.col("sz_n") <= d * F.col("sz_o"))
+                & (n * F.col("sz_o") <= d * F.col("sz_n"))
+            )
+        )
+        # normalize the pair; a new-new pair meets in both orientations
+        # and collapses in the groupBy below
+        flip = F.col("id_n") < F.col("id_o")
+        cand = (
+            matched.select(
+                F.when(flip, F.col("id_n")).otherwise(F.col("id_o")).alias("id_a"),
+                F.when(flip, F.col("id_o")).otherwise(F.col("id_n")).alias("id_b"),
+                F.when(flip, F.col("sz_n")).otherwise(F.col("sz_o")).alias("sz_a"),
+                F.when(flip, F.col("sz_o")).otherwise(F.col("sz_n")).alias("sz_b"),
+                F.when(flip, F.col("pn")).otherwise(F.col("po")).alias("pa"),
+                F.when(flip, F.col("po")).otherwise(F.col("pn")).alias("pb"),
+            )
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.min("pa").alias("ia"), F.min("pb").alias("jb"))
+            # ppjoin positional filter — valid under any shared order
+            .filter(
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("sz_a") - F.col("ia") - 1,
+                        F.col("sz_b") - F.col("jb") - 1,
+                    )
+                )
+                * (n + d)
+                >= n * (F.col("sz_a") + F.col("sz_b"))
+            )
+            .select("id_a", "id_b")
+        )
+        joined = (
+            cand.join(
+                all_toks.select(
+                    F.col("id").alias("id_a"),
+                    F.col("toks").alias("toks_a"),
+                    F.col("sz").alias("sz_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                all_toks.select(
+                    F.col("id").alias("id_b"),
+                    F.col("toks").alias("toks_b"),
+                    F.col("sz").alias("sz_b"),
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "inter",
+                F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))),
+            )
+        )
+        return (
+            joined.filter(
+                F.col("inter") * d >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")) * n
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("inter").cast(T.DoubleType())
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+                        T.DoubleType()
+                    )
+                ).alias("jaccard"),
+            )
+        )
+
+
 class IncrementalDespanIndex:
     """ExactSubstr removal index + per-epoch upsert emission.
 
