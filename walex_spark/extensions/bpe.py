@@ -9,7 +9,8 @@ decomposes per iteration into:
      (zip_with over two shifted slices: no explode-then-window, no
      per-round by-word shuffle — r08 replaced the posexplode +
      Window.partitionBy(seq) form, whose window shuffle keyed on the
-     whole symbol ARRAY, with this; measured 2.4x per round), then
+     whole symbol ARRAY, with this; measured ~2x per round at sf0.1,
+     set-equal output), then
      explode the pair array and sum weighted by word frequency
      (map-side combined; the one shuffle per round runs over the
      DISTINCT-word pair table, not the corpus);

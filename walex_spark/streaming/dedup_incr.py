@@ -327,14 +327,21 @@ class IncrementalPrefixJaccardIndex:
     retroactively invalidate every indexed prefix. The All-Pairs
     pigeonhole lemma, however, is order-agnostic: candidate generation
     through the first  p = s - ceil(t*s) + 1  tokens is LOSSLESS under
-    ANY total order shared by all docs. The twin therefore fixes the
-    order to (xxhash64(token), token) — epoch-independent, uniform
-    (so no systematic hot-token prefixes), identical for every doc
-    forever. df-rarest-first remains the better PERFORMANCE choice
-    where the corpus is static; the fixed order trades some candidate
-    selectivity for incremental correctness. Both of ppjoin's lossless
-    filters (size + positional) remain valid — they only assume the
-    shared order.
+    ANY total order shared by all docs. The twin therefore FREEZES a
+    rarest-first order from the FIRST processed epoch's document
+    frequencies — (df_epoch0, token), unseen tokens df=0 so genuinely
+    novel vocabulary sorts rarest — written once to the ``order`` root
+    and joined in for every later epoch's docs. Token frequency
+    distributions are roughly stationary, so the frozen order keeps
+    corpus-hot tokens OUT of prefixes almost as well as the live
+    global order — measured at sf0.1 (pre-filter candidate rows,
+    one-third-epoch freeze): live-global 329k, frozen-epoch-0 353k
+    (+7%), pure (xxhash64, token) 461k (+40%; and a hash order's
+    excess grows quadratically in each hot token's df as the corpus
+    grows, where the frozen order's gap only tracks df drift). Both
+    of ppjoin's lossless filters (size + positional) remain valid —
+    they only assume the shared order, and correctness NEVER depends
+    on the order being df-accurate.
 
     Emission contract: documents are immutable, token sets and
     prefixes are fixed at arrival, so J(A,B) and the pair's candidacy
@@ -347,6 +354,7 @@ class IncrementalPrefixJaccardIndex:
 
     PRE_SCHEMA = "id BIGINT, sz INT, pos INT, token STRING"
     TOK_SCHEMA = "id BIGINT, sz INT, toks ARRAY<STRING>"
+    ORDER_SCHEMA = "token STRING, df BIGINT"
 
     def __init__(
         self,
@@ -374,23 +382,44 @@ class IncrementalPrefixJaccardIndex:
         b = _compact_root(spark, self._root("toks"), self.TOK_SCHEMA)
         return a or b
 
-    def _per_doc(self, batch_df: DataFrame) -> DataFrame:
-        """(id, toks: array<string> in the FIXED (xxhash64, token)
-        order, sz) for the epoch's docs — the twin of
-        rarest_first_doc_tokens minus the corpus-global df."""
+    def _tokens(self, batch_df: DataFrame) -> DataFrame:
         if self.shingle_n is not None:
-            toks = dd.word_shingles(
+            return dd.word_shingles(
                 batch_df, self.shingle_n, self.text_col, self.id_col, dedupe=True
             )
-        else:
-            toks = dd.tokenize_distinct(batch_df, self.text_col, self.id_col)
+        return dd.tokenize_distinct(batch_df, self.text_col, self.id_col)
+
+    def _frozen_order(
+        self, spark: SparkSession, toks: DataFrame, epoch_id: int
+    ) -> DataFrame:
+        """The index's permanent (token, df) order table. Written ONCE
+        from the first processed epoch's dfs (idempotent under replay:
+        recomputing from the same batch rewrites the same rows); every
+        later epoch only reads. Metadata-shaped: one row per epoch-0
+        vocabulary entry."""
+        root = self._root("order")
+        if not _epoch_dirs(root):
+            _write_epoch(
+                toks.groupBy("token").agg(
+                    F.count(F.lit(1)).cast(T.LongType()).alias("df")
+                ),
+                root,
+                epoch_id,
+            )
+        return _read_union(spark, root, self.ORDER_SCHEMA)
+
+    def _per_doc(self, toks: DataFrame, order: DataFrame) -> DataFrame:
+        """(id, toks: array<string> in the FROZEN rarest-first order,
+        sz) for the epoch's docs — the twin of
+        rarest_first_doc_tokens with df frozen at the first epoch
+        (unseen tokens df=0: novel vocabulary sorts rarest)."""
         return (
-            toks.groupBy("id")
+            toks.join(order, "token", "left")
+            .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+            .groupBy("id")
             .agg(
                 F.array_sort(
-                    F.collect_list(
-                        F.struct(F.xxhash64("token").alias("o"), F.col("token"))
-                    )
+                    F.collect_list(F.struct(F.col("df"), F.col("token")))
                 ).alias("__sorted")
             )
             .select(
@@ -408,7 +437,13 @@ class IncrementalPrefixJaccardIndex:
             self.compact_every + 1
         ):
             self.compact(spark)
-        per_doc = self._per_doc(batch_df)
+        # toks feeds the epoch-0 order write AND per_doc; per_doc feeds
+        # the toks-root and pre-root writes — checkpoint both or the
+        # shingle pipeline recomputes per consumer (the batch
+        # operator's own discipline, dedup.py:1073)
+        toks = self._tokens(batch_df).localCheckpoint(eager=False)
+        order = self._frozen_order(spark, toks, epoch_id)
+        per_doc = self._per_doc(toks, order).localCheckpoint(eager=False)
         p = F.col("sz") - F.expr(
             f"(sz * {self.tn} + {self.td - 1}) div {self.td}"
         ) + F.lit(1)
