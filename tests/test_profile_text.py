@@ -56,3 +56,34 @@ def test_profile_approx_path_is_close(profiled):
     # point is the default path plans no Expand (see test_plans)
     assert rows["k"].n_distinct == 2
     assert rows["k"].n_nulls == 1
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from walex_spark.extensions.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # trigrams: "a b c", "b c d" — both first here
+            (2, "a b c d"),       # same trigrams, first seen in doc 1
+            (3, "a b c x y z"),   # "a b c" old; "b c x","c x y","x y z" new
+            (4, "t u"),           # < 3 tokens: no trigrams, drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_distinct_ngrams == 2 and out[1].n_novel == 2
+    assert out[1].novelty_ratio == 1.0
+    assert out[2].n_novel == 0 and out[2].novelty_ratio == 0.0
+    assert out[3].n_distinct_ngrams == 4 and out[3].n_novel == 3
+    assert out[3].novelty_ratio == 0.75
+
+
+def test_ngram_novelty_counts_distinct_grams_once(spark):
+    from walex_spark.extensions.text import ngram_novelty
+
+    # "a b a b a" has trigrams "a b a", "b a b", "a b a" — the repeat
+    # counts once in the DISTINCT per-doc set
+    df = spark.createDataFrame([(7, "a b a b a")], "doc_id long, text string")
+    row = ngram_novelty(df, n=3).collect()[0]
+    assert row.n_distinct_ngrams == 2 and row.n_novel == 2

@@ -180,3 +180,66 @@ def test_weighted_bernoulli_empty_input_returns_empty(spark):
     assert weighted_bernoulli_sample(empty, "w").count() == 0
     nulls = spark.createDataFrame([(1, None)], "doc_id long, w long")
     assert weighted_bernoulli_sample(nulls, "w").count() == 0
+
+
+def test_dsir_python_replica(spark):
+    """dsir_select's half-bit weights match an independent pure-Python
+    replica of the hashed-bigram importance model."""
+    import hashlib
+
+    from walex_spark.extensions.sampling import dsir_select
+
+    rows = [
+        # target docs (is_t): "spark" style
+        (1, True, "fast join fast join fast"),
+        (2, True, "fast scan fast join"),
+        # raw pool: doc 10 target-like, doc 11 alien vocabulary
+        (10, False, "fast join fast scan"),
+        (11, False, "slow walk slow walk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, is_t boolean, text string")
+    out = {
+        r.doc_id: r
+        for r in dsir_select(
+            df, target_pred=F.col("is_t"), n_buckets=64, k=10
+        ).collect()
+    }
+
+    B = 64
+
+    def bucket(w1, w2):
+        return int(hashlib.md5(f"dsir|{w1} {w2}".encode()).hexdigest()[:8], 16) % B
+
+    def hb2(x):
+        x = min(x, (1 << 31) - 1)
+        return (x * x).bit_length() - 1
+
+    ct, cr, per_doc = {}, {}, {}
+    for doc_id, is_t, text in rows:
+        toks = text.split()
+        for w1, w2 in zip(toks, toks[1:]):
+            b = bucket(w1, w2)
+            (ct if is_t else cr).__setitem__(b, (ct if is_t else cr).get(b, 0) + 1)
+            if not is_t:
+                per_doc.setdefault(doc_id, {})
+                per_doc[doc_id][b] = per_doc[doc_id].get(b, 0) + 1
+    buckets = set(ct) | set(cr)
+    s = {b: hb2(ct.get(b, 0) + 1) - hb2(cr.get(b, 0) + 1) for b in buckets}
+    k_const = hb2(sum(cr.values()) + B) - hb2(sum(ct.values()) + B)
+    for doc_id, bc in per_doc.items():
+        n = sum(bc.values())
+        w = sum(cnt * s[b] for b, cnt in bc.items()) + n * k_const
+        assert out[doc_id].weight_half_bits == w, doc_id
+        assert out[doc_id].n_bigrams == n
+    # target-like raw doc outranks the alien one
+    assert out[10].rnk < out[11].rnk
+    # target docs never appear in the output pool
+    assert set(out) == {10, 11}
+
+
+def test_dsir_validates_buckets(spark):
+    from walex_spark.extensions.sampling import dsir_select
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dsir_select(df, F.lit(True), n_buckets=1)

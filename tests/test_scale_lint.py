@@ -56,6 +56,12 @@ BNLJ_ALLOWANCE = {
     "q_emb_ann_sq8": 1,           # broadcast query side
     "q_emb_ann_recall": 2,        # brute-force truth side + zero-hit left join
     "q_emb_ann_recall_ivf": 2,    # centroid assigns + brute-force truth
+    # brute-force truth + RP-space brute-force approx query sides +
+    # recall's zero-hit left join (q_emb_ann_recall's approx side is an
+    # equi-join on the LSH bucket, hence its lower allowance)
+    "q_emb_ann_rp": 3,
+    "q_emb_hard_negatives": 1,    # broadcast anchor side (brute-force shape)
+    "q_doc_dsir": 1,              # one-row corpus-constant (k_const) broadcast
     "q_emb_near_dup": 1,          # bucketized self-join residual
     "q_emb_semantic_dedup": 2,
     "q_doc_cluster_survivors": 2,
@@ -85,6 +91,7 @@ DEFAULT_BNLJ = 0
 # metadata-sized frame (per-partition offsets, partition counts)
 GLOBAL_WINDOW_OK = {
     "q_doc_bm25",            # rank over the top-k LIMIT output
+    "q_doc_dsir",            # rank over the top-k LIMIT output
     "q_hybrid_rrf",          # rank over two fused top-k lists
     "q_doc_global_shuffle",  # offsets window over the partition frame
     "q_doc_pack_sequences",  # same offsets frame (prefix_sums)

@@ -99,3 +99,38 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[3].rnk == 1  # present in both lists wins
     assert out[3].rank_a == 3 and out[3].rank_b == 1
     assert out[1].rank_b is None and out[4].rank_a is None
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    from walex_spark.extensions.search import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c"), (3, "z")], "doc_id long, text string"
+    )
+    # corpus bigrams: doc1 (a,b),(b,a),(a,b); doc2 (b,c)
+    # c12: (a,b)=2 (b,a)=1 (b,c)=1 ; context c1: a=2, b=2
+    # doc1: hb(2//2)=0, hb(2//1)=2, hb(2//2)=0 -> total 2 over 3
+    # doc2: hb(2//1)=2 -> total 2 over 1
+    out = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    assert set(out) == {1, 2}  # single-token doc has no bigrams
+    assert out[1].n_bigrams == 3 and out[1].total_half_bits == 2
+    assert out[2].n_bigrams == 1 and out[2].total_half_bits == 2
+    assert out[1].half_bits_per_bigram == 2.0 / 3.0
+    assert out[2].half_bits_per_bigram == 2.0
+
+
+def test_bigram_vs_unigram_repetition_gap(spark):
+    """A doc of rare-but-always-adjacent tokens scores high on unigram
+    surprisal and LOW on bigram surprisal — the repetition signal."""
+    from walex_spark.extensions.search import bigram_surprisal
+
+    rows = [(1, "q w e r t y " * 10)] + [
+        # shared context "a" fans out to 28 distinct continuations:
+        # every (a, b<i>) transition is a 1-in-28 surprise
+        (i, f"a b{i}") for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    # doc 1's transitions are deterministic (q->w->e->...): near-zero
+    # conditional surprisal despite globally rare tokens
+    assert out[1].half_bits_per_bigram < out[2].half_bits_per_bigram

@@ -237,3 +237,62 @@ def test_recall_at_k_counts_hits_and_zeroes(spark):
     got = {r.query_id: (r.n_hits, r.recall)
            for r in sim.recall_at_k(truth, approx, k=2).collect()}
     assert got == {1: (1, 0.5), 2: (0, 0.0)}
+
+
+def test_rp_project_matches_python_replica(spark):
+    import hashlib
+
+    from walex_spark.extensions.similarity import rp_project
+
+    vec = [0.5, -1.25, 2.0, 0.125]
+    d_in, d_out = 4, 3
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    got = df.select(
+        rp_project(F.col("embedding"), d_in, d_out).alias("p")
+    ).first().p
+
+    for j in range(d_out):
+        acc = 0.0
+        for i in range(d_in):
+            sign = (
+                1.0
+                if int(hashlib.md5(f"rp{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+                else -1.0
+            )
+            acc = acc + sign * vec[i]  # left fold, same order as operator
+        assert got[j] == acc, j
+
+
+def test_ann_rp_preserves_obvious_neighbors(spark):
+    """JL sanity: an exact duplicate vector is its twin's top reduced-
+    space neighbor (projection of equal inputs is equal)."""
+    import random
+
+    from walex_spark.extensions.similarity import ann_rp_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)]
+    rows.append((100, list(rows[0][1])))  # exact copy of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_rp_topk(
+        df.filter(F.col("vec_id") == 0), df, dim=16, d_out=4, k=1
+    ).collect()
+    assert out[0].neighbor_id == 100 and out[0].rnk == 1
+
+
+def test_hard_negative_topk_excludes_near_dup_band(spark):
+    from walex_spark.extensions.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0]),     # anchor
+        (1, [1.0, 0.01]),    # cosine ~0.99995 — near-dup, excluded
+        (2, [1.0, 1.0]),     # cosine ~0.7071 — hardest valid negative
+        (3, [0.0, 1.0]),     # cosine 0
+        (4, [-1.0, 0.0]),    # cosine -1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = hard_negative_topk(
+        df.filter(F.col("vec_id") == 0), df, k=2, max_cos=0.9
+    ).collect()
+    got = [(r.neighbor_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
+    assert got == [(2, 1), (3, 2)]  # near-dup 1 banned, self banned

@@ -279,3 +279,127 @@ def leakage_safe_folds(
     return df.withColumn("fold", fold).withColumn(
         "split", F.when(F.col("fold") == 0, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    NeurIPS — "DSIR") re-expressed as exact integer arithmetic: rank
+    the RAW pool (rows failing ``target_pred``) by how target-like
+    their hashed-bigram distribution is, keep the top ``k``.
+
+    The paper's importance weight is log p_target(x) - log p_raw(x)
+    under bag-of-hashed-ngrams models with add-1 smoothing:
+
+        w(doc) = sum_b n_b(doc) * [log p_t(b) - log p_r(b)]
+        p_t(b) = (c_t(b)+1) / (N_t+B),  p_r(b) = (c_r(b)+1) / (N_r+B)
+
+    libm logs are engine-dependent (search.py module docstring), so
+    the weight is measured in half-bit units via the shared
+    ``half_bits`` primitive (floor(2*log2(x)) = bitlen(x*x)-1, exact
+    in any engine), applied per log term BEFORE the subtraction:
+
+        s_b   = hb2(c_t(b)+1) - hb2(c_r(b)+1)
+        K     = hb2(N_r+B)    - hb2(N_t+B)        (corpus constant)
+        w_hb  = sum_b n_b(doc)*s_b  +  n(doc)*K
+
+    (floor-per-term rather than floor-of-ratio keeps every operand
+    within int64 — c*N products would overflow the bitlen-square trick
+    at real corpus sizes; the corpus constant K shifts docs only by
+    their length, preserving the paper's normalization.) Resampling's
+    Gumbel noise is dropped in favor of the deterministic top-k —
+    selection must replay identically (module docstring rules).
+
+    Bigram features are hashed md5(salt || w1 || ' ' || w2) into
+    ``n_buckets`` buckets — the paper's fixed hashed feature space,
+    portable across engines (murmur3 is not). Raw docs with < 2
+    tokens have no features and drop out.
+
+    Returns (id_col, n_bigrams, weight_half_bits, rnk), rnk 1..k by
+    (weight desc, id).
+
+    Scale shape: ONE wide shuffle — the (doc, bucket) count aggregate
+    over the exploded bigram stream (map-side combinable; carries two
+    longs + a bool). Bucket totals re-aggregate that table (B-row
+    output), join back as a bounded broadcast (n_buckets rows by
+    construction), and the per-doc weight is a second map-side
+    combinable sum. Top-k is a global sort LIMIT (TakeOrdered), never
+    a single-partition window over the pool.
+    """
+    from walex_spark.extensions.search import half_bits
+    from walex_spark.extensions.text import _tokens
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = _tokens(F.col(text_col))
+    bg = (
+        df.select(
+            F.col(id_col),
+            target_pred.alias("is_t"),
+            toks.alias("toks"),
+        )
+        .where(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            "is_t",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+                    F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("big"),
+        )
+        .select(
+            F.col(id_col),
+            "is_t",
+            F.pmod(_hash_bucket(F.col("big"), salt + "|"), F.lit(n_buckets))
+            .alias("b"),
+        )
+    )
+    per_doc = bg.groupBy(id_col, "is_t", "b").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_doc.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~F.col("is_t"), F.col("n")).otherwise(F.lit(0))).alias("cr"),
+    )
+    scores = tot.select(
+        "b",
+        (half_bits(F.col("ct") + 1) - half_bits(F.col("cr") + 1)).alias("s"),
+        "ct",
+        "cr",
+    )
+    consts = scores.agg(
+        (
+            half_bits(F.sum("cr") + F.lit(n_buckets))
+            - half_bits(F.sum("ct") + F.lit(n_buckets))
+        ).alias("k_const")
+    )
+    ranked = (
+        per_doc.filter(~F.col("is_t"))
+        .join(F.broadcast(scores.select("b", "s")), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast(T.LongType()).alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("s")).alias("__sw"),
+        )
+        .join(F.broadcast(consts))
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            (F.col("__sw") + F.col("n_bigrams") * F.col("k_const"))
+            .cast(T.LongType())
+            .alias("weight_half_bits"),
+        )
+        .orderBy(F.col("weight_half_bits").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("weight_half_bits").desc(), F.col(id_col).asc())
+    # window runs AFTER limit k — bounded input
+    return ranked.withColumn("rnk", F.row_number().over(w).cast(T.LongType()))

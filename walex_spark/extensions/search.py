@@ -42,7 +42,7 @@ from pyspark.sql import types as T
 
 from walex_spark.extensions.text import _tokens
 
-__all__ = ["bm25_topk", "unigram_surprisal", "half_bits"]
+__all__ = ["bm25_topk", "unigram_surprisal", "bigram_surprisal", "half_bits"]
 
 
 def bm25_topk(
@@ -229,6 +229,85 @@ def unigram_surprisal(
             F.col("total_half_bits").cast(T.DoubleType())
             / F.col("n_tokens").cast(T.DoubleType())
         ).alias("half_bits_per_token"),
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram-LM conditional surprisal in half-bit units
+    — the order-2 upgrade of :func:`unigram_surprisal` (CCNet trains a
+    5-gram KenLM; a corpus-as-its-own-LM bigram model is the largest
+    order whose count tables stay join-shaped without backoff).
+
+    Model: p(w2 | w1) = c(w1,w2) / c(w1·) where c(w1·) is the number
+    of corpus bigrams whose first token is w1 (so the conditional
+    normalizes exactly — unigram token counts would not, the last
+    token of each doc never opens a bigram). Each bigram position
+    contributes ``half_bits(c(w1·) div c(w1,w2))`` ≈ 2*log2(1/p);
+    exact integer arithmetic end to end (module docstring — libm log
+    is engine-dependent, binary-string length is not).
+
+    High half-bits/bigram = locally unpredictable token transitions
+    (gibberish, shuffled boilerplate); low = templated n-gram runs the
+    unigram model cannot see (a doc of rare-but-always-adjacent tokens
+    scores HIGH on unigram and LOW here — the gap between the two is
+    the repetition signal CCNet buckets on). Docs with < 2 tokens have
+    no bigrams and drop out, same convention as the oracle.
+
+    Returns (id_col, n_bigrams, total_half_bits, half_bits_per_bigram)
+    with the average as one double division.
+
+    Scale shape: ONE exploded bigram stream feeds everything. The
+    (w1,w2) count table is a map-side-combinable shuffle on the pair
+    key; the context count c(w1·) re-aggregates that (already
+    vocab²-bounded, in practice vocab-sized) table — NOT the corpus
+    stream — so the second shuffle carries (w1, count) longs only.
+    Scoring re-joins the stream once against the context-enriched
+    pair table on (w1,w2). No text crosses any shuffle except the
+    bigram tokens themselves; no UDFs, no collects.
+    """
+    # adjacent-pair zip: slice(t, 1, n-1) x slice(t, 2, n-1) — stays
+    # inside the scan stage, no posexplode + self-join
+    base = (
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+                    F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    pair = base.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    enriched = pair.join(ctx, "w1")
+    scored = base.join(enriched, ["w1", "w2"]).select(
+        F.col(id_col),
+        half_bits(F.expr("c1 div c12")).alias("hb"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_bigrams"),
+            F.sum("hb").cast(T.LongType()).alias("total_half_bits"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "total_half_bits",
+            (
+                F.col("total_half_bits").cast(T.DoubleType())
+                / F.col("n_bigrams").cast(T.DoubleType())
+            ).alias("half_bits_per_bigram"),
+        )
     )
 
 

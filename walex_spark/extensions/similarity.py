@@ -1132,3 +1132,128 @@ def recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def rp_project(vec: Column, d_in: int, d_out: int, salt: str = "rp") -> Column:
+    """Sign-random-projection of a ``d_in`` vector down to ``d_out``
+    dims (Achlioptas 2003: a ±1 projection matrix satisfies the
+    Johnson-Lindenstrauss lemma — database-friendly, no gaussians).
+
+    Row j, component i carries weight +1/-1 from bit parity of
+    md5(salt || j:i) — reproducible in any engine, no stored model
+    (the same convention as ``hyperplane_bucket``, distinct salt).
+    The matrix ships as one constant-folded nested array literal and
+    each output component is a strict left fold over the input — the
+    oracle's left-associated `v[1]*s1 + v[2]*s2 + ...` matches
+    bit-for-bit. (Unlike ``hyperplane_bucket`` the REAL projected
+    values are kept, not just their signs: downstream ranking happens
+    in the reduced space, so this is dimensionality reduction, not
+    bucketing.) 1/sqrt(d_out) rescaling is omitted — cosine ranking
+    is scale-invariant and dropping the factor keeps every double an
+    exact ±-sum of input floats.
+    """
+    import hashlib
+
+    rows = [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+            else -1.0
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+    rows_lit = F.array(*[F.array(*[F.lit(w) for w in row]) for row in rows])
+    v = _to_double(vec)
+    return F.transform(
+        rows_lit,
+        lambda row: F.aggregate(
+            F.zip_with(row, v, lambda w, x: w * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def ann_rp_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    d_out: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k in a sign-random-projected ``d_out``-
+    dim space (JL lemma: pairwise angles are approximately preserved,
+    so reduced-space ranking tracks full-space ranking).
+
+    The scale story vs brute force: every pairwise score folds
+    ``d_out`` components instead of ``dim`` — a 4× (64→16) flop and
+    width cut on the all-pairs stage, and at 100 TB the projected
+    corpus (16 doubles) is what shuffles/caches, not the raw vectors.
+    Same contract as ``brute_force_topk`` otherwise: queries side
+    broadcast, per-query bounded window, self-matches excluded,
+    deterministic (cosine desc, id) order.
+    """
+    qp = queries.select(
+        F.col(id_col), rp_project(F.col(vec_col), dim, d_out).alias("rp")
+    )
+    cp = corpus.select(
+        F.col(id_col), rp_project(F.col(vec_col), dim, d_out).alias("rp")
+    )
+    return brute_force_topk(qp, cp, k=k, id_col=id_col, vec_col="rp")
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    max_cos: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` MOST similar corpus vectors whose cosine stays BELOW
+    ``max_cos`` — close enough to be informative negatives, below the
+    near-duplicate band that would poison the loss with false
+    negatives (the standard ANN-mining recipe behind dense-retriever
+    and embedding-model training sets).
+
+    Same contract as ``brute_force_topk`` (anchor side broadcast,
+    self-matches excluded, deterministic (cosine desc, id) order);
+    the ``cosine < max_cos`` cut is a plain filter below the per-
+    anchor window, so the excluded near-dup band never enters the
+    top-k sort. Returns (query_id, neighbor_id, cosine, rnk).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_product(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") < F.lit(float(max_cos)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

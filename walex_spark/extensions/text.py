@@ -324,3 +324,72 @@ def gopher_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             & (F.col("stop_hits") >= 2)
         ).alias("passes_gopher"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's DISTINCT
+    token n-grams whose corpus-wide first occurrence (minimum doc id)
+    is this doc — i.e. how much genuinely new n-gram content the doc
+    contributes when the corpus is consumed in id order.
+
+    The curriculum/curation signal behind "novelty sampling": docs
+    that only restate earlier n-grams (novelty → 0) are deprioritized,
+    first-sighting docs (novelty → 1) carry new content. Deterministic
+    by construction — min(doc_id) is order-free, the ratio is one IEEE
+    division of exact longs. Docs with fewer than ``n`` tokens have no
+    n-grams and drop out (oracle shares the convention).
+
+    Returns (id_col, n_distinct_ngrams, n_novel, novelty_ratio).
+
+    Scale shape: one (doc, ngram) DISTINCT shuffle over the exploded
+    stream (the only wide exchange — map-side partial dedup applies),
+    one map-side-combinable min() per ngram re-aggregating that table,
+    and a join back on the ngram key; the final per-doc sum is again
+    map-side combinable. No UDFs, no collects, nothing driver-sized.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = _tokens(F.col(text_col))
+    grams = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("toks"), (i + j).cast("int"))
+                          for j in range(n)],
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min(id_col).alias("__first"))
+    return (
+        grams.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_distinct_ngrams"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            ).cast(T.LongType()).alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            "n_distinct_ngrams",
+            "n_novel",
+            (
+                F.col("n_novel").cast(T.DoubleType())
+                / F.col("n_distinct_ngrams").cast(T.DoubleType())
+            ).alias("novelty_ratio"),
+        )
+    )

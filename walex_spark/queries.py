@@ -6319,6 +6319,247 @@ def q_doc_prefix_incr(spark, sf_dir):
 
 
 # =========================================================================
+@_register(
+    "q_doc_bigram_surprisal",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
+      WHERE len(toks) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    sc AS (
+      SELECT doc_id,
+             length(bin(LEAST(c1 // c12, 2147483647)
+                        * LEAST(c1 // c12, 2147483647))) - 1 AS hb
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(hb) AS BIGINT) AS total_half_bits,
+           CAST(CAST(SUM(hb) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS half_bits_per_bigram
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_doc_bigram_surprisal(spark, sf_dir):
+    """Bigram conditional-LM surprisal per document (extensions/
+    search.py::bigram_surprisal) — the order-2 CCNet-style quality
+    signal: p(w2|w1) from corpus bigram counts, information content in
+    exact half-bit units (length(bin(r*r))-1, engine-independent —
+    same discipline as q_doc_surprisal). The unigram-vs-bigram gap is
+    the templated-n-gram repetition signal. One bigram-pair shuffle +
+    one vocab-sized context re-aggregate + one scoring join; no text
+    beyond the bigram tokens crosses a shuffle."""
+    from walex_spark.extensions.search import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+_DSIR_HB = (
+    "(length(bin(LEAST({x}, 2147483647) * LEAST({x}, 2147483647))) - 1)"
+)
+
+
+@_register(
+    "q_doc_dsir",
+    f"""
+    WITH t AS (SELECT doc_id, lang = 'en' AS is_t, {_DUCK_TOKS} AS toks
+               FROM documents),
+    bg AS (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substr(md5('dsir|' || toks[i] || ' ' || toks[i + 1]),
+                                  1, 8)) AS BIGINT) % 1024 AS b
+      FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
+      WHERE len(toks) >= 2),
+    pd AS (SELECT doc_id, is_t, b, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+    tot AS (SELECT b,
+              SUM(CASE WHEN is_t THEN n ELSE 0 END) AS ct,
+              SUM(CASE WHEN NOT is_t THEN n ELSE 0 END) AS cr
+            FROM pd GROUP BY b),
+    sb AS (SELECT b,
+             {_DSIR_HB.format(x='ct + 1')} - {_DSIR_HB.format(x='cr + 1')} AS s
+           FROM tot),
+    kc AS (SELECT
+             {_DSIR_HB.format(x='SUM(cr) + 1024')}
+               - {_DSIR_HB.format(x='SUM(ct) + 1024')} AS k_const
+           FROM tot),
+    w AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             CAST(SUM(n * s) AS BIGINT) AS sw
+      FROM pd JOIN sb USING (b) WHERE NOT is_t GROUP BY doc_id),
+    r AS (
+      SELECT doc_id, n_bigrams,
+             CAST(sw + n_bigrams * k_const AS BIGINT) AS weight_half_bits
+      FROM w CROSS JOIN kc)
+    SELECT doc_id, n_bigrams, weight_half_bits,
+           CAST(row_number() OVER (ORDER BY weight_half_bits DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM r ORDER BY weight_half_bits DESC, doc_id LIMIT 100
+    """,
+)
+def q_doc_dsir(spark, sf_dir):
+    """DSIR data selection (extensions/sampling.py::dsir_select — Xie
+    et al. 2023): rank the non-English raw pool by target-likeness of
+    its hashed-bigram distribution vs the English target corpus, keep
+    the top 100. Importance weights in exact half-bit units
+    (hb2-per-log-term; see the operator docstring for why not
+    floor-of-ratio). One (doc, bucket) shuffle + a 1024-row broadcast
+    of bucket scores + a TakeOrdered top-k."""
+    from walex_spark.extensions.sampling import dsir_select
+
+    return dsir_select(
+        _t(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        n_buckets=1024,
+        k=100,
+    )
+
+
+# =========================================================================
+@_register(
+    "q_doc_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 2)) u(i)
+      WHERE len(toks) >= 3),
+    fst AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+    FROM g JOIN fst USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_novelty(spark, sf_dir):
+    """Trigram novelty per document (extensions/text.py::
+    ngram_novelty): share of a doc's distinct token trigrams first
+    seen (min doc_id) in that doc — the curriculum-ordering /
+    contribution signal. One distinct shuffle + one min() aggregate +
+    a join back on the gram key; exact longs + one IEEE division."""
+    from walex_spark.extensions.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+# =========================================================================
+def _rp_sql(d_out: int = 16, d_in: int = 64, salt: str = "rp") -> str:
+    """DuckDB list literal for the sign-random-projection of v —
+    left-associated term order matches similarity.py::rp_project's
+    strict left folds bit-for-bit."""
+    import hashlib
+
+    rows = []
+    for j in range(d_out):
+        terms = []
+        for i in range(d_in):
+            sign = (
+                1
+                if int(hashlib.md5(f"{salt}{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+                else -1
+            )
+            terms.append(f"v[{i + 1}] * {float(sign)}")
+        rows.append(f"({' + '.join(terms)})")
+    return "[" + ", ".join(rows) + "]"
+
+
+@_register(
+    "q_emb_ann_rp",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_rp_sql()} AS pv
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v, pv FROM b WHERE vec_id < 32),
+    c AS (SELECT vec_id AS neighbor_id, v, pv FROM b),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_FOLD_DOT.format(a='q.v', b='c.v')}
+                          / (sqrt({_FOLD_DOT.format(a='q.v', b='q.v')})
+                             * sqrt({_FOLD_DOT.format(a='c.v', b='c.v')}))
+                          DESC, neighbor_id) AS rnk
+        FROM q, c WHERE query_id <> neighbor_id)
+      WHERE rnk <= 10),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_FOLD_DOT.format(a='q.pv', b='c.pv')}
+                          / (sqrt({_FOLD_DOT.format(a='q.pv', b='q.pv')})
+                             * sqrt({_FOLD_DOT.format(a='c.pv', b='c.pv')}))
+                          DESC, neighbor_id) AS rnk
+        FROM q, c WHERE query_id <> neighbor_id)
+      WHERE rnk <= 10),
+    hits AS (
+      SELECT t.query_id, COUNT(*) AS n_hits
+      FROM truth t JOIN approx a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id)
+    SELECT q2.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall
+    FROM (SELECT DISTINCT query_id FROM truth) q2
+    LEFT JOIN hits h ON h.query_id = q2.query_id
+    """,
+)
+def q_emb_ann_rp(spark, sf_dir):
+    """Random-projection ANN eval (similarity.py::rp_project +
+    ann_rp_topk — Achlioptas ±1 JL projection, 64→16 dims): recall@10
+    of reduced-space cosine ranking against exact brute force. The
+    100 TB story is the 4× width cut: the projected corpus is what
+    shuffles and caches, never the raw vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 32)
+    truth = sim.brute_force_topk(q, emb, k=10)
+    approx = sim.ann_rp_topk(q, emb, dim=64, d_out=16, k=10)
+    return sim.recall_at_k(truth, approx, k=10)
+
+
+# =========================================================================
+@_register(
+    "q_emb_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_FOLD_DOT.format(a='q.v', b='c.v')}
+               / (sqrt({_FOLD_DOT.format(a='q.v', b='q.v')})
+                  * sqrt({_FOLD_DOT.format(a='c.v', b='c.v')})) AS cosine
+      FROM q, c WHERE query_id <> neighbor_id),
+    neg AS (SELECT * FROM scored WHERE cosine < 0.35)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM neg)
+    WHERE rnk <= 5
+    """,
+)
+def q_emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (similarity.py::
+    hard_negative_topk): per anchor, the 5 most-similar vectors BELOW
+    the cosine-0.35 near-duplicate band — informative negatives
+    without false-negative poisoning. Anchor side broadcast; the band
+    cut is a filter below the per-anchor bounded window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.hard_negative_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, max_cos=0.35
+    )
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -6365,11 +6606,24 @@ def q_doc_prefix_incr(spark, sf_dir):
 #            stale-flagged by the new test_stale_witnesses_are_in_window
 #            once r09's files land, so they head the r09 window.
 DRIVER_ORDER = [
-    # (a) zero-hard-history queries (rule below), head of the window:
+    # (a) zero-hard-history queries (rule below), head of the window —
+    # the five mid-r08 additions (bigram-LM surprisal, DSIR selection,
+    # trigram novelty, JL random-projection ANN, hard-negative mining)
+    # plus the two r08-start entries:
+    "q_doc_bigram_surprisal", "q_doc_dsir", "q_doc_novelty",
+    "q_emb_ann_rp", "q_emb_hard_negatives",
     "q_multimodal_features", "q_doc_prefix_incr",
-    # (b) the 48 stalest queries — last hard driver row r05, three
-    # rounds of code drift (incl. this round's incremental-dedup and
-    # oracle changes) since their last witness:
+    # (b) 43 of the 48 stalest queries — last hard driver row r05,
+    # three rounds of code drift (incl. this round's incremental-dedup
+    # and oracle changes) since their last witness. Five r05 queries
+    # gave up their slots to the new zero-history entries (the rule
+    # below ranks zero-history above every repeat witness); the five
+    # evictees, with reasons, all pure built-in Catalyst compositions
+    # with no repo operator code, hard-green in r02 AND r05, and the
+    # same rationale as r08's q_scalar_funcs eviction: q_date_funcs,
+    # q_case_having, q_distinct_agg, q_semi_join, q_set_ops. All five
+    # become stale-flagged when r09's files land, so they head the
+    # r09 window.
     "q02_top_revenue_orders", "q03_shipping_priority", "q04_order_priority",
     "q05_region_volume", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_profit_by_nation", "q10_returned_items",
@@ -6377,14 +6631,14 @@ DRIVER_ORDER = [
     "q14_promo_share", "q15_top_supplier", "q16_supplier_counts",
     "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
     "q20_part_stock_suppliers", "q21_sole_late_supplier", "q22_idle_customers",
-    "q_anti_join", "q_case_having", "q_cdc_apply_deltas",
+    "q_anti_join", "q_cdc_apply_deltas",
     "q_cdc_asof_state", "q_cdc_pgoutput_decode", "q_cdc_scd2",
     "q_cdc_sessionize", "q_cdc_time_travel", "q_cube_orders",
-    "q_date_funcs", "q_distinct_agg", "q_doc_cluster_survivors",
+    "q_doc_cluster_survivors",
     "q_doc_dup_clusters", "q_doc_normalize", "q_emb_ann_ivf",
     "q_emb_ann_ivf_trained", "q_emb_semantic_dedup", "q_grouping_sets",
     "q_multimodal_meta", "q_pivot_status_priority", "q_profile_orders",
-    "q_rollup_lineitem", "q_semi_join", "q_set_ops",
+    "q_rollup_lineitem",
     "q_window_lag_lead", "q_window_running_total", "q_window_topn_per_group",
 ]
 
