@@ -70,9 +70,10 @@ def test_driver_window_rotation():
     window = list(entrymod.queries())[:50]
     assert window[: len(DRIVER_ORDER)] == DRIVER_ORDER
     # zero-hard-history queries head the window, non-negotiable
-    assert window[:7] == [
+    assert window[:9] == [
         "q_doc_bigram_surprisal", "q_doc_dsir", "q_doc_novelty",
         "q_emb_ann_rp", "q_emb_hard_negatives",
+        "q_approx_quantiles", "q_cdc_sessionize_incr",
         "q_multimodal_features", "q_doc_prefix_incr",
     ]
     # registry keeps natural declaration order (no import-time mutation)

@@ -6560,6 +6560,126 @@ def q_emb_hard_negatives(spark, sf_dir):
 
 
 # =========================================================================
+@_register(
+    "q_approx_quantiles",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           TRUE AS within_p50,
+           TRUE AS within_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_approx_quantiles(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna-style rank sketch) with a
+    rank-error bounds VERDICT — the percentile strategy at 100 TB
+    (fixed per-group sketch state vs q_quantiles' full per-group
+    sort). The raw sketch value is engine-specific, so — exactly like
+    q_approx_distinct's HLL row — the hash-checked surface is the
+    verdict: the approx value's exact rank interval [cnt_lt+1,
+    cnt_le] must intersect the target rank q*n within 3*(n/accuracy)
+    + 3 (3x the documented 1/accuracy rank error; the +3 absorbs
+    interpolation slop at tiny n). The oracle asserts TRUE per group,
+    so a sketch regression flips the hash gate red.
+
+    Scale shape: one map-side-combinable sketch aggregate, a <=3-row
+    broadcast of the approx values back onto the scan for the exact
+    rank counts (conditional sums, map-side combinable), no
+    data-sized shuffle beyond the two group-by exchanges."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    acc = 1000
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], acc).alias("ap"),
+    )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    per = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("ap")[0], 1).otherwise(0)
+        ).alias("lt50"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("ap")[0], 1).otherwise(0)
+        ).alias("le50"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("ap")[1], 1).otherwise(0)
+        ).alias("lt95"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("ap")[1], 1).otherwise(0)
+        ).alias("le95"),
+    )
+
+    def _within(q: float, lt: str, le: str):
+        n = F.col("n").cast(T.DoubleType())
+        slop = 3.0 * n / acc + 3.0
+        target = F.lit(q) * n
+        return (F.col(le).cast(T.DoubleType()) >= target - slop) & (
+            (F.col(lt) + 1).cast(T.DoubleType()) <= target + slop
+        )
+
+    return per.select(
+        "l_returnflag",
+        F.col("n").cast(T.LongType()).alias("n"),
+        _within(0.5, "lt50", "le50").alias("within_p50"),
+        _within(0.95, "lt95", "le95").alias("within_p95"),
+    )
+
+
+# =========================================================================
+@_register(
+    "q_cdc_sessionize_incr",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM g)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q_cdc_sessionize_incr(spark, sf_dir):
+    """INCREMENTAL sessionization (streaming/sessions_incr.py::
+    IncrementalSessionIndex — the foreachBatch twin of
+    q_cdc_sessionize): events replayed as 3 time-ordered micro-batches
+    (fixed Jan-11/Jan-21 boundaries; equal timestamps cannot straddle
+    a strict < cut), per-user open sessions persist as latest-wins
+    parquet deltas, each epoch emits only the sessions it CLOSED, and
+    the final flush emits the still-open ones. The union equals the
+    batch lag/running-sum sessionization — same oracle."""
+    from walex_spark.streaming.sessions_incr import IncrementalSessionIndex
+
+    root = _scratch_dir("sess_incr_")
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    bounds = [
+        F.lit("2024-01-11 00:00:00").cast("timestamp"),
+        F.lit("2024-01-21 00:00:00").cast("timestamp"),
+    ]
+    epochs = [
+        ev.filter(F.col("ts") < bounds[0]),
+        ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        ev.filter(F.col("ts") >= bounds[1]),
+    ]
+    idx = IncrementalSessionIndex(f"{root}/idx")
+    outs = []
+    for e, b in enumerate(epochs):
+        out = idx.process_batch(b, e)
+        path = f"{root}/out-{e}"
+        out.write.mode("overwrite").parquet(path)
+        outs.append(path)
+    flush_path = f"{root}/out-flush"
+    idx.flush(spark).write.mode("overwrite").parquet(flush_path)
+    outs.append(flush_path)
+    return spark.read.parquet(*outs)
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -6607,23 +6727,25 @@ def q_emb_hard_negatives(spark, sf_dir):
 #            once r09's files land, so they head the r09 window.
 DRIVER_ORDER = [
     # (a) zero-hard-history queries (rule below), head of the window —
-    # the five mid-r08 additions (bigram-LM surprisal, DSIR selection,
-    # trigram novelty, JL random-projection ANN, hard-negative mining)
+    # the seven mid-r08 additions (bigram-LM surprisal, DSIR selection,
+    # trigram novelty, JL random-projection ANN, hard-negative mining,
+    # approx-quantile bounds verdict, incremental sessionization)
     # plus the two r08-start entries:
     "q_doc_bigram_surprisal", "q_doc_dsir", "q_doc_novelty",
     "q_emb_ann_rp", "q_emb_hard_negatives",
+    "q_approx_quantiles", "q_cdc_sessionize_incr",
     "q_multimodal_features", "q_doc_prefix_incr",
-    # (b) 43 of the 48 stalest queries — last hard driver row r05,
+    # (b) 41 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
-    # and oracle changes) since their last witness. Five r05 queries
+    # and oracle changes) since their last witness. Seven r05 queries
     # gave up their slots to the new zero-history entries (the rule
-    # below ranks zero-history above every repeat witness); the five
+    # below ranks zero-history above every repeat witness); the seven
     # evictees, with reasons, all pure built-in Catalyst compositions
     # with no repo operator code, hard-green in r02 AND r05, and the
     # same rationale as r08's q_scalar_funcs eviction: q_date_funcs,
-    # q_case_having, q_distinct_agg, q_semi_join, q_set_ops. All five
-    # become stale-flagged when r09's files land, so they head the
-    # r09 window.
+    # q_case_having, q_distinct_agg, q_semi_join, q_set_ops,
+    # q_cube_orders, q_grouping_sets. All seven become stale-flagged
+    # when r09's files land, so they head the r09 window.
     "q02_top_revenue_orders", "q03_shipping_priority", "q04_order_priority",
     "q05_region_volume", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_profit_by_nation", "q10_returned_items",
@@ -6633,10 +6755,10 @@ DRIVER_ORDER = [
     "q20_part_stock_suppliers", "q21_sole_late_supplier", "q22_idle_customers",
     "q_anti_join", "q_cdc_apply_deltas",
     "q_cdc_asof_state", "q_cdc_pgoutput_decode", "q_cdc_scd2",
-    "q_cdc_sessionize", "q_cdc_time_travel", "q_cube_orders",
+    "q_cdc_sessionize", "q_cdc_time_travel",
     "q_doc_cluster_survivors",
     "q_doc_dup_clusters", "q_doc_normalize", "q_emb_ann_ivf",
-    "q_emb_ann_ivf_trained", "q_emb_semantic_dedup", "q_grouping_sets",
+    "q_emb_ann_ivf_trained", "q_emb_semantic_dedup",
     "q_multimodal_meta", "q_pivot_status_priority", "q_profile_orders",
     "q_rollup_lineitem",
     "q_window_lag_lead", "q_window_running_total", "q_window_topn_per_group",
