@@ -62,6 +62,9 @@ BNLJ_ALLOWANCE = {
     "q_emb_ann_rp": 3,
     "q_emb_hard_negatives": 1,    # broadcast anchor side (brute-force shape)
     "q_doc_dsir": 1,              # one-row corpus-constant (k_const) broadcast
+    # BM25's one-row corpus stats + the one-row contribution-list
+    # frame + the k-row ideal/got join — all LIMIT-k or one-row
+    "q_doc_ndcg": 3,
     "q_emb_near_dup": 1,          # bucketized self-join residual
     "q_emb_semantic_dedup": 2,
     "q_doc_cluster_survivors": 2,
@@ -92,6 +95,7 @@ DEFAULT_BNLJ = 0
 GLOBAL_WINDOW_OK = {
     "q_doc_bm25",            # rank over the top-k LIMIT output
     "q_doc_dsir",            # rank over the top-k LIMIT output
+    "q_doc_ndcg",            # BM25 + ideal ranks, both after LIMIT k
     "q_hybrid_rrf",          # rank over two fused top-k lists
     "q_doc_global_shuffle",  # offsets window over the partition frame
     "q_doc_pack_sequences",  # same offsets frame (prefix_sums)

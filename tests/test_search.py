@@ -134,3 +134,39 @@ def test_bigram_vs_unigram_repetition_gap(spark):
     # doc 1's transitions are deterministic (q->w->e->...): near-zero
     # conditional surprisal despite globally rare tokens
     assert out[1].half_bits_per_bigram < out[2].half_bits_per_bigram
+
+
+def test_ndcg_hand_computed(spark):
+    import math
+
+    from walex_spark.extensions.search import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rnk long"
+    )
+    rel = spark.createDataFrame(
+        [(10, 1), (11, 3), (12, 0), (13, 2)], "doc_id long, rel long"
+    )
+    out = {r.rnk: r for r in ndcg_at_k(ranked, rel, k=3).collect()}
+    w = [1.0 / math.log2(r + 1) for r in (1, 2, 3)]
+    dcg = [1.0 * w[0]]
+    dcg.append(dcg[0] + 7.0 * w[1])
+    dcg.append(dcg[1] + 0.0 * w[2])
+    # ideal over ALL corpus docs: rel 3 (doc 11), 2 (13), 1 (10)
+    idcg = [7.0 * w[0]]
+    idcg.append(idcg[0] + 3.0 * w[1])
+    idcg.append(idcg[1] + 1.0 * w[2])
+    for r in (1, 2, 3):
+        assert out[r].dcg_at == dcg[r - 1]     # bit-exact
+        assert out[r].idcg_at == idcg[r - 1]
+        assert out[r].ndcg_at == dcg[r - 1] / idcg[r - 1]
+    assert out[3].rel == 0 and out[2].rel == 3
+
+
+def test_ndcg_missing_relevance_counts_zero(spark):
+    from walex_spark.extensions.search import ndcg_at_k
+
+    ranked = spark.createDataFrame([(99, 1)], "doc_id long, rnk long")
+    rel = spark.createDataFrame([(1, 3)], "doc_id long, rel long")
+    out = ndcg_at_k(ranked, rel, k=1).collect()
+    assert out[0].rel == 0 and out[0].dcg_at == 0.0 and out[0].ndcg_at == 0.0

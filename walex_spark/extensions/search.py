@@ -367,3 +367,96 @@ def rrf_fuse(
         out = out.limit(top_k)
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return out.withColumn("rnk", F.row_number().over(w).cast(T.LongType()))
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@1..k of a ranked retrieval list against graded relevance —
+    the standard ranking-quality eval (the judge a production search
+    stack runs beside recall@k).
+
+    dcg@r   = sum_{i<=r} (2^rel_i - 1) / log2(i + 1)
+    idcg@r  = the same sum over the IDEAL ordering (all corpus docs by
+              rel desc, id asc — global ideal, truncated at k)
+    ndcg@r  = dcg@r / idcg@r
+
+    Cross-engine exactness: the 1/log2(i+1) discount weights are the
+    ONLY transcendentals, and the ranks are the fixed integers 1..k —
+    so the weights are computed ONCE in Python and embedded as double
+    literals in both the Spark plan and the SQL oracle (libm never
+    runs inside either engine). Gains are exact integers; the running
+    sums are ordered windowed folds (rank asc), which both engines
+    evaluate left-to-right — every double matches bit-for-bit.
+
+    Returns (rnk, doc_id, rel, dcg_at, idcg_at, ndcg_at), one row per
+    retrieved rank 1..k.
+
+    Scale shape: ``ranked`` is an already-top-k list (metadata-sized);
+    the ideal ordering is a TakeOrdered over the relevance frame (sort
+    LIMIT k, never a global window over unbounded input); the join is
+    k-vs-k on the rank key. The windowed running sums run over k rows.
+    """
+    import math
+
+    weights = {r: 1.0 / math.log2(r + 1) for r in range(1, k + 1)}
+    wmap = F.create_map(
+        *[x for r, wt in weights.items() for x in (F.lit(r), F.lit(wt))]
+    )
+    got = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(rank_col).cast(T.LongType()).alias("rnk"), F.col(id_col)
+    )
+    rel = relevance.select(F.col(id_col), F.col(rel_col).cast(T.LongType()))
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast(T.DoubleType())) - F.lit(1.0)
+    scored = (
+        got.join(rel, id_col, "left")
+        .withColumn(rel_col, F.coalesce(F.col(rel_col), F.lit(0)))
+        .withColumn("__c", gain * wmap[F.col("rnk")])
+    )
+    ideal = (
+        rel.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col(rel_col).desc(), F.col(id_col).asc()))
+            .cast(T.LongType()),
+        )
+        .withColumn("__ci", gain * wmap[F.col("rnk")])
+        .select("rnk", "__ci")
+    )
+    both = scored.join(ideal, "rnk")
+    # running DCG/IDCG as EXPLICIT prefix left-folds over the rank-
+    # sorted contribution lists, NOT windowed SUMs: DuckDB evaluates
+    # windowed aggregates with a segment tree (pairwise association),
+    # so even identical per-rank doubles drift ~1 ulp from rank 4 on
+    # (observed); a slice-then-fold is left-associated in both engines
+    # and the frames are LIMIT-k bounded, so the k^2/2 adds are free.
+    lists = both.agg(
+        F.array_sort(F.collect_list(F.struct("rnk", "__c"))).alias("__lc"),
+        F.array_sort(F.collect_list(F.struct("rnk", "__ci"))).alias("__lci"),
+    )
+
+    def _prefix(lst, field):
+        return F.aggregate(
+            F.slice(F.col(lst), F.lit(1), F.col("rnk").cast("int")),
+            F.lit(0.0),
+            lambda acc, x: acc + x[field],
+        )
+
+    return (
+        both.join(F.broadcast(lists))
+        .select(
+            "rnk",
+            id_col,
+            rel_col,
+            _prefix("__lc", "__c").alias("dcg_at"),
+            _prefix("__lci", "__ci").alias("idcg_at"),
+        )
+        .withColumn("ndcg_at", F.col("dcg_at") / F.col("idcg_at"))
+    )

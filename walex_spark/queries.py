@@ -6680,6 +6680,72 @@ def q_cdc_sessionize_incr(spark, sf_dir):
 
 
 # =========================================================================
+def _ndcg_oracle(k: int = 20) -> str:
+    """nDCG oracle: the 1/log2(r+1) discount weights are computed HERE
+    (the same Python floats ndcg_at_k embeds in the Spark plan) and
+    emitted as repr() literals — shortest-round-trip decimals parse to
+    the identical double in both engines, so libm's log2 never runs
+    inside either engine."""
+    import math
+
+    # exponent notation, NOT a bare decimal literal: DuckDB parses
+    # 0.386... as DECIMAL and its wide-decimal->double cast is not
+    # correctly rounded (the _dbl ruleset) — 1-ulp-off weights. An
+    # e-notation literal parses directly as DOUBLE, bit-identical to
+    # the Python float the Spark plan embeds.
+    vals = ", ".join(
+        f"({r}, {format(1.0 / math.log2(r + 1), '.17e')})"
+        for r in range(1, k + 1)
+    )
+    return f"""
+    WITH ranked AS ({_bm25_oracle(_BM25_TERMS)}),
+    w(rnk, wt) AS (VALUES {vals}),
+    relv AS (SELECT doc_id, doc_id % 4 AS rel FROM documents),
+    got AS (
+      SELECT r.rnk, r.doc_id, COALESCE(relv.rel, 0) AS rel,
+             (pow(2.0, COALESCE(relv.rel, 0)) - 1) * w.wt AS c
+      FROM ranked r LEFT JOIN relv USING (doc_id) JOIN w USING (rnk)),
+    ideal AS (
+      SELECT i.rnk, (pow(2.0, i.rel) - 1) * w.wt AS ci
+      FROM (SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk, rel
+            FROM relv) i
+      JOIN w USING (rnk) WHERE i.rnk <= {k}),
+    run AS (
+      SELECT g.rnk, g.doc_id, CAST(g.rel AS BIGINT) AS rel, g.c, i.ci
+      FROM got g JOIN ideal i USING (rnk)),
+    lst AS (SELECT list(c ORDER BY rnk) AS lc,
+                   list(ci ORDER BY rnk) AS lci FROM run)
+    -- prefix LEFT-folds, not windowed SUMs: DuckDB's windowed
+    -- aggregate is a segment tree (pairwise association) and drifts
+    -- ~1 ulp from the left-associated fold Spark's slice+aggregate
+    -- performs; list_reduce folds left-to-right in rank order
+    SELECT r.rnk, r.doc_id, r.rel,
+           list_reduce(lc[1:r.rnk], (p, q) -> p + q) AS dcg_at,
+           list_reduce(lci[1:r.rnk], (p, q) -> p + q) AS idcg_at,
+           list_reduce(lc[1:r.rnk], (p, q) -> p + q)
+             / list_reduce(lci[1:r.rnk], (p, q) -> p + q) AS ndcg_at
+    FROM run r CROSS JOIN lst
+    """
+
+
+@_register("q_doc_ndcg", _ndcg_oracle())
+def q_doc_ndcg(spark, sf_dir):
+    """nDCG@20 of the BM25 ranking against graded relevance labels
+    (extensions/search.py::ndcg_at_k) — the ranking-quality eval
+    beside recall@k. Labels are the deterministic doc_id %% 4 grades
+    (the testdata carries no editorial judgments; the OPERATOR takes
+    any relevance frame). Discount weights are Python-computed double
+    literals embedded in BOTH engines' plans; running DCG/IDCG are
+    ordered windowed folds over the LIMIT-20 frames — bit-exact."""
+    from walex_spark.extensions.search import bm25_topk, ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, _BM25_TERMS, k=20)
+    rel = docs.select("doc_id", (F.col("doc_id") % 4).alias("rel"))
+    return ndcg_at_k(ranked, rel, k=20)
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -6727,15 +6793,15 @@ def q_cdc_sessionize_incr(spark, sf_dir):
 #            once r09's files land, so they head the r09 window.
 DRIVER_ORDER = [
     # (a) zero-hard-history queries (rule below), head of the window —
-    # the seven mid-r08 additions (bigram-LM surprisal, DSIR selection,
+    # the eight mid-r08 additions (bigram-LM surprisal, DSIR selection,
     # trigram novelty, JL random-projection ANN, hard-negative mining,
-    # approx-quantile bounds verdict, incremental sessionization)
-    # plus the two r08-start entries:
+    # approx-quantile bounds verdict, incremental sessionization,
+    # nDCG ranking eval) plus the two r08-start entries:
     "q_doc_bigram_surprisal", "q_doc_dsir", "q_doc_novelty",
     "q_emb_ann_rp", "q_emb_hard_negatives",
-    "q_approx_quantiles", "q_cdc_sessionize_incr",
+    "q_approx_quantiles", "q_cdc_sessionize_incr", "q_doc_ndcg",
     "q_multimodal_features", "q_doc_prefix_incr",
-    # (b) 41 of the 48 stalest queries — last hard driver row r05,
+    # (b) 40 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
     # gave up their slots to the new zero-history entries (the rule
@@ -6744,8 +6810,9 @@ DRIVER_ORDER = [
     # with no repo operator code, hard-green in r02 AND r05, and the
     # same rationale as r08's q_scalar_funcs eviction: q_date_funcs,
     # q_case_having, q_distinct_agg, q_semi_join, q_set_ops,
-    # q_cube_orders, q_grouping_sets. All seven become stale-flagged
-    # when r09's files land, so they head the r09 window.
+    # q_cube_orders, q_grouping_sets, q_pivot_status_priority (eighth
+    # evictee, same class). All become stale-flagged when r09's files
+    # land, so they head the r09 window.
     "q02_top_revenue_orders", "q03_shipping_priority", "q04_order_priority",
     "q05_region_volume", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_profit_by_nation", "q10_returned_items",
@@ -6759,7 +6826,7 @@ DRIVER_ORDER = [
     "q_doc_cluster_survivors",
     "q_doc_dup_clusters", "q_doc_normalize", "q_emb_ann_ivf",
     "q_emb_ann_ivf_trained", "q_emb_semantic_dedup",
-    "q_multimodal_meta", "q_pivot_status_priority", "q_profile_orders",
+    "q_multimodal_meta", "q_profile_orders",
     "q_rollup_lineitem",
     "q_window_lag_lead", "q_window_running_total", "q_window_topn_per_group",
 ]
