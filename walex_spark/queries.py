@@ -6417,9 +6417,7 @@ def q_doc_dsir(spark, sf_dir):
 
 
 # =========================================================================
-@_register(
-    "q_doc_novelty",
-    f"""
+_NOVELTY_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     g AS (
       SELECT DISTINCT doc_id,
@@ -6435,8 +6433,10 @@ def q_doc_dsir(spark, sf_dir):
              / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
     FROM g JOIN fst USING (gram)
     GROUP BY doc_id
-    """,
-)
+    """
+
+
+@_register("q_doc_novelty", _NOVELTY_ORACLE)
 def q_doc_novelty(spark, sf_dir):
     """Trigram novelty per document (extensions/text.py::
     ngram_novelty): share of a doc's distinct token trigrams first
@@ -6746,6 +6746,37 @@ def q_doc_ndcg(spark, sf_dir):
 
 
 # =========================================================================
+@_register("q_doc_novelty_incr", _NOVELTY_ORACLE)
+def q_doc_novelty_incr(spark, sf_dir):
+    """INCREMENTAL trigram novelty (streaming/novelty_incr.py::
+    IncrementalNoveltyIndex — the foreachBatch twin of q_doc_novelty):
+    documents replayed as 3 id-ascending micro-batches (novelty is a
+    corpus-PREFIX property, so a doc's row is final at its epoch —
+    append-only emissions, no retractions); the ever-seen gram index
+    persists as disjoint per-epoch deltas. The union of emissions
+    equals the batch operator — same oracle."""
+    from walex_spark.streaming.novelty_incr import IncrementalNoveltyIndex
+
+    root = _scratch_dir("novelty_incr_")
+    docs = _t(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0  # metadata-sized
+    b1, b2 = hi // 3, 2 * hi // 3
+    epochs = [
+        docs.filter(F.col("doc_id") < b1),
+        docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
+        docs.filter(F.col("doc_id") >= b2),
+    ]
+    idx = IncrementalNoveltyIndex(f"{root}/idx", n=3)
+    outs = []
+    for e, b in enumerate(epochs):
+        out = idx.process_batch(b, e)
+        path = f"{root}/out-{e}"
+        out.write.mode("overwrite").parquet(path)
+        outs.append(path)
+    return spark.read.parquet(*outs)
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -6800,8 +6831,9 @@ DRIVER_ORDER = [
     "q_doc_bigram_surprisal", "q_doc_dsir", "q_doc_novelty",
     "q_emb_ann_rp", "q_emb_hard_negatives",
     "q_approx_quantiles", "q_cdc_sessionize_incr", "q_doc_ndcg",
+    "q_doc_novelty_incr",
     "q_multimodal_features", "q_doc_prefix_incr",
-    # (b) 40 of the 48 stalest queries — last hard driver row r05,
+    # (b) 39 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
     # gave up their slots to the new zero-history entries (the rule
@@ -6810,9 +6842,9 @@ DRIVER_ORDER = [
     # with no repo operator code, hard-green in r02 AND r05, and the
     # same rationale as r08's q_scalar_funcs eviction: q_date_funcs,
     # q_case_having, q_distinct_agg, q_semi_join, q_set_ops,
-    # q_cube_orders, q_grouping_sets, q_pivot_status_priority (eighth
-    # evictee, same class). All become stale-flagged when r09's files
-    # land, so they head the r09 window.
+    # q_cube_orders, q_grouping_sets, q_pivot_status_priority,
+    # q_window_lag_lead (ninth evictee, same class). All become
+    # stale-flagged when r09's files land, so they head the r09 window.
     "q02_top_revenue_orders", "q03_shipping_priority", "q04_order_priority",
     "q05_region_volume", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_profit_by_nation", "q10_returned_items",
@@ -6828,7 +6860,7 @@ DRIVER_ORDER = [
     "q_emb_ann_ivf_trained", "q_emb_semantic_dedup",
     "q_multimodal_meta", "q_profile_orders",
     "q_rollup_lineitem",
-    "q_window_lag_lead", "q_window_running_total", "q_window_topn_per_group",
+    "q_window_running_total", "q_window_topn_per_group",
 ]
 
 _DRIVER_ORDER_R07 = [
