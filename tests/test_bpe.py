@@ -89,3 +89,23 @@ def test_bpe_early_stop_and_validation(spark):
     assert train_bpe_merges(df, 3) == []
     with pytest.raises(ValueError):
         train_bpe_merges(df, 0)
+
+
+def test_wordpiece_hand_computed(spark):
+    from walex_spark.extensions.bpe import wordpiece_segment
+
+    df = spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab cd")], "doc_id long, text string"
+    )
+    # word counts: abab=2, ab=1, cd=1
+    # piece weights (len>=2): ab 2*2+1=5; ba/aba/bab/abab 2 each; cd 1
+    # top-2 by (weight desc, piece asc) = [ab, aba]; chars a b c d
+    # greedy: abab -> aba|b (2), ab -> ab (1), cd -> c|d (2)
+    out = {
+        r.doc_id: r
+        for r in wordpiece_segment(df, top_pieces=2).collect()
+    }
+    assert out[1].n_words == 2 and out[1].n_pieces == 3
+    assert out[1].pieces_per_word == 1.5
+    assert out[2].n_words == 2 and out[2].n_pieces == 4
+    assert out[2].pieces_per_word == 2.0

@@ -166,3 +166,132 @@ def train_bpe_merges(
             merge_pair(F.col("seq"), a, b, merged).alias("seq"), "cnt"
         ).localCheckpoint(eager=False)
     return merges
+
+
+def wordpiece_segment(
+    df: DataFrame,
+    top_pieces: int = 16,
+    max_piece_len: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WordPiece-style greedy longest-match-first subword segmentation
+    (Wu et al. 2016's inference rule — the tokenizer actually used at
+    encode time by BERT-family stacks, vs BPE's merge-order replay):
+    a corpus-derived piece vocabulary, then each word is consumed
+    left-to-right taking the LONGEST vocabulary piece that prefixes
+    the remaining suffix.
+
+    Vocabulary (deterministic, no training loop): every single
+    character seen in the corpus (the coverage guarantee — greedy
+    always progresses) plus the ``top_pieces`` most frequent
+    substrings of length 2..``max_piece_len`` over distinct words,
+    weighted by word frequency, ties broken (weight DESC, piece ASC).
+
+    Returns (id_col, n_words, n_pieces, pieces_per_word) per doc —
+    all-integer/string arithmetic plus one final IEEE division, exact
+    in any engine (no floats anywhere else; the safest determinism
+    class in the repo).
+
+    Scale shape — the same O(|word vocab|) trick as the BPE trainer:
+    everything iterative runs over the DISTINCT-word table, never the
+    corpus. The greedy loop is ``max word length`` rounds of PURE
+    column expressions (array_contains against the piece-vocab
+    literal — a metadata-sized collect, same class as the IVF
+    centroid/codebook constants): no joins, no shuffles, one
+    whole-stage-codegen span; the corpus is touched exactly twice
+    (the word-count aggregate and the final per-doc sum join).
+    """
+    from walex_spark.extensions.text import _tokens
+
+    toks = _tokens(F.col(text_col))
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # substrings of length lo..hi over distinct words, weighted by
+    # word frequency; single chars enter unconditionally (coverage).
+    # (i, L) pairs are generated over constant-bounded sequences and
+    # FILTERED to i + L - 1 <= len(w): F.sequence(1, n) with n < 1
+    # produces a DESCENDING array, not an empty one, so bound
+    # arithmetic inside sequence() silently fabricates pieces.
+    def _subs(lo: int, hi: int):
+        pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.transform(
+                    F.sequence(F.lit(lo), F.lit(hi)),
+                    lambda L: F.struct(i.alias("i"), L.alias("L")),
+                ),
+            )
+        )
+        ok = F.filter(
+            pairs, lambda s: s["i"] + s["L"] - 1 <= F.length("w")
+        )
+        return words.select(
+            "w",
+            "c",
+            F.explode(
+                F.transform(
+                    ok, lambda s: F.expr("w").substr(s["i"], s["L"])
+                )
+            ).alias("p"),
+        )
+
+    top = [
+        r.p
+        for r in _subs(2, max_piece_len)
+        .groupBy("p")
+        .agg(F.sum("c").alias("wt"))
+        .orderBy(F.col("wt").desc(), F.col("p").asc())
+        .limit(top_pieces)
+        .collect()
+    ]
+    chars = [r.p for r in _subs(1, 1).select("p").distinct().collect()]
+    vocab = sorted(set(top) | set(chars))  # metadata-sized constant
+    vlit = F.array(*[F.lit(p) for p in vocab])
+    max_len = words.agg(F.max(F.length("w"))).first()[0] or 0
+
+    seg = words.select("w", "c", F.col("w").alias("rest"), F.lit(0).alias("n"))
+    for _ in range(int(max_len)):
+        # longest vocab piece prefixing rest: greatest L whose prefix
+        # is in the vocab literal (pure expressions, codegen-friendly)
+        best = None
+        for L in range(max_piece_len, 0, -1):
+            hit = F.when(
+                F.array_contains(vlit, F.col("rest").substr(1, L)), F.lit(L)
+            ).otherwise(F.lit(0))
+            best = hit if best is None else F.greatest(best, hit)
+        seg = seg.select(
+            "w",
+            "c",
+            F.when(F.col("rest") == "", F.col("rest"))
+            .otherwise(F.col("rest").substr(best + 1, F.lit(10_000)))
+            .alias("rest"),
+            F.when(F.col("rest") == "", F.col("n"))
+            .otherwise(F.col("n") + 1)
+            .alias("n"),
+        )
+    pieces = seg.select("w", F.col("n").alias("n_pieces"))
+    # NO broadcast hint: the distinct-WORD table is corpus-vocab-sized
+    # (unbounded at 100 TB, unlike the piece vocab) — let AQE pick
+    per_doc = (
+        df.select(F.col(id_col), F.explode(toks).alias("w"))
+        .join(pieces, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_words"),
+            F.sum("n_pieces").cast(T.LongType()).alias("n_pieces"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_pieces",
+            (
+                F.col("n_pieces").cast(T.DoubleType())
+                / F.col("n_words").cast(T.DoubleType())
+            ).alias("pieces_per_word"),
+        )
+    )
+    return per_doc

@@ -6777,6 +6777,73 @@ def q_doc_novelty_incr(spark, sf_dir):
 
 
 # =========================================================================
+def _wordpiece_oracle(
+    top_pieces: int = 16, max_piece_len: int = 6, stages: int = 12
+) -> str:
+    """Greedy longest-match segmentation as a FIXED-DEPTH chain of
+    ``stages`` projection CTEs (the redact-oracle technique — DuckDB's
+    recursive CTEs cannot cleanly reference the vocab list per step,
+    but a word consumes >= 1 char per stage, so any stages >= max
+    word length is exact; extra stages no-op on rest='')."""
+    cases = ", ".join(
+        f"CASE WHEN list_contains(vl, substring(rest, 1, {L})) THEN {L} ELSE 0 END"
+        for L in range(max_piece_len, 0, -1)
+    )
+    chain = []
+    for k in range(stages):
+        chain.append(
+            f"""seg{k + 1} AS (
+      SELECT w, vl,
+             CASE WHEN rest = '' THEN rest
+                  ELSE substring(rest, GREATEST({cases}) + 1) END AS rest,
+             CASE WHEN rest = '' THEN n ELSE n + 1 END AS n
+      FROM seg{k})"""
+        )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    subs AS (
+      SELECT substring(w, i, L) AS p, c
+      FROM wc,
+           unnest(generate_series(2, {max_piece_len})) gl(L),
+           unnest(generate_series(1, length(w) - L + 1)) gi(i)
+      WHERE length(w) >= L),
+    top AS (SELECT p FROM (
+      SELECT p, SUM(c) AS wt FROM subs GROUP BY p
+      ORDER BY wt DESC, p LIMIT {top_pieces})),
+    chars AS (SELECT DISTINCT substring(w, i, 1) AS p
+              FROM wc, unnest(generate_series(1, length(w))) gi(i)),
+    vocab AS (SELECT p FROM top UNION SELECT p FROM chars),
+    vlist AS (SELECT list(p ORDER BY p) AS vl FROM vocab),
+    seg0 AS (SELECT w, vl, w AS rest, 0 AS n FROM wc CROSS JOIN vlist),
+    {', '.join(chain)},
+    pieces AS (SELECT w, n AS n_pieces FROM seg{stages})
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS pieces_per_word
+    FROM toks JOIN pieces USING (w)
+    GROUP BY doc_id
+    """
+
+
+@_register("q_doc_wordpiece", _wordpiece_oracle())
+def q_doc_wordpiece(spark, sf_dir):
+    """WordPiece-style greedy longest-match subword segmentation
+    (extensions/bpe.py::wordpiece_segment — the BERT-family encode
+    rule, vs BPE's merge-order replay): corpus-derived piece vocab
+    (top-16 weighted substrings + all chars), per-word greedy loop as
+    max-word-length rounds of pure column expressions over the
+    DISTINCT-word table (O(|vocab|), zero shuffles in the loop); the
+    corpus is touched twice. All-integer/string arithmetic — the
+    safest cross-engine determinism class."""
+    from walex_spark.extensions.bpe import wordpiece_segment
+
+    return wordpiece_segment(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -6831,9 +6898,9 @@ DRIVER_ORDER = [
     "q_doc_bigram_surprisal", "q_doc_dsir", "q_doc_novelty",
     "q_emb_ann_rp", "q_emb_hard_negatives",
     "q_approx_quantiles", "q_cdc_sessionize_incr", "q_doc_ndcg",
-    "q_doc_novelty_incr",
+    "q_doc_novelty_incr", "q_doc_wordpiece",
     "q_multimodal_features", "q_doc_prefix_incr",
-    # (b) 39 of the 48 stalest queries — last hard driver row r05,
+    # (b) 38 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
     # gave up their slots to the new zero-history entries (the rule
@@ -6843,8 +6910,9 @@ DRIVER_ORDER = [
     # same rationale as r08's q_scalar_funcs eviction: q_date_funcs,
     # q_case_having, q_distinct_agg, q_semi_join, q_set_ops,
     # q_cube_orders, q_grouping_sets, q_pivot_status_priority,
-    # q_window_lag_lead (ninth evictee, same class). All become
-    # stale-flagged when r09's files land, so they head the r09 window.
+    # q_window_lag_lead, q_window_running_total (tenth evictee, same
+    # class). All become stale-flagged when r09's files land, so they
+    # head the r09 window.
     "q02_top_revenue_orders", "q03_shipping_priority", "q04_order_priority",
     "q05_region_volume", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_profit_by_nation", "q10_returned_items",
@@ -6860,7 +6928,7 @@ DRIVER_ORDER = [
     "q_emb_ann_ivf_trained", "q_emb_semantic_dedup",
     "q_multimodal_meta", "q_profile_orders",
     "q_rollup_lineitem",
-    "q_window_running_total", "q_window_topn_per_group",
+    "q_window_topn_per_group",
 ]
 
 _DRIVER_ORDER_R07 = [
