@@ -83,3 +83,46 @@ def test_novelty_compaction_bounds_dirs(spark, docs, tmp_path):
     assert _key(emitted) == _key(ngram_novelty(docs, n=3).collect())
     live = _epoch_dirs(os.path.join(str(tmp_path / "nidx"), "grams"))
     assert len(live) <= 4
+
+
+def test_novelty_foreachbatch_stream_e2e(spark, docs, tmp_path):
+    """REAL Structured Streaming wiring: id-ascending parquet drops
+    (the module's ordering precondition), maxFilesPerTrigger=1,
+    foreachBatch(idx.process_batch); folded emissions equal batch."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e, b in enumerate(_id_epochs(docs, [17, 34])):
+        staged = str(tmp_path / f"stage{e}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{e}.parquet")
+
+    idx = IncrementalNoveltyIndex(str(tmp_path / "nidx"), n=3)
+    out_root = str(tmp_path / "out")
+
+    def sink(batch_df, epoch_id):
+        idx.process_batch(batch_df, epoch_id).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/e-{epoch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.read.parquet(f"{out_root}/e-*").collect()
+    assert _key(emitted) == _key(ngram_novelty(docs, n=3).collect())

@@ -122,3 +122,48 @@ def test_sessions_compaction_bounds_dirs_and_preserves_fold(
 
     live = _epoch_dirs(os.path.join(str(tmp_path / "sidx"), "state"))
     assert len(live) <= 4  # compact_every + 1
+
+
+def test_sessions_foreachbatch_stream_e2e(spark, events, tmp_path):
+    """REAL Structured Streaming wiring (the winnow-twin test's shape):
+    time-ordered parquet drops, readStream maxFilesPerTrigger=1,
+    writeStream.foreachBatch(idx.process_batch); folded emissions +
+    flush equal the batch sessionization."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e, b in enumerate(_time_epochs(events, BOUNDS)):
+        staged = str(tmp_path / f"stage{e}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{e}.parquet")
+
+    idx = IncrementalSessionIndex(str(tmp_path / "sidx"))
+    out_root = str(tmp_path / "out")
+
+    def sink(batch_df, epoch_id):
+        idx.process_batch(batch_df, epoch_id).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/e-{epoch_id}")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.read.parquet(f"{out_root}/e-*").collect()
+    emitted.extend(idx.flush(spark).collect())
+    assert _key(emitted) == _key(_batch_sessions(events).collect())
