@@ -65,6 +65,7 @@ BNLJ_ALLOWANCE = {
     # BM25's one-row corpus stats + the one-row contribution-list
     # frame + the k-row ideal/got join — all LIMIT-k or one-row
     "q_doc_ndcg": 3,
+    "q_emb_label_margin": 1,      # |labels|-sized centroid broadcast
     "q_emb_near_dup": 1,          # bucketized self-join residual
     "q_emb_semantic_dedup": 2,
     "q_doc_cluster_survivors": 2,

@@ -296,3 +296,43 @@ def test_hard_negative_topk_excludes_near_dup_band(spark):
     ).collect()
     got = [(r.neighbor_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
     assert got == [(2, 1), (3, 2)]  # near-dup 1 banned, self banned
+
+
+def test_label_margin_hand_computed(spark):
+    import math
+
+    from walex_spark.extensions.similarity import label_margin
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.5], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [-0.5, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.vec_id: r for r in label_margin(df, dim=2).collect()}
+    # centroid sums (vec_id-ordered): label0 = [2.0, 0.5], label1 = [-0.5, 2.0]
+    c0, c1 = [2.0, 0.5], [-0.5, 2.0]
+
+    def cos(a, b):
+        # left folds, same order as the operator
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    v1 = [1.0, 0.0]
+    assert out[1].cos_own == cos(v1, c0)
+    assert out[1].max_other == cos(v1, c1)
+    assert out[1].margin == cos(v1, c0) - cos(v1, c1)
+    # same-class vectors sit closer to their own centroid
+    for vid in (1, 2, 3, 4):
+        assert out[vid].margin > 0

@@ -1257,3 +1257,93 @@ def hard_negative_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def label_margin(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space quality eval against labeled classes: per
+    vector, cosine to its OWN label centroid vs the best foreign
+    centroid — ``margin = cos_own - max_other``. Aggregated, this is
+    the intra/inter-class separation report an embedding-model
+    training run watches; per-vector, negative margins flag mislabeled
+    or boundary examples (the label-noise audit for training data).
+
+    Determinism (the IVF/PQ discipline): centroids are component-wise
+    vec-id-ORDERED double folds of the raw vectors, represented as
+    SUMS (cosine is scale-invariant, the count division never
+    happens); per-pair cosines are strict left folds; max over foreign
+    centroids is order-free. Bit-exact at any parallelism.
+
+    Returns (id_col, label_col, cos_own, max_other, margin), one row
+    per corpus vector.
+
+    Scale shape: the centroid build is one posexplode aggregate keyed
+    (label, dim) — map-side combinable, |labels| x dim output rows;
+    scoring joins the corpus against the LABELS-sized broadcast (a
+    bounded dimension by definition — classes, not vectors); one
+    narrow per-vector aggregate for own/max-other. The corpus never
+    self-joins and never shuffles wider than (id, label, component).
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lab"),
+        _to_double(F.col(vec_col)).alias("v"),
+    )
+    sums = (
+        v.select("lab", "vid", F.posexplode("v").alias("__dim", "__x"))
+        .groupBy("lab", "__dim")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vid", "__x"))),
+                F.lit(0.0),
+                lambda acc, st: acc + st["__x"],
+            ).alias("__s")
+        )
+    )
+    cents = (
+        sums.groupBy("lab")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__dim", "__s"))),
+                lambda st: st["__s"],
+            ).alias("cv")
+        )
+        .select(
+            F.col("lab").alias("clab"),
+            "cv",
+            l2_norm(F.col("cv")).alias("cn"),
+        )
+    )
+    scored = (
+        v.withColumn("vn", l2_norm(F.col("v")))
+        .join(F.broadcast(cents))
+        .select(
+            "vid",
+            "lab",
+            "clab",
+            (
+                dot_product(F.col("v"), F.col("cv"))
+                / (F.col("vn") * F.col("cn"))
+            ).alias("cos"),
+        )
+    )
+    agg = scored.groupBy("vid", "lab").agg(
+        F.max(F.when(F.col("lab") == F.col("clab"), F.col("cos"))).alias(
+            "cos_own"
+        ),
+        F.max(F.when(F.col("lab") != F.col("clab"), F.col("cos"))).alias(
+            "max_other"
+        ),
+    )
+    return agg.select(
+        F.col("vid").alias(id_col),
+        F.col("lab").alias(label_col),
+        "cos_own",
+        "max_other",
+        (F.col("cos_own") - F.col("max_other")).alias("margin"),
+    )

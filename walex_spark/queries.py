@@ -6844,6 +6844,42 @@ def q_doc_wordpiece(spark, sf_dir):
 
 
 # =========================================================================
+def _label_margin_oracle(dim: int = 64) -> str:
+    comps = ", ".join(
+        f"list_reduce(list(v.v[{i + 1}] ORDER BY vec_id), (p, q) -> p + q)"
+        for i in range(dim)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT label AS clab, [{comps}] AS cv FROM v GROUP BY label),
+    c AS (SELECT clab, cv, sqrt({_FOLD_DOT.format(a='cv', b='cv')}) AS cn FROM s),
+    sc AS (
+      SELECT v.vec_id, v.label, c.clab,
+             {_FOLD_DOT.format(a='v.v', b='c.cv')}
+               / (sqrt({_FOLD_DOT.format(a='v.v', b='v.v')}) * c.cn) AS cos
+      FROM v CROSS JOIN c)
+    SELECT vec_id, label,
+           MAX(CASE WHEN label = clab THEN cos END) AS cos_own,
+           MAX(CASE WHEN label <> clab THEN cos END) AS max_other,
+           MAX(CASE WHEN label = clab THEN cos END)
+             - MAX(CASE WHEN label <> clab THEN cos END) AS margin
+    FROM sc GROUP BY vec_id, label
+    """
+
+
+@_register("q_emb_label_margin", _label_margin_oracle())
+def q_emb_label_margin(spark, sf_dir):
+    """Embedding-space class-separation eval (similarity.py::
+    label_margin): per vector, cosine to its own label centroid vs
+    the best foreign centroid — negative margins flag label noise /
+    boundary examples. Centroids are vec-id-ordered double-fold SUMS
+    (the IVF/PQ determinism discipline); the scoring join is against
+    the |labels|-sized broadcast — a bounded dimension by definition."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.label_margin(emb, dim=64)
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -6898,9 +6934,9 @@ DRIVER_ORDER = [
     "q_doc_bigram_surprisal", "q_doc_dsir", "q_doc_novelty",
     "q_emb_ann_rp", "q_emb_hard_negatives",
     "q_approx_quantiles", "q_cdc_sessionize_incr", "q_doc_ndcg",
-    "q_doc_novelty_incr", "q_doc_wordpiece",
+    "q_doc_novelty_incr", "q_doc_wordpiece", "q_emb_label_margin",
     "q_multimodal_features", "q_doc_prefix_incr",
-    # (b) 38 of the 48 stalest queries — last hard driver row r05,
+    # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
     # gave up their slots to the new zero-history entries (the rule
@@ -6910,9 +6946,9 @@ DRIVER_ORDER = [
     # same rationale as r08's q_scalar_funcs eviction: q_date_funcs,
     # q_case_having, q_distinct_agg, q_semi_join, q_set_ops,
     # q_cube_orders, q_grouping_sets, q_pivot_status_priority,
-    # q_window_lag_lead, q_window_running_total (tenth evictee, same
-    # class). All become stale-flagged when r09's files land, so they
-    # head the r09 window.
+    # q_window_lag_lead, q_window_running_total, q_window_topn_per_group
+    # (eleventh evictee, same class). All become stale-flagged when
+    # r09's files land, so they head the r09 window.
     "q02_top_revenue_orders", "q03_shipping_priority", "q04_order_priority",
     "q05_region_volume", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_profit_by_nation", "q10_returned_items",
@@ -6928,7 +6964,6 @@ DRIVER_ORDER = [
     "q_emb_ann_ivf_trained", "q_emb_semantic_dedup",
     "q_multimodal_meta", "q_profile_orders",
     "q_rollup_lineitem",
-    "q_window_topn_per_group",
 ]
 
 _DRIVER_ORDER_R07 = [
