@@ -48,6 +48,9 @@ HEAVY_OUTPUT = {
     "q_unpivot_lineitem",
     "q_events_rolling",
     "q_events_cusum",
+    # sorted-neighborhood emits ~N*w candidate rows — count, don't
+    # ship ~100k pairs through the driver at sf0.1
+    "q_snm_blocking",
 }
 
 # Keep the final summary line comfortably inside the driver's 2000-byte

@@ -235,3 +235,111 @@ def test_remove_spans_multiple_spans_one_doc(spark):
     assert got == _py_despan(docs)
     # doc 1 keeps exactly the filler
     assert got[0][1] == filler
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs — hand-computed weights on a 4-doc corpus
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_hand_case(spark):
+    # 4 docs; 'the' appears in all 4 -> df=4 > 0.5*4? with
+    # max_df_ratio=0.5 the cut is df <= 2, so 'the' (df=4) and 'cat'
+    # (df=3) drop; 'sat','mat','dog','ran' (df<=2) survive.
+    rows = [
+        (1, "the cat sat sat"),
+        (2, "the cat sat mat"),
+        (3, "the dog ran"),
+        (4, "the cat dog mat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.tfidf_cosine_pairs(df, max_df_ratio=0.5, min_cos=0.0, k=10)
+    got = {(r.doc_a, r.doc_b): r for r in out.collect()}
+    # surviving vocab: sat df=2 idf=hb(4//2)=hb(2)=2; mat df=2 idf=2;
+    # dog df=2 idf=2; ran df=1 idf=hb(4)=4
+    # doc1: sat tf2 -> w=4          |v1|^2 = 16
+    # doc2: sat1 w2, mat1 w2        |v2|^2 = 8
+    # doc3: dog1 w2, ran1 w4        |v3|^2 = 20
+    # doc4: mat1 w2, dog1 w2        |v4|^2 = 8
+    import math
+
+    d12 = got[(1, 2)]
+    assert d12.n_shared_terms == 1 and d12.dot_ww == 8
+    assert d12.cos_sim == 8.0 / (math.sqrt(16.0) * math.sqrt(8.0))
+    d24 = got[(2, 4)]
+    assert d24.dot_ww == 4 and d24.n_shared_terms == 1
+    d34 = got[(3, 4)]
+    assert d34.dot_ww == 4
+    # docs sharing only cut stop-terms produce NO pair
+    assert (1, 3) not in got and (1, 4) not in got
+    # ordering: cos desc with (doc_a, doc_b) tie-break
+    cs = [r.cos_sim for r in out.collect()]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_tfidf_cosine_min_cos_filters(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        (3, "delta epsilon zeta"),
+        (4, "other words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.tfidf_cosine_pairs(df, max_df_ratio=0.9, min_cos=0.99, k=10)
+    got = [(r.doc_a, r.doc_b) for r in out.collect()]
+    assert got == [(1, 2)]  # identical docs: cos == 1.0 exactly
+
+
+def test_tfidf_cosine_zero_idf_terms_dropped(spark):
+    # 'the' has df=2 of n=3 -> n div df = 1 -> half-bit idf 0; docs made
+    # only of such terms must not produce pairs (and must not 0/0)
+    rows = [(1, "the the"), (2, "the"), (3, "unique tokens only")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.tfidf_cosine_pairs(df, max_df_ratio=1.0, min_cos=0.0, k=10)
+    assert out.collect() == []
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_snm_window_and_jaccard(spark):
+    # sort order by key: b1 (id 4), b2 (id 2), x1 (id 1), x2 (id 3)
+    rows = [
+        (1, "red blue green"),
+        (2, "almost same words"),
+        (3, "red blue yellow"),
+        (4, "almost same words"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, key string")
+    out = dedup.sorted_neighborhood_pairs(
+        df, key_col="key", id_col="rid", window=1, min_jaccard=0.0
+    )
+    got = {(r.id_a, r.id_b): (r.gap, r.key_jaccard) for r in out.collect()}
+    # window=1: only adjacent ranks pair; sort is (key, id):
+    # "almost same words"(4) < "almost same words"(2)? ids tiebreak: 2 < 4
+    # order: (2), (4), (1), (3)
+    assert set(got) == {(2, 4), (4, 1), (1, 3)}
+    assert got[(2, 4)] == (1, 1.0)  # identical keys
+    assert got[(1, 3)][1] == 2.0 / 4.0  # {red,blue} / {red,blue,green,yellow}
+    assert got[(4, 1)][1] == 0.0  # disjoint keys still paired at window 1
+
+
+def test_snm_min_jaccard_and_gap(spark):
+    rows = [(i, f"word{i // 2} extra") for i in range(6)]
+    df = spark.createDataFrame(rows, "rid long, key string")
+    out = dedup.sorted_neighborhood_pairs(
+        df, key_col="key", id_col="rid", window=3, min_jaccard=0.9
+    )
+    got = {(r.id_a, r.id_b): r.gap for r in out.collect()}
+    # only the identical-key pairs survive 0.9; each pair is adjacent
+    assert got == {(0, 1): 1, (2, 3): 1, (4, 5): 1}
+
+
+def test_snm_rejects_bad_window(spark):
+    df = spark.createDataFrame([(1, "a")], "rid long, key string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        dedup.sorted_neighborhood_pairs(df, "key", "rid", window=0)

@@ -340,3 +340,105 @@ def test_despan_replay_idempotent(spark, docs, tmp_path):
         for r in idx.process_batch(e1, 1).collect()
     )
     assert replay == first
+
+
+# ---------------------------------------------------------------------------
+# IncrementalMinHashIndex — LSH band-index twin
+# ---------------------------------------------------------------------------
+
+
+def _mh_key(rows):
+    return sorted((r.id_a, r.id_b) for r in rows)
+
+
+def test_minhash_fold_equals_batch(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import IncrementalMinHashIndex
+
+    idx = IncrementalMinHashIndex(str(tmp_path / "midx"))
+    emitted = []
+    for e, b in enumerate(_epochs(docs)):
+        emitted.extend(idx.process_batch(b, e).collect())
+    batch = dd.minhash_candidate_pairs(docs).collect()
+    assert _mh_key(emitted) == _mh_key(batch)
+    assert len(emitted) == len(set(_mh_key(emitted)))  # emitted once
+
+
+def test_minhash_replay_idempotent(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import IncrementalMinHashIndex
+
+    idx = IncrementalMinHashIndex(str(tmp_path / "midx"))
+    e0, e1 = _epochs(docs, 2)
+    idx.process_batch(e0, 0)
+    first = _mh_key(idx.process_batch(e1, 1).collect())
+    replay = _mh_key(idx.process_batch(e1, 1).collect())
+    assert replay == first
+    # index holds exactly bands x n_docs rows after replay
+    n_docs = docs.count()
+    assert idx.band_rows(spark).count() == 4 * n_docs
+
+
+def test_minhash_compaction_bounded_and_identical(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import (
+        IncrementalMinHashIndex,
+        _epoch_dirs,
+    )
+
+    n_epochs, k = 12, 3
+    idx = IncrementalMinHashIndex(str(tmp_path / "midx"), compact_every=k)
+    emitted = []
+    max_live = 0
+    for e in range(n_epochs):
+        b = docs.filter(F.col("doc_id") % n_epochs == e)
+        emitted.extend(idx.process_batch(b, e).collect())
+        max_live = max(
+            max_live, len(_epoch_dirs(str(tmp_path / "midx" / "bands")))
+        )
+    assert max_live <= k + 1, f"live dirs grew to {max_live}"
+    batch = dd.minhash_candidate_pairs(docs).collect()
+    assert _mh_key(emitted) == _mh_key(batch)
+
+
+def test_minhash_foreachbatch_stream_e2e(spark, docs, tmp_path):
+    """Deployment-shape wiring for the LSH twin: 3 parquet file drops
+    -> readStream maxFilesPerTrigger=1 -> writeStream.foreachBatch
+    driving the band index; folded emissions equal the batch operator."""
+    import glob
+    import os
+    import shutil
+
+    from walex_spark.streaming.dedup_incr import IncrementalMinHashIndex
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e, b in enumerate(_epochs(docs)):
+        staged = str(tmp_path / f"stage{e}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{e}.parquet")
+
+    idx = IncrementalMinHashIndex(str(tmp_path / "midx"))
+    out_root = str(tmp_path / "out")
+
+    def sink(batch_df, epoch_id):
+        idx.process_batch(batch_df, epoch_id).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/e-{epoch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.read.parquet(f"{out_root}/e-*").collect()
+    batch = dd.minhash_candidate_pairs(docs).collect()
+    assert _mh_key(emitted) == _mh_key(batch)

@@ -87,3 +87,90 @@ def test_ngram_novelty_counts_distinct_grams_once(spark):
     df = spark.createDataFrame([(7, "a b a b a")], "doc_id long, text string")
     row = ngram_novelty(df, n=3).collect()[0]
     assert row.n_distinct_ngrams == 2 and row.n_novel == 2
+
+
+def test_nb_classifier_matches_pure_python_replica(spark):
+    """nb_lang_classifier vs an independent per-row replica of the
+    same half-bit arithmetic (split, hashed features, smoothing,
+    argmax tie-break)."""
+    import hashlib
+
+    from walex_spark.extensions.text import nb_lang_classifier
+
+    rows = [
+        (i, " ".join(["aaa bbb ccc"] * 3) + (" ddd" if i % 2 else ""), "en")
+        for i in range(10)
+    ] + [
+        (i, " ".join(["xxx yyy zzz"] * 3) + (" www" if i % 3 else ""), "de")
+        for i in range(10, 20)
+    ] + [
+        (20, "aaa bbb xxx", "en"),  # mixed doc
+        (21, "zzz yyy bbb", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B, frac = 16, 0.5
+
+    def bucket(salt, key):
+        return int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:8], 16)
+
+    def hb2(x):
+        return (x * x).bit_length() - 1
+
+    thresh = int(frac * (1 << 32))
+    train, test = [], []
+    for i, txt, lab in rows:
+        (train if bucket("nbsplit", i) < thresh else test).append((i, txt, lab))
+    assert train and test, "split degenerate — pick different ids"
+    model, tot, ndocs = {}, {}, {}
+    for i, txt, lab in train:
+        ndocs[lab] = ndocs.get(lab, 0) + 1
+        for tok in txt.split():
+            b = bucket("nbsplit|tok", tok) % B
+            model[(lab, b)] = model.get((lab, b), 0) + 1
+            tot[lab] = tot.get(lab, 0) + 1
+    classes = sorted(ndocs)
+    expect = {}
+    for i, txt, lab in test:
+        scores = {}
+        for c in classes:
+            s = sum(hb2(model.get((c, bucket("nbsplit|tok", t) % B), 0) + 1)
+                    for t in txt.split())
+            s -= len(txt.split()) * hb2(tot[c] + B)
+            s += hb2(ndocs[c] + 1)
+            scores[c] = s
+        pred = min(classes, key=lambda c: (-scores[c], c))
+        expect[(lab, pred)] = expect.get((lab, pred), 0) + 1
+
+    out = nb_lang_classifier(df, n_buckets=B, train_fraction=frac)
+    got = {(r.lang, r.pred): r.n_docs for r in out.collect()}
+    assert got == expect
+
+
+def test_distinct_ngram_diversity_hand_case(spark):
+    from walex_spark.extensions.text import distinct_ngram_diversity
+
+    rows = [
+        (1, "a b a b", "tmpl"),     # unigrams: 4 tok / 2 distinct
+        (2, "a b", "tmpl"),         # bigrams tmpl: "a b","b a","a b","a b"
+        (3, "w x y z", "org"),      # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in distinct_ngram_diversity(df).collect()}
+    t = out["tmpl"]
+    assert (t.n_docs, t.n_tokens, t.distinct_unigrams) == (2, 6, 2)
+    assert t.distinct_1 == 2.0 / 6.0
+    # tmpl bigrams: doc1 -> [a b, b a, a b], doc2 -> [a b]; 4 total, 2 distinct
+    assert (t.n_bigrams, t.distinct_bigrams) == (4, 2)
+    assert t.distinct_2 == 0.5
+    o = out["org"]
+    assert o.distinct_1 == 1.0 and o.distinct_2 == 1.0
+
+
+def test_distinct_ngram_diversity_short_docs_skip_bigrams(spark):
+    from walex_spark.extensions.text import distinct_ngram_diversity
+
+    rows = [(1, "solo", "s"), (2, "two words", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = distinct_ngram_diversity(df).collect()[0]
+    # the 1-token doc contributes unigrams but no bigrams
+    assert (r.n_tokens, r.n_bigrams) == (3, 1)

@@ -61,6 +61,8 @@ BNLJ_ALLOWANCE = {
     # equi-join on the LSH bucket, hence its lower allowance)
     "q_emb_ann_rp": 3,
     "q_emb_hard_negatives": 1,    # broadcast anchor side (brute-force shape)
+    "q_emb_knn_eval": 1,          # broadcast eval-sample anchor side
+    "q_doc_nb_classifier": 1,     # C-row per-class-constants broadcast
     "q_doc_dsir": 1,              # one-row corpus-constant (k_const) broadcast
     # BM25's one-row corpus stats + the one-row contribution-list
     # frame + the k-row ideal/got join — all LIMIT-k or one-row

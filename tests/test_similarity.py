@@ -336,3 +336,41 @@ def test_label_margin_hand_computed(spark):
     # same-class vectors sit closer to their own centroid
     for vid in (1, 2, 3, 4):
         assert out[vid].margin > 0
+
+
+def test_knn_label_eval_hand_case(spark):
+    # 2-D toy: label 0 clusters near +x, label 1 near +y, one mislabeled
+    # point (id 7: sits inside the +x cluster but carries label 1).
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.95, 0.05], 0),
+        (3, [0.9, 0.1], 0),
+        (4, [0.0, 1.0], 1),
+        (5, [0.05, 0.95], 1),
+        (6, [0.1, 0.9], 1),
+        (7, [0.92, 0.08], 1),  # label noise
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in sim.knn_label_eval(df, df, k=2).collect()}
+    # every +x query's top-2 = {one L0 clustermate, the L1 noise point}
+    # -> 1-1 tie -> smaller label 0 -> all three correct
+    assert out[0].n_queries == 3 and out[0].n_correct == 3
+    assert out[0].accuracy == 1.0
+    # +y queries (4, 5, 6) vote their own cluster; the noise point 7's
+    # whole neighborhood is label 0 -> misclassified (the noise screen)
+    assert out[1].n_queries == 4 and out[1].n_correct == 3
+    assert out[1].accuracy == 3.0 / 4.0
+
+
+def test_knn_label_eval_tie_breaks_to_smaller_label(spark):
+    # query 1 sees exactly one neighbor of label 9 and one of label 2
+    # with identical cosine -> k=2 vote ties -> smaller label (2) wins
+    rows = [
+        (1, [1.0, 0.0], 2),
+        (2, [1.0, 1.0], 9),
+        (3, [1.0, -1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in sim.knn_label_eval(
+        df.filter(F.col("vec_id") == 1), df, k=2).collect()}
+    assert out[2].n_correct == 1  # predicted 2 on the tie

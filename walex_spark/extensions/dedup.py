@@ -1235,3 +1235,182 @@ def remove_duplicate_spans(
             .alias("n_removed"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float = 0.2,
+    min_cos: float = 0.30,
+    k: int = 100,
+) -> DataFrame:
+    """Exact sparse tf-idf cosine similarity join via an inverted
+    index — the lexical-vector near-dup family the minhash/simhash
+    sketches approximate, computed exactly and still as an equi-join.
+
+    Weights are exact integers so the dot product is order-free:
+    w(doc, term) = tf * idf_hb where idf_hb = half_bits(n_docs div df)
+    (floor(2*log2(N/df)) — the integer-idf trick shared with
+    unigram_surprisal). Overflow budget: tf <= doc length (~1e4),
+    idf_hb <= 124 (two 31-bit clamps), so w <= ~1.2e6 and a pairwise
+    product <= ~1.6e12; a sum over <= vocab-size shared terms stays
+    far under 2^63. Norms are sqrt() of exact integer sums — sqrt and
+    the final division are single IEEE ops on identical operands in
+    any engine, so cos_sim is bit-reproducible.
+
+    Scale shape (the whole point — NEVER an all-pairs join):
+      1. (doc, term) tf aggregate — one corpus shuffle on the term key.
+      2. df + idf: vocab-sized aggregate, joined back on term.
+      3. Stop-term cut: terms with df > max_df_ratio * n_docs are
+         dropped BEFORE the self-join. This is the classic inverted-
+         index guard — a term in every doc contributes O(N^2) posting
+         pairs but ~zero idf weight; the cut bounds posting-list
+         length so candidate pairs grow with near-dup mass, not N^2.
+         The dropped mass is reported honestly by the caller's tests.
+      4. Posting self-join ON THE TERM KEY (equi-join; AQE splits hot
+         terms), id_a < id_b, then one (id_a, id_b) aggregate for the
+         dot product — map-side combinable.
+      5. cos >= min_cos filter, deterministic top-k.
+
+    Returns (doc_a, doc_b, n_shared_terms, dot_ww, cos_sim) ordered by
+    (cos_sim DESC, doc_a, doc_b), LIMIT k.
+    """
+    from walex_spark.extensions.search import half_bits
+
+    toks = partition_by_doc(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("tf")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("df"))
+        .join(F.broadcast(n_docs))
+        .where(F.col("df") <= (F.lit(max_df_ratio) * F.col("n_docs")))
+        .select(
+            "term",
+            half_bits(F.expr("n_docs div df")).alias("idf_hb"),
+        )
+        # the half-bit idf floors to 0 for df > n_docs/2 — weightless
+        # terms would still inflate posting lists and zero-norm docs
+        # made only of them turn cos into 0/0, so drop them outright
+        .where(F.col("idf_hb") > 0)
+    )
+    # materialize the weighted postings once: w feeds THREE consumers
+    # (norms + both self-join sides) and tf a fourth (vocab) — without
+    # this the tokenize+tf+vocab lineage re-executes per consumer
+    # (~4x the corpus-shuffle work; the pinned exchange budget dropped
+    # 25 -> single digits with the checkpoint). The materialized stream
+    # is the term-pruned (doc, term, w) postings — already stop-term-
+    # and zero-idf-cut, i.e. the smallest thing every consumer needs.
+    w = (
+        tf.join(vocab, "term")
+        .select("term", "doc", (F.col("tf") * F.col("idf_hb")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast(T.DoubleType())).alias("norm")
+    )
+    a = w.select(F.col("term"), F.col("doc").alias("doc_a"), F.col("w").alias("wa"))
+    b = w.select(F.col("term"), F.col("doc").alias("doc_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_shared_terms"),
+            F.sum(F.col("wa") * F.col("wb")).cast(T.LongType()).alias("dot_ww"),
+        )
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            "dot_ww",
+            (F.col("dot_ww").cast(T.DoubleType()) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= F.lit(min_cos))
+        .orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b")
+        .limit(k)
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic record-linkage /
+    entity-resolution method): sort records by a blocking key, compare
+    each record only against the ``window`` records that follow it in
+    the total order, score candidate pairs by token-set Jaccard of the
+    key. Near-duplicate records cluster under any reasonable key sort,
+    so the O(N*w) candidate set replaces the O(N^2) cross join — the
+    third blocking family next to LSH banding and prefix filtering.
+
+    The global rank comes from operators/ordering.py::
+    global_sorted_index — ONE range-partitioned sort plus broadcast
+    per-partition offsets, never a single-partition window. Pair
+    generation is an EQUI-JOIN: each row explodes ``window`` probe
+    keys (pos + 1 .. pos + w) that meet the right side on its own
+    pos — at 1000 executors this is a hash join on a dense integer
+    key, skew-free by construction. The ranked table feeds both join
+    sides, so it is localCheckpoint'd once.
+
+    Jaccard is exact (two integer set sizes, one IEEE division).
+    Returns (id_a, id_b, gap, key_jaccard) for pairs with
+    ``key_jaccard >= min_jaccard``; gap = rank distance (1..window);
+    id_a precedes id_b in the (key, id) sort order.
+    """
+    from walex_spark.operators.ordering import global_sorted_index
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    ranked = global_sorted_index(
+        df.select(
+            F.col(id_col).alias("rid"),
+            F.col(key_col).alias("key"),
+            F.array_distinct(_tokens(F.col(key_col))).alias("toks"),
+        ),
+        ["key", "rid"],
+        "pos",
+    ).localCheckpoint(eager=False)
+    probes = ranked.select(
+        F.col("rid").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("pos").alias("pos_a"),
+        F.explode(
+            F.array(*[F.col("pos") + F.lit(j) for j in range(1, window + 1)])
+        ).alias("probe"),
+    )
+    right = ranked.select(
+        F.col("rid").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("pos").alias("probe"),
+    )
+    return (
+        probes.join(right, "probe")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("probe") - F.col("pos_a")).cast(T.LongType()).alias("gap"),
+            (
+                F.size(F.array_intersect("toks_a", "toks_b")).cast(T.DoubleType())
+                / F.size(F.array_union("toks_a", "toks_b")).cast(T.DoubleType())
+            ).alias("key_jaccard"),
+        )
+        .where(F.col("key_jaccard") >= F.lit(min_jaccard))
+    )

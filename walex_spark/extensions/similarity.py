@@ -1347,3 +1347,94 @@ def label_margin(
         "max_other",
         (F.col("cos_own") - F.col("max_other")).alias("margin"),
     )
+
+
+def knn_label_eval(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy over a labeled
+    embedding set — the standard embedding-quality eval (does the
+    space cluster by label?) and the label-noise screen (a label that
+    loses its own neighborhood vote is suspect).
+
+    Per query vector: exact cosine top-k neighbors (self excluded),
+    majority vote over neighbor labels, tie broken toward the SMALLER
+    label id (deterministic); a query is correct when the vote equals
+    its own label. Returns one row per label:
+    (label, n_queries, n_correct, accuracy), label ascending.
+
+    Determinism: cosines are strict left folds over per-row norms;
+    the vote is min(struct(-count, label)) — both order-free; accuracy
+    is one IEEE division of exact longs.
+
+    Scale shape: ``queries`` is the labeled EVAL SAMPLE — bounded by
+    labeling cost, broadcast by construction (the brute_force_topk
+    contract); the corpus streams through the broadcast join with no
+    shuffle until the per-query bounded window. For corpus-scale
+    self-eval, swap the exact scorer for the IVF/LSH candidate join —
+    the vote/accuracy tail below is unchanged.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("qlab"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nlab"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qlab",
+            "nlab",
+            "neighbor_id",
+            (
+                dot_product(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .groupBy("query_id", "qlab", "nlab")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("cnt"))
+    )
+    pred = votes.groupBy("query_id", "qlab").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("nlab").alias("lab"))
+        )["lab"].alias("pred")
+    )
+    return (
+        pred.groupBy(F.col("qlab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_queries"),
+            F.sum((F.col("pred") == F.col("qlab")).cast(T.LongType()))
+            .cast(T.LongType())
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            (
+                F.col("n_correct").cast(T.DoubleType())
+                / F.col("n_queries").cast(T.DoubleType())
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

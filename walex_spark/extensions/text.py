@@ -393,3 +393,208 @@ def ngram_novelty(
             ).alias("novelty_ratio"),
         )
     )
+
+
+def nb_lang_classifier(
+    df: DataFrame,
+    n_buckets: int = 256,
+    train_fraction: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    salt: str = "nbsplit",
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    inside the engine — the model-trained upgrade of the heuristic
+    ``language_id`` (the fasttext-filter shape in CCNet-style
+    pipelines, minus the external model file).
+
+    Train/test split is the md5-bucket Bernoulli rule (leakage-safe,
+    replayable: hash(salt || id) < 0.8*2^32). Features are hashed
+    unigrams into ``n_buckets`` buckets — the model stays
+    metadata-sized (C x B longs) and broadcastable no matter the
+    corpus. Add-1 smoothing; libm logs are engine-dependent, so scores
+    live in exact half-bit units with the floor applied PER LOG TERM
+    (the DSIR discipline — see sampling.py::dsir_select):
+
+        score_hb(d, c) = sum_b tf(d,b) * hb2(n(c,b) + 1)
+                       - len(d) * hb2(n(c,.) + B)
+                       + hb2(n_docs(c) + 1)
+
+    (absent (c,b) model rows contribute hb2(0+1) = 0, so the sparse
+    model IS the smoothed model). Overflow budget: tf <= doc length,
+    every hb2 <= 62 → per-doc scores < 2^40 at any real doc size.
+    Argmax ties break toward the lexicographically smaller class.
+
+    Returns the held-out confusion matrix (lang, pred, n_docs) ordered
+    by (lang, pred) — the per-class precision/recall report a pipeline
+    derives its quality-gate thresholds from.
+
+    Scale shape: ONE corpus-wide shuffle — the (doc, bucket) tf
+    aggregate over the exploded token stream (map-side combinable).
+    The model is a re-aggregate of the train side of that table
+    (C x B rows) joined back as a bounded broadcast; per-class
+    constants are a C-row broadcast; scoring fans each test (doc, b)
+    row out x C (classes are a bounded dimension) and folds with a
+    second map-side-combinable sum. The confusion output is C x C.
+    """
+    from walex_spark.extensions.sampling import _BUCKET_SPACE, _hash_bucket
+    from walex_spark.extensions.search import half_bits
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    threshold = int(train_fraction * _BUCKET_SPACE)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col).alias("lab"),
+            (_hash_bucket(F.col(id_col), salt) < threshold).alias("is_train"),
+            F.explode(_tokens(F.col(text_col))).alias("tok"),
+        )
+        .select(
+            F.col(id_col),
+            "lab",
+            "is_train",
+            F.pmod(_hash_bucket(F.col("tok"), salt + "|tok"), F.lit(n_buckets))
+            .alias("b"),
+        )
+        .groupBy(id_col, "lab", "is_train", "b")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("tf"))
+        # four consumers (model, consts, per_doc, sums) — materialize
+        # the bucketized tf table once (narrow: <= n_docs x min(len, B)
+        # rows of longs) instead of re-tokenizing the corpus per branch
+        .localCheckpoint(eager=False)
+    )
+    train = base.filter(F.col("is_train"))
+    # model: per (class, bucket) half-bit weight; absent rows = hb2(1) = 0
+    model = (
+        train.groupBy(F.col("lab").alias("c"), "b")
+        .agg(F.sum("tf").alias("cnt"))
+        .select("c", "b", half_bits(F.col("cnt") + 1).alias("w_hb"))
+    )
+    # per-class constants: token total (denominator) + doc-count prior
+    consts = (
+        train.groupBy(F.col("lab").alias("c"))
+        .agg(
+            half_bits(F.sum("tf") + F.lit(n_buckets)).alias("den_hb"),
+            half_bits(F.countDistinct(id_col) + F.lit(1)).alias("prior_hb"),
+        )
+    )
+    test = base.filter(~F.col("is_train"))
+    # every test doc scores against EVERY class: C-row broadcast cross
+    # join guarantees classes with zero shared buckets still compete
+    per_doc = test.groupBy(id_col, "lab").agg(
+        F.sum("tf").cast(T.LongType()).alias("len")
+    )
+    sums = (
+        test.join(F.broadcast(model), "b")
+        .groupBy(id_col, "c")
+        .agg(F.sum(F.col("tf") * F.col("w_hb")).alias("s"))
+    )
+    scored = (
+        per_doc.join(F.broadcast(consts))
+        .join(sums, [id_col, "c"], "left")
+        .select(
+            F.col(id_col),
+            "lab",
+            "c",
+            (
+                F.coalesce(F.col("s"), F.lit(0))
+                - F.col("len") * F.col("den_hb")
+                + F.col("prior_hb")
+            ).alias("score_hb"),
+        )
+    )
+    pred = scored.groupBy(id_col, "lab").agg(
+        F.min(
+            F.struct((-F.col("score_hb")).alias("ns"), F.col("c").alias("c"))
+        )["c"].alias("pred")
+    )
+    return (
+        pred.groupBy(F.col("lab").alias("lang"), "pred")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"))
+        .orderBy("lang", "pred")
+    )
+
+
+def distinct_ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct-n lexical diversity per corpus slice — the distinct-1 /
+    distinct-2 metrics (Li et al. 2016) a data pipeline watches per
+    source/domain: templated or model-generated slices collapse to few
+    distinct n-grams over many tokens, organic text doesn't. The
+    corpus-level complement of the per-document repetition gates
+    (``repetition_stats`` / the Gopher signals).
+
+    distinct_n = |distinct n-grams in the slice| / |n-gram tokens in
+    the slice| — exact longs + one IEEE division per ratio.
+
+    Returns (group_col, n_docs, n_tokens, distinct_unigrams,
+    distinct_1, n_bigrams, distinct_bigrams, distinct_2), one row per
+    slice, ordered by group_col.
+
+    Scale shape: two (slice, gram) aggregates over the exploded
+    stream — count-distinct shuffles on the gram key with map-side
+    partial aggregation, output is slice-sized; the three branches
+    join on the slice key (tiny, broadcastable by AQE). No joins or
+    windows touch corpus-sized rows.
+    """
+    toked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col),
+        _tokens(F.col(text_col)).alias("toks"),
+    )
+    uni = (
+        toked.select("g", F.explode("toks").alias("tok"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_tokens"),
+            F.countDistinct("tok").cast(T.LongType()).alias("distinct_unigrams"),
+        )
+    )
+    bi = (
+        toked.where(F.size("toks") >= 2)
+        .select(
+            "g",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+                    F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("big"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_bigrams"),
+            F.countDistinct("big").cast(T.LongType()).alias("distinct_bigrams"),
+        )
+    )
+    nd = toked.groupBy("g").agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_docs")
+    )
+    return (
+        nd.join(uni, "g")
+        .join(bi, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "distinct_unigrams",
+            (
+                F.col("distinct_unigrams").cast(T.DoubleType())
+                / F.col("n_tokens").cast(T.DoubleType())
+            ).alias("distinct_1"),
+            "n_bigrams",
+            "distinct_bigrams",
+            (
+                F.col("distinct_bigrams").cast(T.DoubleType())
+                / F.col("n_bigrams").cast(T.DoubleType())
+            ).alias("distinct_2"),
+        )
+        .orderBy(group_col)
+    )

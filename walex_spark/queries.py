@@ -6880,6 +6880,272 @@ def q_emb_label_margin(spark, sf_dir):
 
 
 # =========================================================================
+_KNN_EVAL_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlab,
+                      embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 100),
+    c AS (SELECT vec_id AS neighbor_id, label AS nlab,
+                 embedding::DOUBLE[] AS v
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, qlab, nlab, neighbor_id,
+             {{dot}} / (sqrt({{qq}}) * sqrt({{cc}})) AS cosine
+      FROM q, c WHERE query_id <> neighbor_id),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= 10),
+    votes AS (
+      SELECT query_id, qlab, nlab, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM top GROUP BY query_id, qlab, nlab),
+    pred AS (
+      SELECT query_id, qlab, nlab AS pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cnt DESC, nlab) AS pr
+        FROM votes) WHERE pr = 1)
+    SELECT qlab AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred = qlab THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN pred = qlab THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM pred GROUP BY qlab ORDER BY label
+    """.format(
+    dot=_FOLD_DOT.format(a="q.v", b="c.v"),
+    qq=_FOLD_DOT.format(a="q.v", b="q.v"),
+    cc=_FOLD_DOT.format(a="c.v", b="c.v"),
+)
+
+
+@_register("q_emb_knn_eval", _KNN_EVAL_ORACLE)
+def q_emb_knn_eval(spark, sf_dir):
+    """Leave-one-out k-NN label accuracy (similarity.py::
+    knn_label_eval): exact cosine top-10 vote per eval vector, tie
+    toward the smaller label, per-label accuracy report — the
+    embedding-quality / label-noise eval. Eval-sample anchors
+    broadcast (vec_id < 100 — labeled sets are bounded by labeling
+    cost); corpus streams through the join; vote + accuracy are
+    order-free exact aggregates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_label_eval(emb.filter(F.col("vec_id") < 100), emb, k=10)
+
+
+# =========================================================================
+@_register("q_doc_minhash_incr", _minhash_oracle())
+def q_doc_minhash_incr(spark, sf_dir):
+    """INCREMENTAL MinHash+LSH candidates (streaming/dedup_incr.py::
+    IncrementalMinHashIndex — the foreachBatch twin of
+    q_doc_minhash_pairs): the corpus arrives in 3 micro-batches
+    (doc_id mod 3); each epoch computes its docs' band hashes (a pure
+    function of the text — append-only state), equi-joins them against
+    the band index on (band_idx, band_hash), and emits every distinct
+    pair whose later member just arrived. The UNION of emissions is
+    returned and must equal the batch operator — same oracle as
+    q_doc_minhash_pairs, fold-equals-batch made driver-checkable."""
+    from walex_spark.streaming.dedup_incr import IncrementalMinHashIndex
+
+    root = _scratch_dir("minhash_incr_")
+    docs = _t(spark, sf_dir, "documents")
+    idx = IncrementalMinHashIndex(f"{root}/idx")
+    outs = []
+    for e in range(3):
+        out = idx.process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+        path = f"{root}/out-{e}"
+        out.write.mode("overwrite").parquet(path)
+        outs.append(path)
+    return spark.read.parquet(*outs)
+
+
+# =========================================================================
+_DIVERSITY_ORACLE = f"""
+    WITH t AS (SELECT source AS g, doc_id, {_DUCK_TOKS} AS toks
+               FROM documents),
+    uni AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_unigrams
+      FROM (SELECT g, unnest(toks) AS tok FROM t) GROUP BY g),
+    bi AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(DISTINCT big) AS BIGINT) AS distinct_bigrams
+      FROM (SELECT g, toks[i] || ' ' || toks[i + 1] AS big
+            FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
+            WHERE len(toks) >= 2) GROUP BY g),
+    nd AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs FROM t GROUP BY g)
+    SELECT g AS source, n_docs, n_tokens, distinct_unigrams,
+           CAST(distinct_unigrams AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS distinct_1,
+           n_bigrams, distinct_bigrams,
+           CAST(distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS distinct_2
+    FROM nd JOIN uni USING (g) JOIN bi USING (g) ORDER BY source
+    """
+
+
+@_register("q_doc_diversity", _DIVERSITY_ORACLE)
+def q_doc_diversity(spark, sf_dir):
+    """Per-source distinct-n lexical diversity (extensions/text.py::
+    distinct_ngram_diversity): distinct-1/distinct-2 ratios per corpus
+    slice — the templated/model-generated-slice detector (Li et al.
+    2016's distinct-n, corpus-level). Two (slice, gram) count-distinct
+    aggregates + a slice-keyed join of slice-sized outputs."""
+    return tx.distinct_ngram_diversity(
+        _t(spark, sf_dir, "documents"), group_col="source"
+    )
+
+
+# =========================================================================
+_SNM_ORACLE = """
+    WITH r AS (
+      SELECT p_partkey AS rid,
+             list_distinct(list_filter(
+               string_split_regex(lower(p_name), '\\s+'), x -> x <> ''))
+               AS toks,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS pos
+      FROM part)
+    SELECT a.rid AS id_a, b.rid AS id_b,
+           CAST(b.pos - a.pos AS BIGINT) AS gap,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+             AS key_jaccard
+    FROM r a JOIN r b ON b.pos BETWEEN a.pos + 1 AND a.pos + 5
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+          >= 0.8
+    """
+
+
+@_register("q_snm_blocking", _SNM_ORACLE)
+def q_snm_blocking(spark, sf_dir):
+    """Sorted-neighborhood blocking for entity resolution
+    (extensions/dedup.py::sorted_neighborhood_pairs): parts sorted by
+    name meet only their 5 rank-neighbors; candidate pairs scored by
+    exact name-token Jaccard. The rank is the distributed
+    global_sorted_index (range sort + broadcast offsets — never a
+    single-partition window); pair generation is an equi-join on the
+    dense rank key (each row explodes 5 probe positions)."""
+    return dd.sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "part"),
+        key_col="p_name",
+        id_col="p_partkey",
+        window=5,
+        min_jaccard=0.8,
+    )
+
+
+# =========================================================================
+_NB_SPLIT = (
+    "('0x' || substr(md5('nbsplit' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " < 3435973836"
+)
+_NB_ORACLE = f"""
+    WITH t AS (SELECT doc_id, lang, {_NB_SPLIT} AS is_train,
+                      unnest({_DUCK_TOKS}) AS tok
+               FROM documents),
+    base AS (
+      SELECT doc_id, lang, is_train,
+             ('0x' || substr(md5('nbsplit|tok' || tok), 1, 8))::BIGINT % 256
+               AS b,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY ALL),
+    model AS (
+      SELECT lang AS c, b, {_DSIR_HB.format(x='cnt + 1')} AS w_hb
+      FROM (SELECT lang, b, SUM(tf) AS cnt
+            FROM base WHERE is_train GROUP BY lang, b)),
+    consts AS (
+      SELECT lang AS c,
+             {_DSIR_HB.format(x='SUM(tf) + 256')} AS den_hb,
+             {_DSIR_HB.format(x='COUNT(DISTINCT doc_id) + 1')} AS prior_hb
+      FROM base WHERE is_train GROUP BY lang),
+    per_doc AS (
+      SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS len
+      FROM base WHERE NOT is_train GROUP BY doc_id, lang),
+    sums AS (
+      SELECT doc_id, c, SUM(tf * w_hb) AS s
+      FROM base JOIN model USING (b)
+      WHERE NOT is_train GROUP BY doc_id, c),
+    scored AS (
+      SELECT p.doc_id, p.lang, k.c,
+             COALESCE(s.s, 0) - p.len * k.den_hb + k.prior_hb AS score
+      FROM per_doc p CROSS JOIN consts k
+      LEFT JOIN sums s ON s.doc_id = p.doc_id AND s.c = k.c),
+    pred AS (
+      SELECT doc_id, lang, c AS pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, c) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, pred ORDER BY lang, pred
+    """
+
+
+@_register("q_doc_nb_classifier", _NB_ORACLE)
+def q_doc_nb_classifier(spark, sf_dir):
+    """In-engine multinomial Naive Bayes language classifier
+    (extensions/text.py::nb_lang_classifier): md5-bucket 80/20
+    leakage-safe split, hashed-unigram features (C x 256 model — always
+    broadcastable), add-1 smoothing in exact half-bit log units (the
+    DSIR per-term-floor discipline), held-out confusion matrix. The
+    model-trained upgrade of the heuristic language_id — the fasttext-
+    quality-filter shape with the model trained by the engine itself."""
+    return tx.nb_lang_classifier(
+        _t(spark, sf_dir, "documents"), n_buckets=256, train_fraction=0.8
+    )
+
+
+# =========================================================================
+_TFIDF_HB = _DSIR_HB.format(x="n_docs // df")
+
+_TFIDF_COSINE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest({_DUCK_TOKS}) AS term FROM documents),
+    tf AS (
+      SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc, term),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents),
+    vocab AS (
+      SELECT term, CAST({_TFIDF_HB} AS BIGINT) AS idf_hb
+      FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term) CROSS JOIN nd
+      WHERE df <= 0.2 * n_docs AND {_TFIDF_HB} > 0),
+    w AS (SELECT doc, term, tf * idf_hb AS w FROM tf JOIN vocab USING (term)),
+    norms AS (
+      SELECT doc, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm
+      FROM w GROUP BY doc),
+    dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot_ww
+      FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+      GROUP BY a.doc, b.doc)
+    SELECT doc_a, doc_b, n_shared_terms, dot_ww,
+           CAST(dot_ww AS DOUBLE) / (na.norm * nb.norm) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.doc = doc_a
+    JOIN norms nb ON nb.doc = doc_b
+    WHERE CAST(dot_ww AS DOUBLE) / (na.norm * nb.norm) >= 0.30
+    ORDER BY cos_sim DESC, doc_a, doc_b LIMIT 100
+    """
+
+
+@_register("q_doc_tfidf_cosine", _TFIDF_COSINE_ORACLE)
+def q_doc_tfidf_cosine(spark, sf_dir):
+    """Exact sparse tf-idf cosine near-dup pairs via an inverted-index
+    equi-join (extensions/dedup.py::tfidf_cosine_pairs) — the lexical-
+    vector family the minhash/simhash sketches approximate, computed
+    exactly. Integer weights (tf x half-bit idf) keep the dot product
+    order-free; the df > 20% stop-term cut bounds posting-list length
+    so candidates grow with near-dup mass, never N^2. Shuffles: tf agg
+    on term, vocab agg, posting self-join on term, pair agg."""
+    return dd.tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_df_ratio=0.2,
+        min_cos=0.30,
+        k=100,
+    )
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -6936,6 +7202,9 @@ DRIVER_ORDER = [
     "q_approx_quantiles", "q_cdc_sessionize_incr", "q_doc_ndcg",
     "q_doc_novelty_incr", "q_doc_wordpiece", "q_emb_label_margin",
     "q_multimodal_features", "q_doc_prefix_incr",
+    # third-session additions, zero history:
+    "q_doc_tfidf_cosine", "q_emb_knn_eval", "q_doc_nb_classifier",
+    "q_doc_minhash_incr", "q_snm_blocking", "q_doc_diversity",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -6952,18 +7221,40 @@ DRIVER_ORDER = [
     "q02_top_revenue_orders", "q03_shipping_priority", "q04_order_priority",
     "q05_region_volume", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_profit_by_nation", "q10_returned_items",
-    "q11_important_parts", "q12_ship_priority_lag", "q13_order_distribution",
+    "q11_important_parts", "q12_ship_priority_lag",
+    # q13_order_distribution gave up its slot to the zero-history
+    # q_doc_diversity: pure built-in join+groupBy composition, no repo
+    # operator code, hard-green r02 AND r05 — same evictee class as
+    # the eleven relational evictions above.
     "q14_promo_share", "q15_top_supplier", "q16_supplier_counts",
     "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
     "q20_part_stock_suppliers", "q21_sole_late_supplier", "q22_idle_customers",
-    "q_anti_join", "q_cdc_apply_deltas",
+    # q_anti_join gave up its slot to the zero-history q_emb_knn_eval:
+    # pure built-in LEFT ANTI join, no repo operator code, hard-green
+    # r02 AND r05 — same evictee class as the twelve others this round.
+    "q_cdc_apply_deltas",
     "q_cdc_asof_state", "q_cdc_pgoutput_decode", "q_cdc_scd2",
     "q_cdc_sessionize", "q_cdc_time_travel",
-    "q_doc_cluster_survivors",
-    "q_doc_dup_clusters", "q_doc_normalize", "q_emb_ann_ivf",
+    # q_doc_cluster_survivors gave up its slot to the zero-history
+    # q_doc_nb_classifier: its operator path (duplicate_clusters +
+    # survivor pick) is ALSO exercised by q_doc_dup_clusters, which
+    # keeps its slot below — no operator loses coverage.
+    # q_doc_normalize gave up its slot to the zero-history
+    # q_doc_minhash_incr: normalize_text is ALSO on the
+    # q_doc_normalized_dedup path (hard row r06) — no operator loses
+    # coverage; hard-green r02 AND r05.
+    "q_doc_dup_clusters", "q_emb_ann_ivf",
+    # q_profile_orders gave up its slot to the zero-history
+    # q_snm_blocking: the profiler also holds a hand-replica unit
+    # suite (tests/test_profile_text.py) and its r05 hard row; same
+    # evictee class as the others this round.
     "q_emb_ann_ivf_trained", "q_emb_semantic_dedup",
-    "q_multimodal_meta", "q_profile_orders",
-    "q_rollup_lineitem",
+    "q_multimodal_meta",
+    # q_rollup_lineitem gave up its slot to the zero-history
+    # q_doc_tfidf_cosine (third-session addition): pure built-in
+    # ROLLUP over lineitem, no repo operator code, hard-green r02 AND
+    # r05 — same evictee class as the eleven above. Stale-flagged for
+    # the r09 window the moment r09's files land.
 ]
 
 _DRIVER_ORDER_R07 = [

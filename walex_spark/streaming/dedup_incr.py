@@ -749,3 +749,138 @@ class IncrementalDespanIndex:
             .cast(T.LongType())
             .alias("n_removed"),
         )
+
+
+class IncrementalMinHashIndex:
+    """MinHash+LSH band index + per-epoch new-pair emission — the
+    foreachBatch twin of extensions/dedup.py::minhash_candidate_pairs
+    (same construction: word shingles → K Kirsch–Mitzenmacher
+    minhashes → B band hashes; candidates meet on the band-bucket
+    key).
+
+    FOLD-EQUALS-BATCH: a doc's signature — hence its band hashes — is
+    a pure function of its text, fixed at arrival; whether a pair
+    collides in some band is a property of the PAIR alone. Each epoch
+    emits exactly the distinct (id_a, id_b) whose LATER member arrived
+    in that epoch (new-vs-indexed + new-vs-new), so the union of
+    emissions over all epochs equals the batch operator over the full
+    corpus. Append-only — no retractions, and compaction is a plain
+    union rewrite (no fold needed).
+
+    PER-EPOCH COST CONTRACT: shingling/signature aggregation runs over
+    the EPOCH's docs only; index-wide work is ONE keyed equi-join of
+    the epoch's band rows against the band index on
+    (band_idx, band_hash) — the same bucket key the batch self-join
+    shuffles on, so hot buckets are AQE-splittable and the index side
+    arrives via parquet scan with the join key's filters pushed down.
+    State per doc: B rows of (id, band_idx, band_hash) — smaller than
+    the fingerprint state the winnow twin keeps.
+    """
+
+    BAND_SCHEMA = "id BIGINT, band_idx INT, band_hash STRING"
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        compact_every: int = 0,
+    ):
+        if num_hashes % bands != 0:
+            raise ValueError(
+                f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+            )
+        self.index_dir = index_dir
+        self.num_hashes, self.bands = num_hashes, bands
+        self.shingle_n = shingle_n
+        self.text_col, self.id_col = text_col, id_col
+        self.compact_every = compact_every
+
+    def _band_root(self) -> str:
+        return os.path.join(self.index_dir, "bands")
+
+    def band_rows(self, spark: SparkSession) -> DataFrame:
+        return _read_union(spark, self._band_root(), self.BAND_SCHEMA)
+
+    def compact(self, spark: SparkSession) -> bool:
+        return _compact_root(spark, self._band_root(), self.BAND_SCHEMA)
+
+    def _epoch_bands(self, batch_df: DataFrame) -> DataFrame:
+        rows_per_band = self.num_hashes // self.bands
+        tokens = (
+            dd.word_shingles(
+                batch_df, self.shingle_n, self.text_col, self.id_col,
+                dedupe=False,
+            )
+            if self.shingle_n > 1
+            else dd.tokenize_distinct(batch_df, self.text_col, self.id_col)
+        )
+        sig = dd.minhash_signature(tokens, self.num_hashes)
+        band_cols = []
+        for b in range(self.bands):
+            parts = [
+                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).cast(T.IntegerType()).alias("band_idx"),
+                    F.md5(F.concat_ws(":", *parts)).alias("band_hash"),
+                )
+            )
+        return (
+            sig.select("id", F.explode(F.array(*band_cols)).alias("band"))
+            .select(
+                F.col("id").cast(T.LongType()).alias("id"),
+                F.col("band.band_idx").alias("band_idx"),
+                F.col("band.band_hash").alias("band_hash"),
+            )
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        """Index the epoch's docs; return the epoch's NEW candidate
+        pairs (id_a, id_b) — the same row shape as
+        minhash_candidate_pairs."""
+        spark = batch_df.sparkSession
+        if self.compact_every and len(_epoch_dirs(self._band_root())) >= (
+            self.compact_every + 1
+        ):
+            self.compact(spark)
+        _write_epoch(
+            self._epoch_bands(batch_df), self._band_root(), epoch_id
+        )
+        # read the epoch's rows back from parquet: replay-exact, and
+        # the signature pipeline never re-executes for the join below
+        ep = spark.read.schema(self.BAND_SCHEMA).parquet(
+            os.path.join(self._band_root(), f"e-{epoch_id}")
+        )
+        all_bands = self.band_rows(spark)
+        new_ids = ep.select("id").distinct()
+        pairs = (
+            ep.select(
+                F.col("id").alias("id_n"), "band_idx", "band_hash"
+            )
+            .join(
+                all_bands.select(
+                    F.col("id").alias("id_o"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .filter(F.col("id_n") != F.col("id_o"))
+            .select(
+                F.least("id_n", "id_o").alias("id_a"),
+                F.greatest("id_n", "id_o").alias("id_b"),
+            )
+            .distinct()
+        )
+        # both-old pairs were emitted by an earlier epoch; keep pairs
+        # with >= 1 member in this epoch
+        return pairs.join(
+            new_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi"
+        ).unionByName(
+            pairs.join(
+                new_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
+            )
+        ).distinct()
