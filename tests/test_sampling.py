@@ -243,3 +243,47 @@ def test_dsir_validates_buckets(spark):
     df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dsir_select(df, F.lit(True), n_buckets=1)
+
+
+def test_token_budget_hamilton_exact(spark):
+    from walex_spark.extensions.sampling import token_budget_allocation
+
+    rows = [
+        (1, "a b c d", "s1"),        # 4 tokens
+        (2, "a b c d e f g h i", "s2"),  # 9 tokens
+        (3, "a", "s3"),              # 1 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    B = 100
+    out = {r.source: r for r in token_budget_allocation(df, B).collect()}
+    import math
+
+    # weights: 2, 3, 1; W = 6 (exact in doubles)
+    assert out["s1"].weight == 2.0 and out["s2"].weight == 3.0
+    assert sum(r.alloc_tokens for r in out.values()) == B
+    # shares: 33.33., 50, 16.66. -> base 33/50/16, rem=1 -> largest
+    # frac .666 (s3)... s1 frac .333, s3 frac .666 -> s3 gets it
+    assert out["s2"].alloc_tokens == 50
+    assert out["s3"].alloc_tokens == 17
+    assert out["s1"].alloc_tokens == 33
+    assert out["s3"].epochs == 17.0 / 1.0
+
+
+def test_token_budget_tie_breaks_to_smaller_group(spark):
+    from walex_spark.extensions.sampling import token_budget_allocation
+
+    # two identical groups, odd budget: equal fracs, tie -> sA
+    rows = [(1, "x y", "sA"), (2, "p q", "sB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r.alloc_tokens for r in token_budget_allocation(df, 7).collect()}
+    assert out == {"sA": 4, "sB": 3}
+
+
+def test_token_budget_validates(spark):
+    import pytest as _pt
+
+    from walex_spark.extensions.sampling import token_budget_allocation
+
+    df = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+    with _pt.raises(ValueError):
+        token_budget_allocation(df, -1)

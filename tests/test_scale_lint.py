@@ -63,6 +63,9 @@ BNLJ_ALLOWANCE = {
     "q_emb_hard_negatives": 1,    # broadcast anchor side (brute-force shape)
     "q_emb_knn_eval": 1,          # broadcast eval-sample anchor side
     "q_doc_nb_classifier": 1,     # C-row per-class-constants broadcast
+    # one-row weight-total + one-row remainder broadcasts + the
+    # |sources|-row fractional-rank frame — all metadata-sized
+    "q_doc_token_budget": 3,
     "q_doc_dsir": 1,              # one-row corpus-constant (k_const) broadcast
     # BM25's one-row corpus stats + the one-row contribution-list
     # frame + the k-row ideal/got join — all LIMIT-k or one-row
@@ -111,6 +114,9 @@ GLOBAL_WINDOW_OK = {
     # the per-block boundary carry: a serial window over the
     # metadata-sized block table, pinned separately in test_plans.py
     "q_cdc_pgoutput_decode",
+    # fractional-rank window over the |sources|-row apportionment
+    # table (a bounded dimension by definition — see the operator)
+    "q_doc_token_budget",
 }
 
 

@@ -97,3 +97,52 @@ def test_heavy_hitters_tokenization_matches_jvm(spark):
     df = spark.createDataFrame(rows, "text string")
     got = {(r.token, r.cnt) for r in heavy_hitters(df, share_denom=2).collect()}
     assert got == {("a b", 10)}
+
+
+def test_count_min_matches_pure_python_replica(spark):
+    import hashlib
+
+    from walex_spark.extensions.sketches import count_min_estimates
+
+    rows = [
+        (1, "aa bb aa cc aa"),
+        (2, "bb cc dd dd"),
+        (3, "aa ee ff gg dd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    depth, width = 3, 8  # narrow width forces collisions
+
+    def bucket(r, tok):
+        h = hashlib.md5(f"cms|{r}|{tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % width
+
+    toks = [t for _, txt in rows for t in txt.split()]
+    from collections import Counter
+
+    exact = Counter(toks)
+    sketch = Counter()
+    for t in toks:
+        for r in range(depth):
+            sketch[(r, bucket(r, t))] += 1
+    out = count_min_estimates(df, depth=depth, width=width, top_k=10).collect()
+    assert len(out) == len(exact)  # 7 distinct <= top_k
+    for row in out:
+        est = min(sketch[(r, bucket(r, row.token))] for r in range(depth))
+        assert row.exact_count == exact[row.token]
+        assert row.cms_estimate == est
+        assert row.overestimate == est - exact[row.token] >= 0
+    # ordering: exact desc, token asc
+    keys = [(-r.exact_count, r.token) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_count_min_validates(spark):
+    import pytest as _pt
+
+    from walex_spark.extensions.sketches import count_min_estimates
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        count_min_estimates(df, depth=0)
+    with _pt.raises(ValueError):
+        count_min_estimates(df, width=1)

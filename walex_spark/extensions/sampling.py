@@ -403,3 +403,95 @@ def dsir_select(
     w = Window.orderBy(F.col("weight_half_bits").desc(), F.col(id_col).asc())
     # window runs AFTER limit k — bounded input
     return ranked.withColumn("rnk", F.row_number().over(w).cast(T.LongType()))
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-weighted token-budget apportionment across corpus
+    slices — the mixing-plan step of a training run: given a total
+    token budget, how many tokens does each source/domain contribute?
+    Head sources are damped by the same sqrt (T=2) rule as
+    temperature_mixture; unlike the sampler (which keeps/drops rows),
+    this emits the integer PLAN the sampler then implements.
+
+    Exactness: weights use ONLY sqrt (IEEE correctly rounded in every
+    engine — pow() is not, see temperature_mixture); the weight total
+    is a GROUP-ASCENDING strict left fold, so every share double is
+    bit-identical across engines; integer allocations come from
+    largest-remainder (Hamilton) apportionment — floor every share,
+    then hand the leftover tokens to the largest fractional parts
+    (ties toward the smaller group key). Sum(alloc) == budget exactly.
+
+    Returns (group_col, n_tokens, weight, alloc_tokens, epochs) where
+    epochs = alloc_tokens / n_tokens (>1 means the slice repeats).
+
+    Scale shape: ONE map-side-combinable count aggregate over the
+    token stream (group-sized output); everything after operates on
+    the |groups|-row table (a bounded dimension by definition) — the
+    fold, the fractional-rank window, and the remainder broadcast are
+    all metadata-sized.
+    """
+    from walex_spark.extensions.text import _tokens
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    counts = (
+        df.select(F.col(group_col).alias("g"), _tokens(F.col(text_col)).alias("t"))
+        .select("g", F.size("t").alias("n"))
+        .groupBy("g")
+        .agg(F.sum("n").cast(T.LongType()).alias("n_tokens"))
+        # |groups| rows; the fold, the shares join, and the remainder
+        # aggregate all read it — materialize instead of re-scanning
+        # the corpus token stream per consumer
+        .localCheckpoint(eager=False)
+    )
+    w = counts.select(
+        "g", "n_tokens", F.sqrt(F.col("n_tokens").cast(T.DoubleType())).alias("w")
+    )
+    wtot = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("g", "w"))),
+            F.lit(0.0),
+            lambda acc, st: acc + st["w"],
+        ).alias("w_total")
+    )
+    shares = w.join(F.broadcast(wtot)).select(
+        "g",
+        "n_tokens",
+        "w",
+        (F.lit(float(budget_tokens)) * F.col("w") / F.col("w_total")).alias("share"),
+    )
+    based = shares.select(
+        "g",
+        "n_tokens",
+        "w",
+        "share",
+        F.floor("share").cast(T.LongType()).alias("base"),
+        (F.col("share") - F.floor("share")).alias("frac"),
+    )
+    rem = based.agg(
+        (F.lit(int(budget_tokens)) - F.sum("base")).cast(T.LongType()).alias("rem")
+    )
+    rw = Window.orderBy(F.col("frac").desc(), F.col("g").asc())
+    # window over the |groups|-row table — bounded by definition
+    return (
+        based.join(F.broadcast(rem))
+        .withColumn("__rk", F.row_number().over(rw))
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            F.col("w").alias("weight"),
+            (F.col("base") + (F.col("__rk") <= F.col("rem")).cast(T.LongType()))
+            .alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            F.col("alloc_tokens").cast(T.DoubleType())
+            / F.col("n_tokens").cast(T.DoubleType()),
+        )
+        .orderBy(group_col)
+    )

@@ -6957,6 +6957,93 @@ def q_doc_minhash_incr(spark, sf_dir):
 
 
 # =========================================================================
+_TOKEN_BUDGET_ORACLE = f"""
+    WITH counts AS (
+      SELECT source AS g, CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (SELECT g, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+          FROM counts),
+    wt AS (SELECT list_reduce(list(w ORDER BY g), (a, b) -> a + b)
+             AS w_total FROM w),
+    shares AS (
+      SELECT g, n_tokens, w, 1000000.0 * w / w_total AS share
+      FROM w CROSS JOIN wt),
+    based AS (
+      SELECT *, CAST(floor(share) AS BIGINT) AS base,
+             share - floor(share) AS frac
+      FROM shares),
+    rem AS (SELECT 1000000 - SUM(base) AS rem FROM based),
+    rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, g) AS rk
+           FROM based)
+    SELECT g AS source, n_tokens, w AS weight,
+           base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS alloc_tokens,
+           CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM rk CROSS JOIN rem ORDER BY source
+    """
+
+
+@_register("q_doc_token_budget", _TOKEN_BUDGET_ORACLE)
+def q_doc_token_budget(spark, sf_dir):
+    """Temperature-weighted token-budget apportionment
+    (extensions/sampling.py::token_budget_allocation): a 1M-token
+    budget split across sources by sqrt-damped weights with exact
+    largest-remainder integer rounding (sum == budget exactly) — the
+    mixing PLAN the temperature sampler implements. One token-count
+    aggregate; everything downstream is |sources|-row metadata."""
+    from walex_spark.extensions.sampling import token_budget_allocation
+
+    return token_budget_allocation(
+        _t(spark, sf_dir, "documents"), budget_tokens=1_000_000
+    )
+
+
+# =========================================================================
+_CMS_CELL = (
+    "('0x' || substr(md5('cms|' || CAST(r AS VARCHAR) || '|' || token), 1, 8))"
+    "::BIGINT % 1024"
+)
+_CMS_ORACLE = f"""
+    WITH toks AS (SELECT unnest({_DUCK_TOKS}) AS token FROM documents),
+    cells AS (
+      SELECT r, {_CMS_CELL} AS b
+      FROM toks, unnest([0, 1, 2, 3]) u(r)),
+    sketch AS (
+      SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY r, b),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY token
+      ORDER BY exact_count DESC, token LIMIT 20),
+    probe AS (
+      SELECT token, exact_count, r, {_CMS_CELL} AS b
+      FROM exact, unnest([0, 1, 2, 3]) u(r))
+    SELECT token, exact_count,
+           MIN(cnt) AS cms_estimate,
+           MIN(cnt) - exact_count AS overestimate
+    FROM probe JOIN sketch USING (r, b)
+    GROUP BY token, exact_count
+    ORDER BY exact_count DESC, token
+    """
+
+
+@_register("q_doc_countmin", _CMS_ORACLE)
+def q_doc_countmin(spark, sf_dir):
+    """Count-Min sketch frequency estimates vs exact counts for the
+    top-20 tokens (extensions/sketches.py::count_min_estimates) —
+    completing the sketch quartet (HLL, GK quantiles, Misra-Gries,
+    CM). The 4x1024 sketch is a deterministic md5 function of the
+    corpus, so the oracle rebuilds it bit-for-bit; the build is one
+    map-side-combinable aggregate whose output is 4k rows at ANY
+    corpus size."""
+    from walex_spark.extensions.sketches import count_min_estimates
+
+    return count_min_estimates(
+        _t(spark, sf_dir, "documents"), depth=4, width=1024, top_k=20
+    )
+
+
+# =========================================================================
 _DIVERSITY_ORACLE = f"""
     WITH t AS (SELECT source AS g, doc_id, {_DUCK_TOKS} AS toks
                FROM documents),
@@ -7205,6 +7292,7 @@ DRIVER_ORDER = [
     # third-session additions, zero history:
     "q_doc_tfidf_cosine", "q_emb_knn_eval", "q_doc_nb_classifier",
     "q_doc_minhash_incr", "q_snm_blocking", "q_doc_diversity",
+    "q_doc_countmin", "q_doc_token_budget",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -7226,8 +7314,15 @@ DRIVER_ORDER = [
     # q_doc_diversity: pure built-in join+groupBy composition, no repo
     # operator code, hard-green r02 AND r05 — same evictee class as
     # the eleven relational evictions above.
-    "q14_promo_share", "q15_top_supplier", "q16_supplier_counts",
-    "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q14_promo_share", "q15_top_supplier",
+    # q16_supplier_counts gave up its slot to the zero-history
+    # q_doc_countmin: pure built-in join+count-distinct composition,
+    # no repo operator code, hard-green r02 AND r05 — same evictee
+    # class as q13 above.
+    "q17_small_quantity_revenue", "q18_large_orders",
+    # q19_disjunctive_revenue gave up its slot to the zero-history
+    # q_doc_token_budget: pure built-in disjunctive-filter join, no
+    # repo operator code, hard-green r02 AND r05 — same evictee class.
     "q20_part_stock_suppliers", "q21_sole_late_supplier", "q22_idle_customers",
     # q_anti_join gave up its slot to the zero-history q_emb_knn_eval:
     # pure built-in LEFT ANTI join, no repo operator code, hard-green
