@@ -442,3 +442,90 @@ def test_minhash_foreachbatch_stream_e2e(spark, docs, tmp_path):
     emitted = spark.read.parquet(f"{out_root}/e-*").collect()
     batch = dd.minhash_candidate_pairs(docs).collect()
     assert _mh_key(emitted) == _mh_key(batch)
+
+
+# ---------------------------------------------------------------------------
+# IncrementalExactDedupIndex — exact-dedup upsert twin
+# ---------------------------------------------------------------------------
+
+
+def _latest_hash_state(rows_with_epoch):
+    best = {}
+    for epoch, r in rows_with_epoch:
+        cur = best.get(r.content_hash)
+        if cur is None or epoch >= cur[0]:
+            best[r.content_hash] = (epoch, r.rep_id, r.dup_count)
+    return {h: (rid, cnt) for h, (_, rid, cnt) in best.items()}
+
+
+def test_exact_dedup_fold_equals_batch(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import IncrementalExactDedupIndex
+
+    idx = IncrementalExactDedupIndex(str(tmp_path / "eidx"))
+    emitted = []
+    for e, b in enumerate(_epochs(docs)):
+        emitted.extend((e, r) for r in idx.process_batch(b, e).collect())
+    got = _latest_hash_state(emitted)
+    batch = {
+        r.content_hash: (r.rep_id, r.dup_count)
+        for r in dd.exact_dedup(docs).collect()
+    }
+    assert got == batch
+
+
+def test_exact_dedup_upserts_on_new_copies(spark, tmp_path):
+    from walex_spark.streaming.dedup_incr import IncrementalExactDedupIndex
+
+    idx = IncrementalExactDedupIndex(str(tmp_path / "eidx"))
+    e0 = spark.createDataFrame([(5, "same"), (9, "other")], "doc_id long, text string")
+    e1 = spark.createDataFrame([(3, "same")], "doc_id long, text string")
+    out0 = {r.content_hash: (r.rep_id, r.dup_count) for r in idx.process_batch(e0, 0).collect()}
+    out1 = {r.content_hash: (r.rep_id, r.dup_count) for r in idx.process_batch(e1, 1).collect()}
+    import hashlib
+
+    h_same = hashlib.md5(b"same").hexdigest()
+    h_other = hashlib.md5(b"other").hexdigest()
+    assert out0[h_same] == (5, 1) and out0[h_other] == (9, 1)
+    # epoch 1 touches only 'same': rep drops to 3, count rises to 2;
+    # 'other' is NOT re-emitted
+    assert out1 == {h_same: (3, 2)}
+
+
+def test_exact_dedup_replay_idempotent(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import IncrementalExactDedupIndex
+
+    idx = IncrementalExactDedupIndex(str(tmp_path / "eidx"))
+    e0, e1 = _epochs(docs, 2)
+    idx.process_batch(e0, 0)
+    first = sorted(
+        (r.content_hash, r.rep_id, r.dup_count)
+        for r in idx.process_batch(e1, 1).collect()
+    )
+    replay = sorted(
+        (r.content_hash, r.rep_id, r.dup_count)
+        for r in idx.process_batch(e1, 1).collect()
+    )
+    assert replay == first
+
+
+def test_exact_dedup_compaction_bounded_and_identical(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import (
+        IncrementalExactDedupIndex,
+        _epoch_dirs,
+    )
+
+    n_epochs, k = 12, 3
+    idx = IncrementalExactDedupIndex(str(tmp_path / "eidx"), compact_every=k)
+    emitted = []
+    max_live = 0
+    for e in range(n_epochs):
+        b = docs.filter(F.col("doc_id") % n_epochs == e)
+        emitted.extend((e, r) for r in idx.process_batch(b, e).collect())
+        max_live = max(max_live, len(_epoch_dirs(str(tmp_path / "eidx" / "agg"))))
+    assert max_live <= k + 1
+    got = _latest_hash_state(emitted)
+    batch = {
+        r.content_hash: (r.rep_id, r.dup_count)
+        for r in dd.exact_dedup(docs).collect()
+    }
+    assert got == batch

@@ -287,3 +287,47 @@ def test_token_budget_validates(spark):
     df = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
     with _pt.raises(ValueError):
         token_budget_allocation(df, -1)
+
+
+def test_exact_stratified_split_quotas_exact(spark):
+    from walex_spark.extensions.sampling import exact_stratified_split
+
+    rows = [(i, f"t{i}", "A") for i in range(10)] + [
+        (100 + i, f"u{i}", "B") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = exact_stratified_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert len(out) == 17
+    from collections import Counter
+
+    cnt = Counter((r.source, r.split) for r in out)
+    # A: n=10 -> base 8/1/1, rem 0
+    assert cnt[("A", "train")] == 8 and cnt[("A", "val")] == 1
+    assert cnt[("A", "test")] == 1
+    # B: n=7 -> shares 5.6/0.7/0.7 -> base 5/0/0, rem 2 -> two largest
+    # fracs (.7 val, .7 test; train .6 third) get +1
+    assert cnt[("B", "train")] == 5 and cnt[("B", "val")] == 1
+    assert cnt[("B", "test")] == 1
+
+
+def test_exact_stratified_split_deterministic_and_disjoint(spark):
+    from walex_spark.extensions.sampling import exact_stratified_split
+
+    rows = [(i, f"t{i}", f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = {(r.doc_id): r.split for r in exact_stratified_split(df).collect()}
+    b = {(r.doc_id): r.split for r in exact_stratified_split(df).collect()}
+    assert a == b  # replay-stable
+    assert len(a) == 30  # every row assigned exactly once
+
+
+def test_exact_stratified_split_validates(spark):
+    import pytest as _pt
+
+    from walex_spark.extensions.sampling import exact_stratified_split
+
+    df = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+    with _pt.raises(ValueError):
+        exact_stratified_split(df, {"train": 0.5, "val": 0.1})

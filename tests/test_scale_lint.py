@@ -117,6 +117,9 @@ GLOBAL_WINDOW_OK = {
     # fractional-rank window over the |sources|-row apportionment
     # table (a bounded dimension by definition — see the operator)
     "q_doc_token_budget",
+    # global_sorted_index offsets frame (~n_partitions rows) + the
+    # |strata|-row stratum-offset running sum — both metadata-sized
+    "q_doc_split",
 }
 
 

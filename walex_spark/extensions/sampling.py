@@ -495,3 +495,100 @@ def token_budget_allocation(
         )
         .orderBy(group_col)
     )
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment with EXACT per-stratum quotas — the
+    deterministic complement of the Bernoulli splitters: a hash test
+    keeps each stratum's split sizes only in expectation, while an
+    eval harness usually needs them exact (a 500-doc stratum must
+    contribute exactly 400/50/50). Quotas come from largest-remainder
+    apportionment of ``fractions`` over each stratum's row count
+    (sum == n_s exactly); WHICH rows land in which split is decided by
+    the md5 rank within the stratum — deterministic, engine-portable,
+    and stable under repartitioning/replay like every selection rule
+    in this module.
+
+    Returns (id_col, stratum_col, split), one row per input row.
+
+    Scale shape: ranks come from operators/ordering.py::
+    global_sorted_index under the (stratum, hash, id) total order —
+    ONE range sort, never a per-stratum single-task window; the
+    stratum offset and the quota table are |strata|-row metadata
+    joined back as broadcasts. Assignment is pure column CASE logic.
+    """
+    from walex_spark.operators.ordering import global_sorted_index
+
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(fractions)  # declaration order = remainder tie order
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    d = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("s"),
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast(T.StringType()))).alias(
+            "h"
+        ),
+    )
+    ranked = global_sorted_index(d, ["s", "h", id_col], "pos")
+    sizes = (
+        d.groupBy("s")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("n_s"))
+        .localCheckpoint(eager=False)  # offsets + quotas both read it
+    )
+    # stratum offset: rows in lexicographically-earlier strata — the
+    # |strata|-row running sum (metadata window, same frame the
+    # prefix-sum operators pin)
+    ow = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "s", "n_s", F.coalesce(F.sum("n_s").over(ow), F.lit(0)).alias("off")
+    )
+    # largest-remainder quotas per stratum, folded to cumulative split
+    # bounds as |strata| columns (declaration order): a doc with
+    # in-stratum rank r joins its stratum row and CASEs through the
+    # cumulative bounds
+    base_cols, frac_cols = [], []
+    for i, nm in enumerate(names):
+        share = F.col("n_s").cast(T.DoubleType()) * F.lit(float(fractions[nm]))
+        base_cols.append(F.floor(share).cast(T.LongType()).alias(f"b{i}"))
+        frac_cols.append((share - F.floor(share)).alias(f"f{i}"))
+    quot = offs.select("s", "n_s", "off", *base_cols, *frac_cols)
+    rem = F.col("n_s") - sum(F.col(f"b{i}") for i in range(len(names)))
+    # rank each split's fractional part within the row (k entries):
+    # split i gains +1 iff |{j: (f_j, j) > (f_i, i) strictly}| < rem
+    alloc_cols = []
+    for i in range(len(names)):
+        ahead = sum(
+            (
+                (F.col(f"f{j}") > F.col(f"f{i}"))
+                | ((F.col(f"f{j}") == F.col(f"f{i}")) & F.lit(j < i))
+            ).cast(T.LongType())
+            for j in range(len(names))
+            if j != i
+        )
+        alloc_cols.append(
+            (F.col(f"b{i}") + (ahead < rem).cast(T.LongType())).alias(f"q{i}")
+        )
+    quotas = quot.select("s", "off", *alloc_cols)
+    joined = ranked.join(F.broadcast(quotas), "s").withColumn(
+        "rk", F.col("pos") - F.col("off")
+    )
+    split = F.lit(None).cast(T.StringType())
+    bound = F.lit(0).cast(T.LongType())
+    expr = None
+    for i, nm in enumerate(names):
+        bound = bound + F.col(f"q{i}")
+        cond = F.col("rk") <= bound
+        expr = F.when(cond, F.lit(nm)) if expr is None else expr.when(cond, F.lit(nm))
+    return joined.select(
+        F.col(id_col),
+        F.col("s").alias(stratum_col),
+        expr.alias("split"),
+    )

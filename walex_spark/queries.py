@@ -6957,6 +6957,97 @@ def q_doc_minhash_incr(spark, sf_dir):
 
 
 # =========================================================================
+@_register(
+    "q_doc_exact_dedup_incr",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_doc_exact_dedup_incr(spark, sf_dir):
+    """INCREMENTAL exact dedup (streaming/dedup_incr.py::
+    IncrementalExactDedupIndex — the foreachBatch twin of
+    q_doc_exact_dedup): 3 micro-batches (doc_id mod 3); each epoch
+    writes its own (hash, min_id, cnt) partial aggregate and emits
+    UPSERTS for every group it touched (min/sum fold over the partial
+    union, restricted by a semi-join to the epoch's hashes). The
+    LATEST emission per hash is returned and must equal the batch
+    operator — same oracle as q_doc_exact_dedup."""
+    from walex_spark.streaming.dedup_incr import IncrementalExactDedupIndex
+
+    root = _scratch_dir("exact_incr_")
+    docs = _t(spark, sf_dir, "documents")
+    idx = IncrementalExactDedupIndex(f"{root}/idx")
+    outs = []
+    for e in range(3):
+        out = idx.process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+        path = f"{root}/out-{e}"
+        out.withColumn("epoch", F.lit(e)).write.mode("overwrite").parquet(path)
+        outs.append(path)
+    em = spark.read.parquet(*outs)
+    w = Window.partitionBy("content_hash").orderBy(F.col("epoch").desc())
+    return (
+        em.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("content_hash", "rep_id", "dup_count")
+    )
+
+
+# =========================================================================
+_SPLIT_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source AS s,
+             md5('split' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY s ORDER BY h, doc_id)
+            AS rk FROM d),
+    n AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY s),
+    b AS (
+      -- f forced to DOUBLE: a DECIMAL 0.8 would make n_s * f exact
+      -- where Spark's double product carries a 1-ulp fraction, and
+      -- the remainder ORDERING keys on those fractions
+      SELECT s, n_s, k, f,
+             CAST(floor(CAST(n_s AS DOUBLE) * f) AS BIGINT) AS base,
+             CAST(n_s AS DOUBLE) * f
+               - floor(CAST(n_s AS DOUBLE) * f) AS fr
+      FROM n, (VALUES (0, CAST(0.8 AS DOUBLE)), (1, CAST(0.1 AS DOUBLE)),
+               (2, CAST(0.1 AS DOUBLE))) u(k, f)),
+    rem AS (SELECT s, n_s - SUM(base) AS rem FROM b GROUP BY s, n_s),
+    alloc AS (
+      SELECT b.s, k,
+             base + CASE WHEN row_number() OVER (
+                 PARTITION BY b.s ORDER BY fr DESC, k) <= rem
+               THEN 1 ELSE 0 END AS quota
+      FROM b JOIN rem ON b.s = rem.s),
+    q AS (
+      SELECT s,
+             SUM(CASE WHEN k = 0 THEN quota END) AS q0,
+             SUM(CASE WHEN k = 1 THEN quota END) AS q1
+      FROM alloc GROUP BY s)
+    SELECT doc_id, r.s AS source,
+           CASE WHEN rk <= q0 THEN 'train'
+                WHEN rk <= q0 + q1 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r JOIN q ON r.s = q.s
+    """
+
+
+@_register("q_doc_split", _SPLIT_ORACLE)
+def q_doc_split(spark, sf_dir):
+    """Exact-quota stratified train/val/test split (extensions/
+    sampling.py::exact_stratified_split): per-source quotas by
+    largest-remainder apportionment of 80/10/10 (sum == n_s exactly),
+    membership by md5 rank within the stratum. Ranks come from ONE
+    distributed range sort (global_sorted_index) + |strata|-row
+    offset/quota broadcasts — never a per-stratum single-task window."""
+    from walex_spark.extensions.sampling import exact_stratified_split
+
+    return exact_stratified_split(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
 _TOKEN_BUDGET_ORACLE = f"""
     WITH counts AS (
       SELECT source AS g, CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
@@ -7293,6 +7384,7 @@ DRIVER_ORDER = [
     "q_doc_tfidf_cosine", "q_emb_knn_eval", "q_doc_nb_classifier",
     "q_doc_minhash_incr", "q_snm_blocking", "q_doc_diversity",
     "q_doc_countmin", "q_doc_token_budget",
+    "q_doc_exact_dedup_incr", "q_doc_split",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -7314,7 +7406,10 @@ DRIVER_ORDER = [
     # q_doc_diversity: pure built-in join+groupBy composition, no repo
     # operator code, hard-green r02 AND r05 — same evictee class as
     # the eleven relational evictions above.
-    "q14_promo_share", "q15_top_supplier",
+    # q14_promo_share and q15_top_supplier gave up their slots to the
+    # zero-history q_doc_exact_dedup_incr / q_doc_split: pure built-in
+    # join-aggregate compositions, no repo operator code, hard-green
+    # r02 AND r05 — same evictee class as q13/q16/q19.
     # q16_supplier_counts gave up its slot to the zero-history
     # q_doc_countmin: pure built-in join+count-distinct composition,
     # no repo operator code, hard-green r02 AND r05 — same evictee

@@ -884,3 +884,80 @@ class IncrementalMinHashIndex:
                 new_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
             )
         ).distinct()
+
+
+class IncrementalExactDedupIndex:
+    """Exact-dedup twin — the foreachBatch form of
+    extensions/dedup.py::exact_dedup (content-hash groups with a
+    min-id representative and a duplicate count).
+
+    A group's (rep_id, dup_count) CHANGES as later copies arrive, so
+    like the despan twin this emits UPSERTS keyed by content_hash:
+    each epoch emits one row per hash TOUCHED by the epoch, carrying
+    the group's post-epoch state; the LATEST emission per hash (max
+    epoch) equals the batch operator over the full corpus. State is
+    per-epoch PARTIAL aggregates (content_hash, min_id, cnt) — the
+    fold is min/sum, map-side combinable, so compaction pre-folds
+    partials exactly like the despan count root.
+
+    PER-EPOCH COST CONTRACT: the epoch aggregates ONLY its own rows;
+    index-wide work is one keyed semi-join (touched hashes against the
+    partial-aggregate union) + the fold over the matching groups.
+    """
+
+    AGG_SCHEMA = "content_hash STRING, min_id BIGINT, cnt BIGINT"
+
+    def __init__(
+        self,
+        index_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        compact_every: int = 0,
+    ):
+        self.index_dir = index_dir
+        self.text_col, self.id_col = text_col, id_col
+        self.compact_every = compact_every
+
+    def _agg_root(self) -> str:
+        return os.path.join(self.index_dir, "agg")
+
+    @staticmethod
+    def _fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("content_hash").agg(
+            F.min("min_id").alias("min_id"), F.sum("cnt").alias("cnt")
+        )
+
+    def compact(self, spark: SparkSession) -> bool:
+        return _compact_root(
+            spark, self._agg_root(), self.AGG_SCHEMA, agg=self._fold
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        """Index the epoch's docs; return the UPSERT rows
+        (content_hash, rep_id, dup_count) for every group the epoch
+        touched — the batch operator's row shape."""
+        spark = batch_df.sparkSession
+        if self.compact_every and len(_epoch_dirs(self._agg_root())) >= (
+            self.compact_every + 1
+        ):
+            self.compact(spark)
+        ep = batch_df.select(
+            F.md5(F.col(self.text_col)).alias("content_hash"),
+            F.col(self.id_col).cast(T.LongType()).alias("id"),
+        ).groupBy("content_hash").agg(
+            F.min("id").alias("min_id"),
+            F.count(F.lit(1)).cast(T.LongType()).alias("cnt"),
+        )
+        _write_epoch(ep, self._agg_root(), epoch_id)
+        ep_hashes = (
+            spark.read.schema(self.AGG_SCHEMA)
+            .parquet(os.path.join(self._agg_root(), f"e-{epoch_id}"))
+            .select("content_hash")
+        )
+        all_partials = _read_union(spark, self._agg_root(), self.AGG_SCHEMA)
+        touched = all_partials.join(ep_hashes, "content_hash", "left_semi")
+        return self._fold(touched).select(
+            "content_hash",
+            F.col("min_id").alias("rep_id"),
+            F.col("cnt").alias("dup_count"),
+        )
