@@ -43,3 +43,44 @@ def test_duplicate_grams_count_once(spark):
     # "b c a", "c a b"); only "a b c" appears in the benchmark
     assert row.n_grams == 3
     assert row.n_contaminated == 1
+
+
+def test_cross_jaccard_contamination_hand_case(spark):
+    from walex_spark.extensions.decontam import cross_jaccard_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # shares most shingles with bench 1
+            (2, "z y x w v u"),        # disjoint
+            (3, "a b c d q r"),        # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "m n o p")], "doc_id long, text string"
+    )
+    out = {
+        (r.train_id, r.bench_id): r.jaccard
+        for r in cross_jaccard_contamination(
+            train, bench, threshold_num=1, threshold_den=4, id_offset=100
+        ).collect()
+    }
+    # train1 vs bench1: identical shingle sets -> J=1
+    assert out[(1, 1)] == 1.0
+    # train3 vs bench1: shingles {abc,bcd,cde,def} vs {abc,bcd,cdq,dqr}
+    # -> it=2, union=6 -> 1/3 >= 1/4 kept
+    assert abs(out[(3, 1)] - 2.0 / 6.0) < 1e-15
+    # disjoint and bench2 pairs absent; no train-train pairs leak
+    assert set(out) == {(1, 1), (3, 1)}
+
+
+def test_cross_jaccard_offset_inferred_when_ids_collide(spark):
+    from walex_spark.extensions.decontam import cross_jaccard_contamination
+
+    # same doc_id=7 on both sides: inferred offset must keep them apart
+    train = spark.createDataFrame([(7, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([(7, "a b c d")], "doc_id long, text string")
+    out = cross_jaccard_contamination(
+        train, bench, threshold_num=1, threshold_den=2
+    ).collect()
+    assert [(r.train_id, r.bench_id, r.jaccard) for r in out] == [(7, 7, 1.0)]

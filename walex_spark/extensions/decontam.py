@@ -81,3 +81,83 @@ def ngram_contamination(
             (frac >= F.lit(threshold)).alias("is_contaminated"),
         )
     )
+
+
+def cross_jaccard_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = 3,
+    id_offset: int | None = None,
+) -> DataFrame:
+    """Document-LEVEL contamination audit: every (training doc,
+    benchmark doc) pair whose shingle-set Jaccard clears num/den — the
+    near-duplicate complement of ``ngram_contamination`` (which flags
+    PHRASE overlap; a paraphrased or lightly-edited benchmark copy
+    slips past an n-gram probe but not a 0.3-Jaccard one).
+
+    Composition, not new machinery: tag each side, run the LOSSLESS
+    prefix-filter join (dedup.py::prefix_filter_jaccard_pairs — the
+    All-Pairs/ppjoin plan) over the union, keep cross-side pairs.
+    Exactness is inherited: the output is exactly the naive
+    threshold join restricted to (train, benchmark) pairs.
+
+    Id spaces may overlap: benchmark ids are offset into a disjoint
+    range internally and restored on output. Pass ``id_offset`` (any
+    bound > max train id) to skip the one-row max() pre-job — the
+    registry uses 2^40 so query construction stays lazy.
+
+    Returns (train_id, bench_id, jaccard) ordered by (jaccard desc,
+    train_id, bench_id).
+
+    Scale note: the union plan also generates train-train candidate
+    pairs that are then discarded — lossless but not free. At a 100 TB
+    train side the asymmetric variant (index ONLY benchmark prefixes,
+    probe with train prefixes) cuts candidate generation to
+    benchmark-bounded size; it is a 20-line specialization of the same
+    prefix lemma, worth doing when the train side dominates. The
+    composition is kept here because it reuses the audited, tested
+    plan unchanged.
+    """
+    from walex_spark.extensions.dedup import prefix_filter_jaccard_pairs
+
+    if id_offset is not None:
+        offset = int(id_offset)
+    else:
+        # one-row metadata aggregate — the only collect in the path
+        off = docs.select(F.max(F.col(id_col)).alias("m")).collect()[0].m
+        offset = int(off) + 1 if off is not None else 1
+    tagged = docs.select(
+        F.col(id_col).cast(T.LongType()).alias(id_col),
+        F.col(text_col),
+    ).unionByName(
+        benchmark.select(
+            (F.col(id_col).cast(T.LongType()) + F.lit(offset)).alias(id_col),
+            F.col(text_col),
+        )
+    )
+    pairs = prefix_filter_jaccard_pairs(
+        tagged,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+    )
+    a_bench = F.col("id_a") >= offset
+    b_bench = F.col("id_b") >= offset
+    return (
+        pairs.where(a_bench != b_bench)
+        .select(
+            F.when(a_bench, F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+            (
+                F.when(a_bench, F.col("id_a")).otherwise(F.col("id_b"))
+                - F.lit(offset)
+            ).alias("bench_id"),
+            F.col("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "train_id", "bench_id")
+    )

@@ -6996,6 +6996,54 @@ def q_doc_exact_dedup_incr(spark, sf_dir):
 
 
 # =========================================================================
+_XJAC_ORACLE = """
+    WITH w AS (
+      SELECT doc_id AS id, source,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents),
+    toks AS (
+      SELECT DISTINCT id, source,
+             unnest(list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS token
+      FROM w WHERE len(ws) >= 3),
+    sz AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS train_id, b.id AS bench_id, COUNT(*) AS it
+      FROM toks a JOIN toks b ON a.token = b.token
+      WHERE a.source <> 'src19' AND b.source = 'src19'
+      GROUP BY 1, 2)
+    SELECT train_id, bench_id,
+           CAST(it AS DOUBLE) / CAST(sa.sz + sb.sz - it AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.id = train_id
+    JOIN sz sb ON sb.id = bench_id
+    WHERE 10 * it >= 3 * (sa.sz + sb.sz - it)
+    ORDER BY jaccard DESC, train_id, bench_id
+    """
+
+
+@_register("q_doc_decontam_jaccard", _XJAC_ORACLE)
+def q_doc_decontam_jaccard(spark, sf_dir):
+    """Document-level contamination audit (extensions/decontam.py::
+    cross_jaccard_contamination): every (train doc, benchmark doc)
+    pair with shingle Jaccard >= 3/10, where 'src19' plays the
+    benchmark — the near-duplicate complement of the n-gram probe
+    (paraphrased benchmark copies slip an n-gram test, not a Jaccard
+    one). Composition over the lossless prefix-filter join; oracle is
+    the naive cross-side threshold join."""
+    from walex_spark.extensions.decontam import cross_jaccard_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_jaccard_contamination(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        threshold_num=3,
+        threshold_den=10,
+        id_offset=1 << 40,
+    )
+
+
+# =========================================================================
 _SPLIT_ORACLE = """
     WITH d AS (
       SELECT doc_id, source AS s,
@@ -7384,7 +7432,7 @@ DRIVER_ORDER = [
     "q_doc_tfidf_cosine", "q_emb_knn_eval", "q_doc_nb_classifier",
     "q_doc_minhash_incr", "q_snm_blocking", "q_doc_diversity",
     "q_doc_countmin", "q_doc_token_budget",
-    "q_doc_exact_dedup_incr", "q_doc_split",
+    "q_doc_exact_dedup_incr", "q_doc_split", "q_doc_decontam_jaccard",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -7414,7 +7462,10 @@ DRIVER_ORDER = [
     # q_doc_countmin: pure built-in join+count-distinct composition,
     # no repo operator code, hard-green r02 AND r05 — same evictee
     # class as q13 above.
-    "q17_small_quantity_revenue", "q18_large_orders",
+    # q17_small_quantity_revenue gave up its slot to the zero-history
+    # q_doc_decontam_jaccard: pure built-in correlated-scalar-subquery
+    # join, no repo operator code, hard-green r02 AND r05.
+    "q18_large_orders",
     # q19_disjunctive_revenue gave up its slot to the zero-history
     # q_doc_token_budget: pure built-in disjunctive-filter join, no
     # repo operator code, hard-green r02 AND r05 — same evictee class.
