@@ -113,14 +113,13 @@ def cross_jaccard_contamination(
     Returns (train_id, bench_id, jaccard) ordered by (jaccard desc,
     train_id, bench_id).
 
-    Scale note: the union plan also generates train-train candidate
-    pairs that are then discarded — lossless but not free. At a 100 TB
-    train side the asymmetric variant (index ONLY benchmark prefixes,
-    probe with train prefixes) cuts candidate generation to
-    benchmark-bounded size; it is a 20-line specialization of the same
-    prefix lemma, worth doing when the train side dominates. The
-    composition is kept here because it reuses the audited, tested
-    plan unchanged.
+    Scale note: candidate generation is ASYMMETRIC — a ``pair_filter``
+    pushed into the prefix join prunes same-side pairs BEFORE the pair
+    aggregate and the verify join, so train-train near-dup mass (the
+    overwhelming majority at a 100 TB train side) is never aggregated
+    or verified; only (train, benchmark) candidates survive the token
+    join. Both sides' prefixes still index, as the All-Pairs lemma
+    requires.
     """
     from walex_spark.extensions.dedup import prefix_filter_jaccard_pairs
 
@@ -146,18 +145,14 @@ def cross_jaccard_contamination(
         text_col=text_col,
         id_col=id_col,
         shingle_n=shingle_n,
+        # ids are disjoint (bench >= offset) and id_a < id_b, so a
+        # cross pair is exactly "a below the offset, b at or above it"
+        pair_filter=(F.col("id_a") < F.lit(offset))
+        & (F.col("id_b") >= F.lit(offset)),
     )
-    a_bench = F.col("id_a") >= offset
-    b_bench = F.col("id_b") >= offset
-    return (
-        pairs.where(a_bench != b_bench)
-        .select(
-            F.when(a_bench, F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
-            (
-                F.when(a_bench, F.col("id_a")).otherwise(F.col("id_b"))
-                - F.lit(offset)
-            ).alias("bench_id"),
-            F.col("jaccard"),
-        )
-        .orderBy(F.col("jaccard").desc(), "train_id", "bench_id")
-    )
+    # the pair_filter guarantees id_a = train, id_b = bench
+    return pairs.select(
+        F.col("id_a").alias("train_id"),
+        (F.col("id_b") - F.lit(offset)).alias("bench_id"),
+        F.col("jaccard"),
+    ).orderBy(F.col("jaccard").desc(), "train_id", "bench_id")

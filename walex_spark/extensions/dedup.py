@@ -1008,6 +1008,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int | None = 3,
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard >= t join WITHOUT the full inverted-index
     self-join: prefix filtering. The set representation is ``shingle_n``
@@ -1096,6 +1097,13 @@ def prefix_filter_jaccard_pairs(
             "token",
         )
         .filter(F.col("id_a") < F.col("id_b"))
+        # optional (id_a, id_b) predicate applied BEFORE the pair
+        # aggregate: a cross-corpus caller (decontamination) prunes
+        # same-side candidates here, so the asymmetric join never
+        # aggregates or verifies train-train mass — this restriction
+        # IS the asymmetric All-Pairs variant (both sides' prefixes
+        # still index, as the lemma requires)
+        .filter(pair_filter if pair_filter is not None else F.lit(True))
         .filter(
             (n * F.col("sz_a") <= d * F.col("sz_b"))
             & (n * F.col("sz_b") <= d * F.col("sz_a"))
