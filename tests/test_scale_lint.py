@@ -62,6 +62,7 @@ BNLJ_ALLOWANCE = {
     "q_emb_ann_rp": 3,
     "q_emb_hard_negatives": 1,    # broadcast anchor side (brute-force shape)
     "q_emb_knn_eval": 1,          # broadcast eval-sample anchor side
+    "q_emb_hamming_topk": 1,      # broadcast anchor side (sign-bit scan)
     "q_doc_nb_classifier": 1,     # C-row per-class-constants broadcast
     # one-row weight-total + one-row remainder broadcasts + the
     # |sources|-row fractional-rank frame — all metadata-sized

@@ -374,3 +374,48 @@ def test_knn_label_eval_tie_breaks_to_smaller_label(spark):
     out = {r.label: r for r in sim.knn_label_eval(
         df.filter(F.col("vec_id") == 1), df, k=2).collect()}
     assert out[2].n_correct == 1  # predicted 2 on the tie
+
+
+def test_sign_signature_and_hamming_hand_case(spark):
+    rows = [
+        (1, [1.0] * 64),                      # all bits set
+        (2, [-1.0] * 64),                     # no bits set
+        (3, [1.0] * 32 + [-1.0] * 32),        # low word only
+        (4, [1.0] * 63 + [-1.0]),             # bit 63 clear
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id", sim.sign_signature(F.col("embedding"), 64).alias("s")
+        ).collect()
+    }
+    full = (1 << 32) - 1
+    assert sigs[1] == [full, full]
+    assert sigs[2] == [0, 0]
+    assert sigs[3] == [full, 0]
+    assert sigs[4] == [full, full >> 1]
+    out = {
+        (r.query_id, r.neighbor_id): (r.hamming, r.rnk)
+        for r in sim.hamming_topk(
+            df.filter(F.col("vec_id") == 1), df, k=3
+        ).collect()
+    }
+    # distances from 1: d(4)=1, d(3)=32, d(2)=64
+    assert out[(1, 4)] == (1, 1)
+    assert out[(1, 3)] == (32, 2)
+    assert out[(1, 2)] == (64, 3)
+
+
+def test_hamming_tie_breaks_on_neighbor_id(spark):
+    rows = [
+        (1, [1.0] * 64),
+        (5, [1.0] * 63 + [-1.0]),
+        (3, [-1.0] + [1.0] * 63),  # also hamming 1 from id 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.hamming_topk(df.filter(F.col("vec_id") == 1), df, k=2).collect()
+    assert [(r.neighbor_id, r.hamming, r.rnk) for r in sorted(out, key=lambda r: r.rnk)] == [
+        (3, 1, 1),
+        (5, 1, 2),
+    ]

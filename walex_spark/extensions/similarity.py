@@ -1438,3 +1438,86 @@ def knn_label_eval(
         )
         .orderBy("label")
     )
+
+
+def sign_signature(vec: Column, dim: int) -> Column:
+    """Pack a vector's component signs into 32-bit words:
+    word w, bit j set iff v[w*32 + j] > 0. Returns array<long> of
+    ceil(dim/32) words — the 1-bit-per-dimension binary embedding
+    (64 floats -> 8 bytes, a 32x shuffle-width cut).
+
+    Bits accumulate with bitwise OR over CONSTANT powers of two
+    (unrolled per bit, like the RP plane literals) — no runtime
+    shifts, no overflow anywhere (bit 31 < 2^62), identical in any
+    engine with CASE + | .
+    """
+    v = _to_double(vec)
+    words = []
+    for w in range(0, dim, 32):
+        bits = F.lit(0).cast(T.LongType())
+        for j in range(min(32, dim - w)):
+            bits = bits.bitwiseOR(
+                F.when(
+                    F.element_at(v, w + j + 1) > F.lit(0.0),
+                    F.lit(1 << j).cast(T.LongType()),
+                ).otherwise(F.lit(0).cast(T.LongType()))
+            )
+        words.append(bits)
+    return F.array(*words)
+
+
+def hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-embedding ANN: exact top-k by Hamming distance over
+    sign signatures — the most compressed scan in the ANN family
+    (PQ 32x, SQ8 4x, sign bits 32x AND distance becomes popcount).
+    Sign-random-projection theory (Charikar 2002) makes the Hamming
+    distance a monotone estimator of angular distance, so the binary
+    scan is the standard first-stage filter before an exact re-rank.
+
+    Distance = sum over words of bit_count(xor(a, b)) — pure integer,
+    exact; ties break (hamming asc, neighbor id asc). Self-matches
+    excluded. Returns (query_id, neighbor_id, hamming, rnk).
+
+    Scale shape: signatures are computed map-side (8 bytes per vector
+    crosses the join instead of 256+); the anchor side broadcasts
+    (brute_force_topk's contract) and the per-anchor window is
+    bounded. At corpus scale, bucket the top signature word and
+    equi-join buckets exactly like the LSH path.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        sign_signature(F.col(vec_col), dim).alias("q_sig"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        sign_signature(F.col(vec_col), dim).alias("c_sig"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("q_sig"),
+            F.col("c_sig"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast(T.LongType()),
+        ),
+        F.lit(0).cast(T.LongType()),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    )

@@ -6996,6 +6996,52 @@ def q_doc_exact_dedup_incr(spark, sf_dir):
 
 
 # =========================================================================
+def _sign_word_sql(vec: str, w: int) -> str:
+    """One packed 32-bit sign word as unrolled CASE | CASE — mirrors
+    similarity.py::sign_signature bit-for-bit."""
+    terms = [
+        f"(CASE WHEN {vec}[{w * 32 + j + 1}] > 0 THEN {1 << j}::BIGINT"
+        " ELSE 0::BIGINT END)"
+        for j in range(32)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+_HAMMING_ORACLE = f"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             {_sign_word_sql('v', 0)} AS w0,
+             {_sign_word_sql('v', 1)} AS w1
+      FROM s),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.w0, c.w0))
+                  + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+      FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20)
+    SELECT query_id, neighbor_id, hamming, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    """
+
+
+@_register("q_emb_hamming_topk", _HAMMING_ORACLE)
+def q_emb_hamming_topk(spark, sf_dir):
+    """Binary-embedding ANN (similarity.py::hamming_topk): component
+    signs packed into two 32-bit words (8 bytes per vector — the most
+    compressed scan in the ANN family), exact top-10 by popcount
+    Hamming distance per anchor (Charikar 2002: Hamming over sign
+    bits estimates angular distance). Anchors broadcast; distance is
+    pure integer popcount — bit-identical in any engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.hamming_topk(emb.filter(F.col("vec_id") < 20), emb, k=10, dim=64)
+
+
+# =========================================================================
 _XJAC_ORACLE = """
     WITH w AS (
       SELECT doc_id AS id, source,
@@ -7433,6 +7479,7 @@ DRIVER_ORDER = [
     "q_doc_minhash_incr", "q_snm_blocking", "q_doc_diversity",
     "q_doc_countmin", "q_doc_token_budget",
     "q_doc_exact_dedup_incr", "q_doc_split", "q_doc_decontam_jaccard",
+    "q_emb_hamming_topk",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -7469,7 +7516,10 @@ DRIVER_ORDER = [
     # q19_disjunctive_revenue gave up its slot to the zero-history
     # q_doc_token_budget: pure built-in disjunctive-filter join, no
     # repo operator code, hard-green r02 AND r05 — same evictee class.
-    "q20_part_stock_suppliers", "q21_sole_late_supplier", "q22_idle_customers",
+    # q20_part_stock_suppliers gave up its slot to the zero-history
+    # q_emb_hamming_topk: pure built-in nested-subquery join, no repo
+    # operator code, hard-green r02 AND r05 — same evictee class.
+    "q21_sole_late_supplier", "q22_idle_customers",
     # q_anti_join gave up its slot to the zero-history q_emb_knn_eval:
     # pure built-in LEFT ANTI join, no repo operator code, hard-green
     # r02 AND r05 — same evictee class as the twelve others this round.
