@@ -704,22 +704,42 @@ class IncrementalDespanIndex:
         _write_epoch(cnt_new, self._root("cnt"), epoch_id)
         _write_epoch(docs_new, self._root("docs"), epoch_id)
 
-        # partial-count fold over ALL epochs vs over PRIOR epochs:
-        # newly-duplicated hashes are the difference
-        def _totals(dirs):
-            if not dirs:
-                return spark.createDataFrame([], self.CNT_SCHEMA)
-            return (
-                spark.read.schema(self.CNT_SCHEMA).parquet(*dirs)
-                .groupBy("h").agg(F.sum("n").alias("n"))
-            )
-
+        # ONE partial-count fold (prior epochs only), full-outer-joined
+        # with the epoch's own partial: n_all = n_old + n_new gives the
+        # duplicated set, n_old alone the previously-duplicated set —
+        # newly-duplicated is the difference, computed without a second
+        # index-wide aggregate (r08: this halved the per-epoch fold cost;
+        # both reads of `joined` reuse the same localCheckpoint)
         all_dirs = _epoch_dirs(self._root("cnt"))
         cur = os.path.join(self._root("cnt"), f"e-{epoch_id}")
         old_dirs = [d for d in all_dirs if d != cur]
-        dup_all = _totals(all_dirs).filter(F.col("n") >= self.min_count).select("h")
-        dup_old = _totals(old_dirs).filter(F.col("n") >= self.min_count).select("h")
-        newly_dup = dup_all.join(dup_old, "h", "left_anti")
+        if old_dirs:
+            tot_old = (
+                spark.read.schema(self.CNT_SCHEMA).parquet(*old_dirs)
+                .groupBy("h").agg(F.sum("n").alias("n_old"))
+            )
+        else:
+            tot_old = spark.createDataFrame([], "h STRING, n_old BIGINT")
+        cnt_new_read = spark.read.schema(self.CNT_SCHEMA).parquet(cur)
+        joined_cnt = (
+            tot_old.join(
+                cnt_new_read.select("h", F.col("n").alias("n_new")), "h", "full"
+            )
+            .select(
+                "h",
+                (F.coalesce(F.col("n_old"), F.lit(0))).alias("n_old"),
+                (
+                    F.coalesce(F.col("n_old"), F.lit(0))
+                    + F.coalesce(F.col("n_new"), F.lit(0))
+                ).alias("n_all"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        dup_all = joined_cnt.filter(F.col("n_all") >= self.min_count).select("h")
+        newly_dup = joined_cnt.filter(
+            (F.col("n_all") >= self.min_count)
+            & (F.col("n_old") < self.min_count)
+        ).select("h")
 
         all_wins = _read_union(spark, self._root("wins"), self.WIN_SCHEMA)
         all_docs = _read_union(spark, self._root("docs"), self.DOC_SCHEMA)
