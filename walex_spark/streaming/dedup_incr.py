@@ -264,7 +264,11 @@ class IncrementalWinnowIndex:
         all_fps = self.fingerprints(spark)
         new_ids = ep_fps.select("id").distinct()
         sizes = _read_union(spark, self._sizes_root(), self.SIZES_SCHEMA)
-        new_side = all_fps.join(new_ids, "id", "left_semi")
+        # the new side IS the epoch's own rows (docs are immutable and
+        # arrive once — the fold contract), so no index-wide semi-join
+        # is needed to recover them (r08: one full index pass saved
+        # per epoch)
+        new_side = ep_fps
         # every (pair, hash) where the pair's LATER member is new:
         # join new-side rows against the whole index; distinct on the
         # normalized pair before counting (a new-new pair meets twice)
