@@ -216,6 +216,10 @@ class IncrementalSessionIndex:
                 ).otherwise(F.col("first_ts")),
             )
             .withColumn("__max_no", F.max("final_no").over(uw))
+            # three consumers (state write + both closed emissions) —
+            # materialize the stitched frame once instead of re-running
+            # the epoch window + state fold + join per consumer
+            .localCheckpoint(eager=False)
         )
         new_state = j.filter(F.col("final_no") == F.col("__max_no")).select(
             "user_id",
