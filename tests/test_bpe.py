@@ -109,3 +109,27 @@ def test_wordpiece_hand_computed(spark):
     assert out[1].pieces_per_word == 1.5
     assert out[2].n_words == 2 and out[2].n_pieces == 4
     assert out[2].pieces_per_word == 2.0
+
+
+def test_token_id_arrays_hand_case(spark):
+    from walex_spark.extensions.bpe import token_id_arrays
+
+    rows = [
+        (1, "b a a"),
+        (2, "a c b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_id_arrays(df).collect()}
+    # counts: a=3, b=2, c=1 -> ids a=1, b=2, c=3
+    assert out[1].token_ids == [2, 1, 1]
+    assert out[2].token_ids == [1, 3, 2]
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 3
+
+
+def test_token_id_arrays_rank_tiebreak_is_lexicographic(spark):
+    from walex_spark.extensions.bpe import token_id_arrays
+
+    df = spark.createDataFrame([(1, "zz aa")], "doc_id long, text string")
+    out = token_id_arrays(df).collect()[0]
+    # equal counts -> 'aa' ranks before 'zz'
+    assert out.token_ids == [2, 1]

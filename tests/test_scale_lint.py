@@ -121,6 +121,8 @@ GLOBAL_WINDOW_OK = {
     # global_sorted_index offsets frame (~n_partitions rows) + the
     # |strata|-row stratum-offset running sum — both metadata-sized
     "q_doc_split",
+    # same offsets frame, for the vocab-rank range sort
+    "q_doc_token_ids",
 }
 
 

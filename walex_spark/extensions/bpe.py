@@ -295,3 +295,48 @@ def wordpiece_segment(
         )
     )
     return per_doc
+
+
+def token_id_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the corpus as integer token-id sequences — the
+    final tokenize step of a training-data pipeline: vocabulary ids
+    assigned by frequency rank (count desc, token asc — the
+    conventional "id 1 = most frequent" layout), each document
+    re-emitted as its id array in token order.
+
+    Returns (id_col, n_tokens, token_ids: array<bigint>).
+
+    Scale shape: the vocab rank comes from operators/ordering.py::
+    global_sorted_index over the VOCAB (one range sort of vocab-sized
+    rows — never a single-task global window); the corpus joins the
+    ranked vocab on the token key (vocab is zipf-headed: AQE splits
+    the hot-token skew) and re-assembles per doc with ONE
+    groupBy(id) collect_list — the same exchange the tf aggregate
+    already pays, carrying (pos, int) pairs instead of strings.
+    """
+    from walex_spark.extensions.text import _tokens
+    from walex_spark.operators.ordering import global_sorted_index
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = global_sorted_index(
+        vocab, [(-F.col("cnt")), F.col("tok")], "tid"
+    ).select("tok", F.col("tid").cast(T.LongType()).alias("tid"))
+    return (
+        toks.join(ranked, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda st: st["tid"],
+            ).alias("token_ids"),
+        )
+    )

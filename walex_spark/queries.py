@@ -6996,6 +6996,35 @@ def q_doc_exact_dedup_incr(spark, sf_dir):
 
 
 # =========================================================================
+_TOKEN_IDS_ORACLE = f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    toks AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM base, unnest(generate_series(1, len(toks))) u(i)),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    rv AS (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS tid
+           FROM vocab)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(CAST(tid AS BIGINT) ORDER BY pos) AS token_ids
+    FROM toks JOIN rv USING (tok)
+    GROUP BY doc_id
+    """
+
+
+@_register("q_doc_token_ids", _TOKEN_IDS_ORACLE)
+def q_doc_token_ids(spark, sf_dir):
+    """Corpus tokenization to integer id sequences (extensions/
+    bpe.py::token_id_arrays): frequency-ranked vocabulary (rank from
+    the distributed global_sorted_index over the VOCAB — never a
+    single-task window), corpus re-assembled per doc as ordered id
+    arrays with one collect_list aggregate — the materialize-training-
+    tokens step every pipeline ends with."""
+    from walex_spark.extensions.bpe import token_id_arrays
+
+    return token_id_arrays(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
 def _sign_word_sql(vec: str, w: int) -> str:
     """One packed 32-bit sign word as unrolled CASE | CASE — mirrors
     similarity.py::sign_signature bit-for-bit."""
@@ -7479,7 +7508,7 @@ DRIVER_ORDER = [
     "q_doc_minhash_incr", "q_snm_blocking", "q_doc_diversity",
     "q_doc_countmin", "q_doc_token_budget",
     "q_doc_exact_dedup_incr", "q_doc_split", "q_doc_decontam_jaccard",
-    "q_emb_hamming_topk",
+    "q_emb_hamming_topk", "q_doc_token_ids",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -7519,7 +7548,10 @@ DRIVER_ORDER = [
     # q20_part_stock_suppliers gave up its slot to the zero-history
     # q_emb_hamming_topk: pure built-in nested-subquery join, no repo
     # operator code, hard-green r02 AND r05 — same evictee class.
-    "q21_sole_late_supplier", "q22_idle_customers",
+    # q21_sole_late_supplier gave up its slot to the zero-history
+    # q_doc_token_ids: pure built-in multi-anti/semi-join composition,
+    # no repo operator code, hard-green r02 AND r05.
+    "q22_idle_customers",
     # q_anti_join gave up its slot to the zero-history q_emb_knn_eval:
     # pure built-in LEFT ANTI join, no repo operator code, hard-green
     # r02 AND r05 — same evictee class as the twelve others this round.
