@@ -529,3 +529,57 @@ def test_exact_dedup_compaction_bounded_and_identical(spark, docs, tmp_path):
         for r in dd.exact_dedup(docs).collect()
     }
     assert got == batch
+
+
+# ---------------------------------------------------------------------------
+# IncrementalSimHashIndex — banded-hamming twin
+# ---------------------------------------------------------------------------
+
+
+def _sh_key(rows):
+    return sorted((r.id_a, r.id_b, r.hamming) for r in rows)
+
+
+def test_simhash_fold_equals_batch(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import IncrementalSimHashIndex
+
+    idx = IncrementalSimHashIndex(str(tmp_path / "shidx"))
+    emitted = []
+    for e, b in enumerate(_epochs(docs)):
+        emitted.extend(idx.process_batch(b, e).collect())
+    batch = dd.simhash_hamming_pairs(docs).collect()
+    assert _sh_key(emitted) == _sh_key(batch)
+    assert len(emitted) == len({(r.id_a, r.id_b) for r in emitted})
+
+
+def test_simhash_replay_idempotent_and_compaction(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import (
+        IncrementalSimHashIndex,
+        _epoch_dirs,
+    )
+
+    n_epochs, k = 8, 2
+    idx = IncrementalSimHashIndex(str(tmp_path / "shidx"), compact_every=k)
+    emitted = []
+    max_live = 0
+    for e in range(n_epochs):
+        b = docs.filter(F.col("doc_id") % n_epochs == e)
+        out = _sh_key(idx.process_batch(b, e).collect())
+        assert _sh_key(idx.process_batch(b, e).collect()) == out  # replay
+        emitted.extend(out)
+        max_live = max(
+            max_live, len(_epoch_dirs(str(tmp_path / "shidx" / "bands")))
+        )
+    assert max_live <= k + 1
+    batch = _sh_key(dd.simhash_hamming_pairs(docs).collect())
+    assert sorted(emitted) == batch
+
+
+def test_simhash_incr_validates_threshold(spark, tmp_path):
+    import pytest as _pt
+
+    from walex_spark.streaming.dedup_incr import IncrementalSimHashIndex
+
+    with _pt.raises(ValueError, match="exact-recall"):
+        IncrementalSimHashIndex(str(tmp_path / "x"), bits=16, band_bits=8,
+                                max_hamming=5)

@@ -6996,6 +6996,47 @@ def q_doc_exact_dedup_incr(spark, sf_dir):
 
 
 # =========================================================================
+@_register(
+    "q_doc_simhash_incr",
+    f"""
+    WITH sigs AS ({{SIG48}}),
+    bounded AS (SELECT * FROM sigs WHERE id < 120),
+    banded AS (
+      SELECT id, simhash, t.b AS band, (simhash >> (t.b * 8)) & 255 AS key
+      FROM bounded CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) t)
+    SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b2
+      ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id
+    WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+    """.replace("{SIG48}", _simhash_oracle(48).strip()),
+)
+def q_doc_simhash_incr(spark, sf_dir):
+    """INCREMENTAL SimHash pairing (streaming/dedup_incr.py::
+    IncrementalSimHashIndex — the foreachBatch twin of
+    q_doc_simhash_pairs, completing the twin set): 3 micro-batches
+    (doc_id mod 3) over the same bounded corpus; each epoch equi-joins
+    its banded signature rows against the index on (band, key),
+    verifies hamming <= 3 on the joined row, and emits pairs whose
+    later member just arrived. Union of emissions = the batch
+    operator — same oracle, fold-equals-batch made driver-checkable."""
+    from walex_spark.streaming.dedup_incr import IncrementalSimHashIndex
+
+    root = _scratch_dir("simhash_incr_")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    idx = IncrementalSimHashIndex(
+        f"{root}/idx", bits=48, band_bits=8, max_hamming=3
+    )
+    outs = []
+    for e in range(3):
+        out = idx.process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+        path = f"{root}/out-{e}"
+        out.write.mode("overwrite").parquet(path)
+        outs.append(path)
+    return spark.read.parquet(*outs)
+
+
+# =========================================================================
 _TOKEN_IDS_ORACLE = f"""
     WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     toks AS (
@@ -7508,7 +7549,7 @@ DRIVER_ORDER = [
     "q_doc_minhash_incr", "q_snm_blocking", "q_doc_diversity",
     "q_doc_countmin", "q_doc_token_budget",
     "q_doc_exact_dedup_incr", "q_doc_split", "q_doc_decontam_jaccard",
-    "q_emb_hamming_topk", "q_doc_token_ids",
+    "q_emb_hamming_topk", "q_doc_token_ids", "q_doc_simhash_incr",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -7551,7 +7592,9 @@ DRIVER_ORDER = [
     # q21_sole_late_supplier gave up its slot to the zero-history
     # q_doc_token_ids: pure built-in multi-anti/semi-join composition,
     # no repo operator code, hard-green r02 AND r05.
-    "q22_idle_customers",
+    # q22_idle_customers gave up its slot to the zero-history
+    # q_doc_simhash_incr: pure built-in NOT-EXISTS/avg-subquery
+    # composition, no repo operator code, hard-green r02 AND r05.
     # q_anti_join gave up its slot to the zero-history q_emb_knn_eval:
     # pure built-in LEFT ANTI join, no repo operator code, hard-green
     # r02 AND r05 — same evictee class as the twelve others this round.

@@ -985,3 +985,128 @@ class IncrementalExactDedupIndex:
             F.col("min_id").alias("rep_id"),
             F.col("cnt").alias("dup_count"),
         )
+
+
+class IncrementalSimHashIndex:
+    """SimHash banded index + per-epoch new-pair emission — the
+    foreachBatch twin of extensions/dedup.py::simhash_hamming_pairs,
+    completing the twin set (minhash / winnow / despan /
+    prefix-Jaccard / exact / simhash).
+
+    Same argument as the MinHash twin: a doc's simhash — hence its
+    band keys and any pair's Hamming distance — is a pure function of
+    its text, fixed at arrival. Append-only state of (id, simhash,
+    band, key) rows; each epoch equi-joins its banded rows against the
+    index on (band, key), verifies hamming <= max on the joined row,
+    and emits the distinct pairs whose later member just arrived. The
+    pigeonhole exact-recall guarantee is per pair, so it carries over
+    unchanged; the union of emissions equals the batch operator.
+    """
+
+    BAND_SCHEMA = "id BIGINT, simhash BIGINT, band INT, key BIGINT"
+
+    def __init__(
+        self,
+        index_dir: str,
+        bits: int = 48,
+        band_bits: int = 8,
+        max_hamming: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        compact_every: int = 0,
+    ):
+        n_bands = bits // band_bits
+        if max_hamming > n_bands - 1:
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the exact-recall bound "
+                f"bands-1={n_bands - 1}"
+            )
+        self.bits, self.band_bits = bits, band_bits
+        self.max_hamming = max_hamming
+        self.index_dir = index_dir
+        self.text_col, self.id_col = text_col, id_col
+        self.compact_every = compact_every
+
+    def _band_root(self) -> str:
+        return os.path.join(self.index_dir, "bands")
+
+    def band_rows(self, spark: SparkSession) -> DataFrame:
+        return _read_union(spark, self._band_root(), self.BAND_SCHEMA)
+
+    def compact(self, spark: SparkSession) -> bool:
+        return _compact_root(spark, self._band_root(), self.BAND_SCHEMA)
+
+    def _epoch_bands(self, batch_df: DataFrame) -> DataFrame:
+        sigs = dd.simhash(batch_df, self.text_col, self.id_col, bits=self.bits)
+        n_bands = self.bits // self.band_bits
+        mask = (1 << self.band_bits) - 1
+        return sigs.select(
+            F.col("id").cast(T.LongType()).alias("id"),
+            F.col("simhash").cast(T.LongType()).alias("simhash"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast(T.IntegerType()).alias("band"),
+                            F.shiftright(F.col("simhash"), b * self.band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .cast(T.LongType())
+                            .alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "id", "simhash",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        """Index the epoch's docs; return the epoch's NEW verified
+        pairs (id_a, id_b, hamming) — simhash_hamming_pairs' shape."""
+        spark = batch_df.sparkSession
+        if self.compact_every and len(_epoch_dirs(self._band_root())) >= (
+            self.compact_every + 1
+        ):
+            self.compact(spark)
+        _write_epoch(self._epoch_bands(batch_df), self._band_root(), epoch_id)
+        ep = spark.read.schema(self.BAND_SCHEMA).parquet(
+            os.path.join(self._band_root(), f"e-{epoch_id}")
+        )
+        all_bands = self.band_rows(spark)
+        new_ids = ep.select("id").distinct()
+        ham = F.bit_count(F.col("sig_n").bitwiseXOR(F.col("sig_o")))
+        pairs = (
+            ep.select(
+                F.col("id").alias("id_n"),
+                F.col("simhash").alias("sig_n"),
+                "band",
+                "key",
+            )
+            .join(
+                all_bands.select(
+                    F.col("id").alias("id_o"),
+                    F.col("simhash").alias("sig_o"),
+                    "band",
+                    "key",
+                ),
+                ["band", "key"],
+            )
+            .filter(F.col("id_n") != F.col("id_o"))
+            .filter(ham <= self.max_hamming)
+            .select(
+                F.least("id_n", "id_o").alias("id_a"),
+                F.greatest("id_n", "id_o").alias("id_b"),
+                ham.cast(T.LongType()).alias("hamming"),
+            )
+            .distinct()
+        )
+        return pairs.join(
+            new_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi"
+        ).unionByName(
+            pairs.join(
+                new_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
+            )
+        ).distinct()
