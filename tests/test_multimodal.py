@@ -188,3 +188,29 @@ def test_pil_resize_real_kernel_same_arrow_path(spark):
     img = Image.open(io.BytesIO(out.payload))
     assert img.size == (8, 4)
     assert out.meta.width == 8 and out.meta.height == 4
+
+
+def test_audio_pcm_stats_hand_case(spark):
+    import struct
+
+    from walex_spark.extensions.multimodal import audio_pcm_stats
+
+    # samples: +1000, -2000, +3000, 0  (LE int16) + one trailing odd byte
+    pcm = struct.pack("<4h", 1000, -2000, 3000, 0) + b"\x7f"
+    df = spark.createDataFrame(
+        [(1, bytearray(pcm)), (2, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in audio_pcm_stats(df).collect()}
+    r = out[1]
+    assert r.n_samples == 4               # odd byte dropped
+    assert r.peak_abs == 3000
+    # sign pattern +,-,+,0 -> crossings at (.,+-.),(-,+): product<0 twice;
+    # (+3000, 0) product 0 -> not a crossing
+    assert r.n_zero_crossings == 2
+    assert r.sum_abs == 6000
+    import math
+
+    assert r.rms == math.sqrt((1000**2 + 2000**2 + 3000**2 + 0) / 4.0)
+    z = out[2]
+    assert (z.n_samples, z.peak_abs, z.rms) == (0, 0, 0.0)

@@ -277,3 +277,81 @@ def documents_as_media(df: DataFrame) -> DataFrame:
             F.lit(None).cast(T.LongType()).alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def audio_pcm_stats(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio-side plumbing: interpret the opaque binary payload as
+    16-bit little-endian PCM and compute the waveform screens an audio
+    pipeline gates on — sample count, peak amplitude, zero-crossing
+    rate (the crude voiced/noise discriminator), mean absolute level
+    and RMS. No codec dependency: raw PCM is numpy-decodable, so
+    unlike the image kernels this path needs no stub.
+
+    Exactness contract (the oracle-determinism rules): everything that
+    crosses the Arrow boundary is an exact INTEGER (counts, peak, sum
+    of |s|, sum of s²; |s| <= 2^15 and corpus payloads keep s²-sums
+    far under 2^63) — ``rms = sqrt(sum_sq / n)`` is then computed as
+    a COLUMN (one division + one sqrt on identical operands in any
+    engine). A trailing odd byte is dropped; zero-crossing = strictly
+    opposite signs of consecutive samples (product < 0).
+
+    Scale shape: ONE narrow Arrow-batched mapInPandas over the
+    payloads (no shuffle; numpy ``frombuffer`` is zero-copy), emitting
+    6 integers per media row — payload bytes never re-cross to the
+    JVM.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_samples long, peak_abs long, "
+        "n_zero_crossings long, sum_abs long, sum_sq long"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
+                n = len(buf) // 2
+                s = np.frombuffer(buf[: n * 2], dtype="<i2").astype(np.int64)
+                if n:
+                    rows.append(
+                        (
+                            int(mid),
+                            n,
+                            int(np.max(np.abs(s))),
+                            int(np.sum(s[:-1] * s[1:] < 0)),
+                            int(np.sum(np.abs(s))),
+                            int(np.sum(s * s)),
+                        )
+                    )
+                else:
+                    rows.append((int(mid), 0, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_samples", "peak_abs",
+                    "n_zero_crossings", "sum_abs", "sum_sq",
+                ],
+            )
+
+    stats = media.select(id_col, payload_col).mapInPandas(batches, out_schema)
+    return stats.select(
+        id_col,
+        "n_samples",
+        "peak_abs",
+        "n_zero_crossings",
+        "sum_abs",
+        F.when(
+            F.col("n_samples") > 0,
+            F.sqrt(
+                F.col("sum_sq").cast(T.DoubleType())
+                / F.col("n_samples").cast(T.DoubleType())
+            ),
+        ).otherwise(F.lit(0.0)).alias("rms"),
+    )

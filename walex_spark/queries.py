@@ -7037,6 +7037,59 @@ def q_doc_simhash_incr(spark, sf_dir):
 
 
 # =========================================================================
+_AUDIO_ORACLE = """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) // 2 AS n
+      FROM documents),
+    s AS (
+      SELECT media_id, i,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM (SELECT media_id, i,
+              ('0x' || substr(h, 4*i - 1, 2) || substr(h, 4*i - 3, 2))::BIGINT
+                AS u
+            FROM m, unnest(generate_series(1, n)) t(i))),
+    base AS (
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+             CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+             CAST(SUM(v * v) AS BIGINT) AS sum_sq
+      FROM s GROUP BY media_id),
+    z AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zc
+      FROM (SELECT media_id, v,
+              lead(v) OVER (PARTITION BY media_id ORDER BY i) AS nv
+            FROM s)
+      WHERE nv IS NOT NULL GROUP BY media_id)
+    SELECT base.media_id, n_samples, peak_abs,
+           COALESCE(zc, 0) AS n_zero_crossings, sum_abs,
+           CASE WHEN n_samples > 0
+                THEN sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))
+                ELSE 0.0 END AS rms
+    FROM base LEFT JOIN z ON base.media_id = z.media_id
+    """
+
+
+@_register("q_multimodal_audio", _AUDIO_ORACLE)
+def q_multimodal_audio(spark, sf_dir):
+    """Audio waveform screens (extensions/multimodal.py::
+    audio_pcm_stats): payload bytes as 16-bit LE PCM, one Arrow-batched
+    mapInPandas emitting exact-integer stats (n, peak, zero-crossings,
+    sum|s|, sum s²), RMS derived column-side as one sqrt+division —
+    the no-codec-needed audio path next to the image/frame kernels.
+    The oracle re-parses the same bytes from hex pairs in SQL."""
+    from walex_spark.extensions.multimodal import (
+        audio_pcm_stats,
+        documents_as_media,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return audio_pcm_stats(media)
+
+
+# =========================================================================
 _TOKEN_IDS_ORACLE = f"""
     WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     toks AS (
@@ -7550,6 +7603,7 @@ DRIVER_ORDER = [
     "q_doc_countmin", "q_doc_token_budget",
     "q_doc_exact_dedup_incr", "q_doc_split", "q_doc_decontam_jaccard",
     "q_emb_hamming_topk", "q_doc_token_ids", "q_doc_simhash_incr",
+    "q_multimodal_audio",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -7598,7 +7652,11 @@ DRIVER_ORDER = [
     # q_anti_join gave up its slot to the zero-history q_emb_knn_eval:
     # pure built-in LEFT ANTI join, no repo operator code, hard-green
     # r02 AND r05 — same evictee class as the twelve others this round.
-    "q_cdc_apply_deltas",
+    # q_cdc_apply_deltas gave up its slot to the zero-history
+    # q_multimodal_audio: apply_cdc_snapshot is a two-window/SMJ
+    # composition hard-green r02 AND r05 with its own unit suite
+    # (tests/test_scd.py); the audio query is brand-new mapInPandas
+    # plumbing — zero-history outranks every repeat witness.
     "q_cdc_asof_state", "q_cdc_pgoutput_decode", "q_cdc_scd2",
     "q_cdc_sessionize", "q_cdc_time_travel",
     # q_doc_cluster_survivors gave up its slot to the zero-history
