@@ -133,3 +133,33 @@ def test_hash_embed_feeds_similarity_ops(spark):
     ).collect()
     # doc 2 (3 shared tokens) ranks above doc 3
     assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rnk)] == [2, 3]
+
+
+def test_curriculum_order_rank_and_shards(spark):
+    from walex_spark.extensions.packing import curriculum_order
+
+    rows = [
+        # doc 1: all common words -> low bits/token (easiest)
+        (1, "the the the the the the"),
+        # doc 2: mixed
+        (2, "the the rare1"),
+        # doc 3: all rare words -> highest bits/token
+        (3, "rare2 rare3 rare4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curriculum_order(df, shard_size=2).collect()}
+    assert [out[i].rank for i in (1, 2, 3)] == [1, 2, 3]
+    assert out[1].half_bits_per_token < out[2].half_bits_per_token
+    assert out[2].half_bits_per_token < out[3].half_bits_per_token
+    # shard_size=2: ranks 1,2 -> shard 0; rank 3 -> shard 1
+    assert (out[1].shard_idx, out[2].shard_idx, out[3].shard_idx) == (0, 0, 1)
+
+
+def test_curriculum_order_validates(spark):
+    import pytest as _pt
+
+    from walex_spark.extensions.packing import curriculum_order
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        curriculum_order(df, shard_size=0)

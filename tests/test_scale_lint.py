@@ -123,6 +123,8 @@ GLOBAL_WINDOW_OK = {
     "q_doc_split",
     # same offsets frame, for the vocab-rank range sort
     "q_doc_token_ids",
+    # same offsets frame, for the curriculum range sort
+    "q_doc_curriculum",
 }
 
 

@@ -70,3 +70,56 @@ def pack_sequences(
         tok_end.cast(T.LongType()).alias("tok_end"),
         (tok_end - tok_start).cast(T.LongType()).alias("n_seq_tokens"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    shard_size: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum data ordering: rank the corpus easiest-first by
+    unigram surprisal (low bits/token = common-word, low-perplexity
+    text) and cut the order into fixed-size training shards — the
+    curriculum-learning layout step (easy shards first) downstream of
+    the quality/novelty signals.
+
+    Determinism: the sort key (half_bits_per_token, id) is a double
+    division of exact longs — bit-identical in any engine — with the
+    id tiebreak making it a total order; the rank comes from
+    operators/ordering.py::global_sorted_index (ONE range sort +
+    broadcast offsets, never a single-task window); the shard index is
+    exact integer arithmetic on the rank.
+
+    Returns (id_col, half_bits_per_token, rank, shard_idx), rank
+    1-based in curriculum order.
+    """
+    from walex_spark.extensions.search import unigram_surprisal
+    from walex_spark.operators.ordering import global_sorted_index
+
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    scored = (
+        unigram_surprisal(df, text_col=text_col, id_col=id_col)
+        .select(id_col, "half_bits_per_token")
+        # global_sorted_index reads its input twice (ranged rows +
+        # per-partition offsets) — materialize the doc-sized, two-
+        # column score table once instead of re-running the surprisal
+        # shuffles per consumer
+        .localCheckpoint(eager=False)
+    )
+    ranked = global_sorted_index(
+        scored,
+        [F.col("half_bits_per_token"), F.col(id_col)],
+        "rank",
+    )
+    return ranked.select(
+        F.col(id_col),
+        "half_bits_per_token",
+        F.col("rank").cast(T.LongType()).alias("rank"),
+        # exact integer division (a double quotient could round across
+        # the shard boundary past 2^53 ranks)
+        F.expr(f"(rank - 1) div {shard_size}")
+        .cast(T.LongType())
+        .alias("shard_idx"),
+    )

@@ -7037,6 +7037,48 @@ def q_doc_simhash_incr(spark, sf_dir):
 
 
 # =========================================================================
+_CURRICULUM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks),
+    sc AS (
+      SELECT doc_id,
+             length(bin(LEAST(n_total // cnt, 2147483647)
+                        * LEAST(n_total // cnt, 2147483647))) - 1 AS hb
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(hb) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS half_bits_per_token
+      FROM sc GROUP BY doc_id),
+    r AS (
+      SELECT doc_id, half_bits_per_token,
+             CAST(row_number() OVER (ORDER BY half_bits_per_token, doc_id)
+                  AS BIGINT) AS rank
+      FROM per_doc)
+    SELECT doc_id, half_bits_per_token, rank,
+           (rank - 1) // 50 AS shard_idx
+    FROM r
+    """
+
+
+@_register("q_doc_curriculum", _CURRICULUM_ORACLE)
+def q_doc_curriculum(spark, sf_dir):
+    """Curriculum data layout (extensions/packing.py::
+    curriculum_order): corpus ranked easiest-first by unigram
+    surprisal (exact half-bit units — the quality signal reused as a
+    difficulty signal) and cut into 50-doc training shards. Rank from
+    the distributed global_sorted_index; shard index by exact integer
+    division. The curriculum-learning complement of the seeded global
+    shuffle (q_doc_global_shuffle orders for IID, this orders by
+    difficulty)."""
+    from walex_spark.extensions.packing import curriculum_order
+
+    return curriculum_order(_t(spark, sf_dir, "documents"), shard_size=50)
+
+
+# =========================================================================
 _AUDIO_ORACLE = """
     WITH m AS (
       SELECT doc_id AS media_id, hex(encode(text)) AS h,
@@ -7603,7 +7645,7 @@ DRIVER_ORDER = [
     "q_doc_countmin", "q_doc_token_budget",
     "q_doc_exact_dedup_incr", "q_doc_split", "q_doc_decontam_jaccard",
     "q_emb_hamming_topk", "q_doc_token_ids", "q_doc_simhash_incr",
-    "q_multimodal_audio",
+    "q_multimodal_audio", "q_doc_curriculum",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -7657,8 +7699,12 @@ DRIVER_ORDER = [
     # composition hard-green r02 AND r05 with its own unit suite
     # (tests/test_scd.py); the audio query is brand-new mapInPandas
     # plumbing — zero-history outranks every repeat witness.
+    # q_cdc_sessionize gave up its slot to the zero-history
+    # q_doc_curriculum: the gap-sessionization operator path also has
+    # the r08-new q_cdc_sessionize_incr twin witnessed THIS round plus
+    # its own fold-equals-batch suite; hard-green r02 AND r05.
     "q_cdc_asof_state", "q_cdc_pgoutput_decode", "q_cdc_scd2",
-    "q_cdc_sessionize", "q_cdc_time_travel",
+    "q_cdc_time_travel",
     # q_doc_cluster_survivors gave up its slot to the zero-history
     # q_doc_nb_classifier: its operator path (duplicate_clusters +
     # survivor pick) is ALSO exercised by q_doc_dup_clusters, which
