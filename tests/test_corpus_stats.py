@@ -1,0 +1,315 @@
+"""Pure-Python-replica tests for the corpus-statistics operators
+(zipf_fit, char_entropy, source_overlap_matrix, wordpiece_fertility,
+shard_manifest) — the hand-check discipline every registry query
+carries next to its DuckDB oracle."""
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from walex_spark.extensions.text import char_entropy, zipf_fit
+
+
+def _hb(r: int) -> int:
+    r = min(r, (1 << 31) - 1)
+    return (r * r).bit_length() - 1
+
+
+def test_half_bits_is_floor_2log2():
+    for r in (1, 2, 3, 4, 7, 8, 100, 12345):
+        assert _hb(r) == math.floor(2 * math.log2(r)), r
+
+
+def test_zipf_fit_replica(spark):
+    rows = [
+        (0, "a a a a b b c d", "s1"),
+        (1, "a b b c c c", "s1"),
+        (2, "x x y", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r.asDict() for r in zipf_fit(df).collect()}
+
+    for src, texts in [("s1", ["a a a a b b c d", "a b b c c c"]),
+                       ("s2", ["x x y"])]:
+        cnt = Counter(t for s in texts for t in s.split())
+        ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        pts = [(_hb(i + 1), _hb(c)) for i, (_, c) in enumerate(ordered)]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        g = got[src]
+        assert (g["n_types"], g["sum_x"], g["sum_y"], g["sum_xy"],
+                g["sum_xx"]) == (n, sx, sy, sxy, sxx), src
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        if den:
+            assert g["zipf_slope"] == num / den
+            assert g["zipf_intercept"] == (sy - (num / den) * sx) / n
+        else:
+            assert g["zipf_slope"] is None
+
+
+def test_zipf_slope_negative_on_zipfian_counts(spark):
+    # counts 64, 32, 16, ... halve by rank: slope in half-bit space
+    # is ~ -2 per rank-doubling (i.e. Zipf s=1)
+    rows = [(i, " ".join(f"t{i:02d}" for _ in range(64 >> i)), "s")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    slope = zipf_fit(df).collect()[0]["zipf_slope"]
+    assert slope < -1.0
+
+
+def test_char_entropy_replica(spark):
+    rows = [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "hello world")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in char_entropy(df).collect()}
+    for doc_id, text in rows:
+        cnt = Counter(text)
+        n = len(text)
+        total = sum(c * _hb(n // c) for c in cnt.values())
+        g = got[doc_id]
+        assert g["n_chars"] == n
+        assert g["n_distinct_chars"] == len(cnt)
+        assert g["total_half_bits"] == total, text
+        assert g["half_bits_per_char"] == total / n
+
+
+def test_char_entropy_extremes(spark):
+    df = spark.createDataFrame(
+        [(0, "zzzzzzzz"), (1, "abcdefgh")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[0]["total_half_bits"] == 0          # single-char run
+    assert got[1]["half_bits_per_char"] == 6.0     # 8 uniform chars = 3 bits
+
+
+def test_source_overlap_replica(spark):
+    from walex_spark.extensions.decontam import source_overlap_matrix
+
+    rows = [
+        (0, "a b c d e", "s1"),        # grams: abc bcd cde
+        (1, "a b c x y", "s1"),        # + abx? no: abc bcx cxy
+        (2, "a b c d q", "s2"),        # abc bcd cdq
+        (3, "z z z", "s3"),            # zzz
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def sh3(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {}
+    for _, t, s in rows:
+        sets.setdefault(s, set()).update(sh3(t))
+    got = {(r["source_a"], r["source_b"]): r.asDict()
+           for r in source_overlap_matrix(df).collect()}
+    expected_pairs = {
+        (a, b)
+        for a in sets for b in sets
+        if a != b and sets[a] & sets[b]
+    }
+    assert set(got) == expected_pairs
+    for (a, b), g in got.items():
+        inter = len(sets[a] & sets[b])
+        assert g["grams_a"] == len(sets[a])
+        assert g["grams_b"] == len(sets[b])
+        assert g["shared_grams"] == inter
+        assert g["containment"] == inter / len(sets[a])
+        assert g["jaccard"] == inter / len(sets[a] | sets[b])
+
+
+def test_shard_manifest_replica(spark):
+    import hashlib
+
+    from walex_spark.operators.diff import shard_manifest
+
+    rows = [(i, f"text-{i}", "en") for i in range(7)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["shard"]: r.asDict() for r in shard_manifest(
+        df, key_col="doc_id", hash_cols=["doc_id", "text", "lang"],
+        shard_size=3,
+    ).collect()}
+
+    def rh(r):
+        s = "|".join(str(v) for v in r)
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    shards = {}
+    for r in rows:
+        shards.setdefault(r[0] // 3, []).append(r)
+    assert set(got) == set(shards)
+    for s, members in shards.items():
+        x = 0
+        for m in members:
+            x ^= rh(m)
+        g = got[s]
+        assert g["n_rows"] == len(members)
+        assert g["min_key"] == min(m[0] for m in members)
+        assert g["max_key"] == max(m[0] for m in members)
+        assert g["xor_hash"] == x, s
+
+
+def test_shard_manifest_order_free(spark):
+    from walex_spark.operators.diff import shard_manifest
+
+    rows = [(i, f"t{i}") for i in range(20)]
+    a = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+    b = spark.createDataFrame(rows[::-1], ["doc_id", "text"]).repartition(2)
+    ma = sorted(shard_manifest(a, "doc_id", ["doc_id", "text"], 5).collect())
+    mb = sorted(shard_manifest(b, "doc_id", ["doc_id", "text"], 5).collect())
+    assert ma == mb
+
+
+def test_wordpiece_fertility_consistent_with_segment(spark):
+    from walex_spark.extensions.bpe import (
+        wordpiece_fertility,
+        wordpiece_segment,
+    )
+
+    rows = [
+        (0, "alpha beta beta gamma", "s1", "en"),
+        (1, "alpha alpha delta", "s1", "en"),
+        (2, "epsilon zeta", "s2", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+    # slice totals must equal the per-doc totals summed per slice
+    per_doc = {r["doc_id"]: r for r in wordpiece_segment(df).collect()}
+    got = {(r["source"], r["lang"]): r.asDict()
+           for r in wordpiece_fertility(df).collect()}
+    agg = {}
+    for doc_id, text, src, lang in rows:
+        k = (src, lang)
+        d = per_doc[doc_id]
+        w, p = agg.get(k, (0, 0))
+        agg[k] = (w + d["n_words"], p + d["n_pieces"])
+    assert set(got) == set(agg)
+    for k, (w, p) in agg.items():
+        assert (got[k]["n_words"], got[k]["n_pieces"]) == (w, p), k
+        assert got[k]["pieces_per_word"] == p / w
+        chars = got[k]["n_word_chars"]
+        assert chars == sum(
+            len(t) for r in rows if (r[2], r[3]) == k for t in r[1].split()
+        )
+        assert got[k]["chars_per_piece"] == chars / p
+
+
+def test_token_burstiness_replica(spark):
+    from walex_spark.extensions.text import token_burstiness
+
+    rows = [
+        (0, "a a a a b"),      # 'a' clumps
+        (1, "b c"),
+        (2, "b c c"),
+        (3, "b d"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["token"]: r.asDict()
+           for r in token_burstiness(df, top_k=3).collect()}
+    n = len(rows)
+    per_doc = [Counter(t.split()) for _, t in rows]
+    totals = Counter()
+    for c in per_doc:
+        totals.update(c)
+    top3 = sorted(totals, key=lambda t: (-totals[t], t))[:3]
+    assert set(got) == set(top3)
+    for tok in top3:
+        xs = [c.get(tok, 0) for c in per_doc]
+        tot = sum(xs)
+        ss = sum(x * x for x in xs)
+        dfreq = sum(1 for x in xs if x)
+        g = got[tok]
+        assert (g["corpus_cnt"], g["df"], g["n_docs"], g["sum_sq"]) == (
+            tot, dfreq, n, ss), tok
+        assert g["vmr"] == (n * ss - tot * tot) / (n * tot)
+        assert g["mean_count"] == tot / n
+        assert g["mean_given_present"] == tot / dfreq
+    # 'a' (4 in one doc) must be burstier than 'b' (1 in each of 4)
+    assert got["a"]["vmr"] > got["b"]["vmr"]
+    assert got["b"]["vmr"] == 0.0  # one occurrence in every doc: var = 0
+
+
+def test_mmr_suppresses_near_duplicate(spark):
+    from walex_spark.extensions.search import mmr_select
+
+    rows = [
+        # 0 and 1 are near-identical and both highly relevant to
+        # "hash join"; 2 is less relevant but diverse
+        (0, "hash join hash join fast merge"),
+        (1, "hash join hash join fast merge extra"),
+        (2, "hash probe build side partition"),
+        (3, "totally unrelated text about cats"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # diversity-heavy lambda: at the default 0.7 the twin's much
+    # higher BM25 score legitimately outweighs its 0.8 Jaccard to the
+    # first pick; at 0.3 the redundancy penalty dominates
+    got = [
+        (r["pick"], r["doc_id"])
+        for r in mmr_select(
+            df, ["hash", "join"], k=3, pool=4, lambda_num=3,
+        ).orderBy("pick").collect()
+    ]
+    picks = [d for _, d in got]
+    assert picks[0] in (0, 1)            # most relevant first
+    assert picks[1] == 2, picks          # diversity beats the twin
+    assert len(picks) == 3 and picks[2] in (0, 1)
+
+
+def test_mmr_reduces_to_relevance_order_at_lambda_one(spark):
+    from walex_spark.extensions.search import bm25_topk, mmr_select
+
+    rows = [(i, f"hash join term{i} " + "filler " * i) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rel = [r["doc_id"] for r in
+           bm25_topk(df, ["hash", "join"], k=4).orderBy("rnk").collect()]
+    got = [r["doc_id"] for r in
+           mmr_select(df, ["hash", "join"], k=4, pool=6,
+                      lambda_num=1, lambda_den=1).orderBy("pick").collect()]
+    assert got == rel
+
+
+def test_heaps_fit_replica(spark):
+    from walex_spark.extensions.text import heaps_fit
+
+    rows = [
+        (0, "a b c"),
+        (1, "a b d d"),
+        (2, "e f a a a"),
+        (3, "a b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    g = heaps_fit(df).collect()[0].asDict()
+
+    seen, ct, cv, pts = set(), 0, 0, []
+    for _, t in rows:
+        ws = t.split()
+        ct += len(ws)
+        for w in ws:
+            if w not in seen:
+                seen.add(w)
+                cv += 1
+        pts.append((_hb(ct), _hb(cv)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    assert (g["n_points"], g["sum_x"], g["sum_y"], g["sum_xy"],
+            g["sum_xx"]) == (n, sx, sy, sxy, sxx)
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    assert g["heaps_beta"] == num / den
+    assert g["heaps_intercept"] == (sy - (num / den) * sx) / n
+
+
+def test_heaps_beta_near_one_for_all_new_tokens(spark):
+    # every token unique: V = n exactly, so in log-log space beta = 1
+    from walex_spark.extensions.text import heaps_fit
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(8))) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    g = heaps_fit(df).collect()[0]
+    assert g["heaps_beta"] == 1.0

@@ -583,3 +583,100 @@ def test_simhash_incr_validates_threshold(spark, tmp_path):
     with _pt.raises(ValueError, match="exact-recall"):
         IncrementalSimHashIndex(str(tmp_path / "x"), bits=16, band_bits=8,
                                 max_hamming=5)
+
+
+# ---------------------------------------------------------------------------
+# IncrementalManifestIndex — shard-manifest maintenance twin
+# ---------------------------------------------------------------------------
+
+
+def _manifest_batch(docs):
+    from walex_spark.operators.diff import shard_manifest
+
+    return {
+        r.shard: (r.n_rows, r.min_key, r.max_key, r.xor_hash)
+        for r in shard_manifest(
+            docs, key_col="doc_id", hash_cols=["doc_id", "text"],
+            shard_size=7,
+        ).collect()
+    }
+
+
+def _manifest_latest(emitted):
+    latest = {}
+    for e, r in emitted:
+        cur = latest.get(r.shard)
+        if cur is None or e >= cur[0]:
+            latest[r.shard] = (e, (r.n_rows, r.min_key, r.max_key, r.xor_hash))
+    return {s: v for s, (_, v) in latest.items()}
+
+
+def test_manifest_fold_equals_batch(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import IncrementalManifestIndex
+
+    idx = IncrementalManifestIndex(
+        str(tmp_path / "midx"), key_col="doc_id",
+        hash_cols=("doc_id", "text"), shard_size=7,
+    )
+    emitted = []
+    for e, b in enumerate(_epochs(docs)):
+        emitted.extend((e, r) for r in idx.process_batch(b, e).collect())
+    assert _manifest_latest(emitted) == _manifest_batch(docs)
+
+
+def test_manifest_replay_idempotent(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import IncrementalManifestIndex
+
+    idx = IncrementalManifestIndex(
+        str(tmp_path / "midx"), key_col="doc_id",
+        hash_cols=("doc_id", "text"), shard_size=7,
+    )
+    e0, e1 = _epochs(docs, 2)
+    idx.process_batch(e0, 0)
+    key = lambda rows: sorted(
+        (r.shard, r.n_rows, r.min_key, r.max_key, r.xor_hash) for r in rows
+    )
+    first = key(idx.process_batch(e1, 1).collect())
+    replay = key(idx.process_batch(e1, 1).collect())
+    assert replay == first
+
+
+def test_manifest_upserts_only_touched_shards(spark, tmp_path):
+    from walex_spark.streaming.dedup_incr import IncrementalManifestIndex
+
+    idx = IncrementalManifestIndex(
+        str(tmp_path / "midx"), key_col="doc_id",
+        hash_cols=("doc_id", "text"), shard_size=10,
+    )
+    e0 = spark.createDataFrame(
+        [(1, "a"), (15, "b")], "doc_id long, text string"
+    )
+    e1 = spark.createDataFrame([(3, "c")], "doc_id long, text string")
+    out0 = {r.shard: r.n_rows for r in idx.process_batch(e0, 0).collect()}
+    out1 = {r.shard: r.n_rows for r in idx.process_batch(e1, 1).collect()}
+    assert out0 == {0: 1, 1: 1}
+    # epoch 1 touches only shard 0; shard 1 is NOT re-emitted
+    assert out1 == {0: 2}
+
+
+def test_manifest_compaction_bounded_and_identical(spark, docs, tmp_path):
+    from walex_spark.streaming.dedup_incr import (
+        IncrementalManifestIndex,
+        _epoch_dirs,
+    )
+
+    n_epochs, k = 12, 3
+    idx = IncrementalManifestIndex(
+        str(tmp_path / "midx"), key_col="doc_id",
+        hash_cols=("doc_id", "text"), shard_size=7, compact_every=k,
+    )
+    emitted = []
+    max_live = 0
+    for e in range(n_epochs):
+        b = docs.filter(F.col("doc_id") % n_epochs == e)
+        emitted.extend((e, r) for r in idx.process_batch(b, e).collect())
+        max_live = max(
+            max_live, len(_epoch_dirs(str(tmp_path / "midx" / "agg")))
+        )
+    assert max_live <= k + 1
+    assert _manifest_latest(emitted) == _manifest_batch(docs)

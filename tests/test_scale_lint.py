@@ -81,6 +81,7 @@ BNLJ_ALLOWANCE = {
     "q_doc_temp_mixture": 1,      # one-row min-count
     "q_doc_pipeline_e2e": 1,      # one-row min-count (mixture stage)
     "q_doc_surprisal": 1,         # one-row n_total
+    "q_doc_burstiness": 1,        # one-row doc-count broadcast
     # n_total (evaluated in two subtrees of the un-checkpointed
     # surprisal base) + the one-row percentile-threshold broadcast
     "q_doc_quality_buckets": 3,
@@ -125,6 +126,10 @@ GLOBAL_WINDOW_OK = {
     "q_doc_token_ids",
     # same offsets frame, for the curriculum range sort
     "q_doc_curriculum",
+    # same offsets frame, for the per-source vocab-rank range sort
+    "q_doc_zipf",
+    # same offsets frame (prefix_sums_multi over the per-doc counts)
+    "q_doc_heaps",
 }
 
 

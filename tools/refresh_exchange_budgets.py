@@ -12,7 +12,11 @@ q_doc_despan_incr) run their per-epoch index writes EAGERLY at
 query-construction time; the audited plan — and therefore the pinned
 budget — covers only the final fold-read union, not the per-epoch
 work. The per-epoch plans are audited separately by
-tests/test_dedup_incr.py's shape assertions.
+tests/test_dedup_incr.py's shape assertions. q_doc_mmr is the same
+class: the BM25 pool + candidate token sets run eagerly (the greedy
+is driver-side over the collected LIMIT-bounded pool), so its
+budget covers only the final local relation; the distributed part
+is bm25_topk, budget-pinned via q_doc_bm25.
 
 Usage: python tools/refresh_exchange_budgets.py [--write]
 """

@@ -205,6 +205,44 @@ def wordpiece_segment(
     from walex_spark.extensions.text import _tokens
 
     toks = _tokens(F.col(text_col))
+    pieces = _wordpiece_word_pieces(df, top_pieces, max_piece_len, text_col)
+    # NO broadcast hint: the distinct-WORD table is corpus-vocab-sized
+    # (unbounded at 100 TB, unlike the piece vocab) — let AQE pick
+    per_doc = (
+        df.select(F.col(id_col), F.explode(toks).alias("w"))
+        .join(pieces, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_words"),
+            F.sum("n_pieces").cast(T.LongType()).alias("n_pieces"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_pieces",
+            (
+                F.col("n_pieces").cast(T.DoubleType())
+                / F.col("n_words").cast(T.DoubleType())
+            ).alias("pieces_per_word"),
+        )
+    )
+    return per_doc
+
+
+def _wordpiece_word_pieces(
+    df: DataFrame,
+    top_pieces: int,
+    max_piece_len: int,
+    text_col: str,
+) -> DataFrame:
+    """The (word, n_pieces) DISTINCT-word segmentation table behind
+    ``wordpiece_segment`` / ``wordpiece_fertility`` — vocabulary
+    derivation + the greedy longest-match loop, verbatim from
+    wordpiece_segment's original body (see its docstring for the
+    algorithm and scale notes)."""
+    from walex_spark.extensions.text import _tokens
+
+    toks = _tokens(F.col(text_col))
     words = (
         df.select(F.explode(toks).alias("w"))
         .groupBy("w")
@@ -273,28 +311,64 @@ def wordpiece_segment(
             .otherwise(F.col("n") + 1)
             .alias("n"),
         )
-    pieces = seg.select("w", F.col("n").alias("n_pieces"))
-    # NO broadcast hint: the distinct-WORD table is corpus-vocab-sized
-    # (unbounded at 100 TB, unlike the piece vocab) — let AQE pick
-    per_doc = (
-        df.select(F.col(id_col), F.explode(toks).alias("w"))
-        .join(pieces, "w")
-        .groupBy(id_col)
+    return seg.select("w", F.col("n").alias("n_pieces"))
+
+
+def wordpiece_fertility(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    top_pieces: int = 16,
+    max_piece_len: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility / compression eval per corpus slice — the
+    fairness audit run before committing to a tokenizer: fertility
+    (pieces per word) and compression (word chars per piece) per
+    (source, lang) slice expose languages or domains the piece vocab
+    under-serves (high fertility = more sequence positions spent per
+    word = that slice trains and infers slower; the standard
+    multilingual-tokenizer eval, cf. the fertility metric in
+    mBERT/XLM-R analyses).
+
+    Same segmentation table as ``wordpiece_segment`` (one greedy
+    zero-shuffle loop over DISTINCT words); occurrences join it on
+    the word key and aggregate per slice — slice-sized output.
+    All-integer sums; two IEEE divisions at the end.
+
+    Returns (*group_cols, n_words, n_pieces, n_word_chars,
+    pieces_per_word, chars_per_piece) ordered by group_cols.
+    """
+    from walex_spark.extensions.text import _tokens
+
+    pieces = _wordpiece_word_pieces(df, top_pieces, max_piece_len, text_col)
+    occ = df.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(_tokens(F.col(text_col))).alias("w"),
+    )
+    return (
+        occ.join(pieces, "w")
+        .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).cast(T.LongType()).alias("n_words"),
             F.sum("n_pieces").cast(T.LongType()).alias("n_pieces"),
+            F.sum(F.length("w")).cast(T.LongType()).alias("n_word_chars"),
         )
         .select(
-            F.col(id_col),
+            *group_cols,
             "n_words",
             "n_pieces",
+            "n_word_chars",
             (
                 F.col("n_pieces").cast(T.DoubleType())
                 / F.col("n_words").cast(T.DoubleType())
             ).alias("pieces_per_word"),
+            (
+                F.col("n_word_chars").cast(T.DoubleType())
+                / F.col("n_pieces").cast(T.DoubleType())
+            ).alias("chars_per_piece"),
         )
+        .orderBy(*group_cols)
     )
-    return per_doc
 
 
 def token_id_arrays(

@@ -156,3 +156,98 @@ def cross_jaccard_contamination(
         (F.col("id_b") - F.lit(offset)).alias("bench_id"),
         F.col("jaccard"),
     ).orderBy(F.col("jaccard").desc(), "train_id", "bench_id")
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise slice-overlap matrix: for every ordered pair of corpus
+    slices (sources, dumps, snapshots), the shared distinct word
+    n-gram count plus containment |A∩B|/|A| and Jaccard — the
+    corpus-level redundancy/contamination map a mixture designer
+    reads before weighting sources (e.g. two CommonCrawl dumps with
+    0.9 containment add little new mass; a benchmark-shaped slice
+    with high containment into train is a leak).
+
+    Implementation: the ``word_shingles`` gram expression inlined
+    over (slice, text) — NOT ``word_shingles`` itself: that helper
+    hash-repartitions raw docs by its id column, and with the SLICE
+    as the id the corpus would collapse onto |slices| partitions (a
+    skew trap at 100 TB; the (slice, gram) distinct below is the
+    right first shuffle and hashes on the gram too). Then a
+    gram-keyed self-equi-join and a pair aggregate. All-integer
+    counts; two IEEE divisions at the end.
+
+    Returns (source_a, source_b, grams_a, grams_b, shared_grams,
+    containment, jaccard) for ordered pairs a ≠ b, sorted.
+
+    Scale shape: the join key is the gram string, so fan-out per gram
+    is bounded by |slices| (a gram contributes at most |S|² pair
+    rows, and the aggregate is map-side combinable); the output is
+    |S|² rows. No broadcast hints: the (slice, gram) side is
+    vocabulary-sized (unbounded at 100 TB), the size frames are
+    |S|-sized and AQE broadcasts them at runtime.
+    """
+    from walex_spark.extensions.text import _tokens
+
+    n = shingle_n
+    toked = df.select(
+        F.col(group_col).alias("id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast(T.ArrayType(T.StringType())))
+    # checkpoint at birth: the gram-set frame feeds the two join
+    # sides AND the size aggregate — three consumers would otherwise
+    # re-shingle the corpus three times (the tf-idf postings
+    # discipline; (slice, gram) rows, the smallest form of the data)
+    grams = (
+        toked.select("id", F.explode(sh).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("ng")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, F.col("a.token") == F.col("b.token"))
+        .where(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("sa"), F.col("b.id").alias("sb"))
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("shared_grams"))
+    )
+    na = sizes.select(F.col("id").alias("sa"), F.col("ng").alias("grams_a"))
+    nb = sizes.select(F.col("id").alias("sb"), F.col("ng").alias("grams_b"))
+    return (
+        shared.join(na, "sa")
+        .join(nb, "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "grams_a",
+            "grams_b",
+            "shared_grams",
+            (
+                F.col("shared_grams").cast(T.DoubleType())
+                / F.col("grams_a").cast(T.DoubleType())
+            ).alias("containment"),
+            (
+                F.col("shared_grams").cast(T.DoubleType())
+                / (
+                    F.col("grams_a") + F.col("grams_b")
+                    - F.col("shared_grams")
+                ).cast(T.DoubleType())
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -460,3 +460,94 @@ def ndcg_at_k(
         )
         .withColumn("ndcg_at", F.col("dcg_at") / F.col("idcg_at"))
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    pool: int = 30,
+    lambda_num: int = 7,
+    lambda_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` documents from the BM25 top-``pool``
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked —
+    the diversified retrieval / diverse-exemplar-curation step (near
+    duplicates of an already-chosen doc add no marginal value, so MMR
+    suppresses them even when each scores high alone).
+
+    Relevance = the BM25 score (bit-exact per ``bm25_topk``);
+    similarity = exact Jaccard of distinct token sets; λ arrives as a
+    rational (7/10) and every float op is a fixed double expression
+    (λ·rel − (1−λ)·sim with λ literals in E-notation on the SQL side,
+    where a bare decimal literal would type as DECIMAL and round
+    differently). Ties at equal MMR break toward the smaller id.
+
+    Scale note — why a driver-side greedy is the RIGHT shape here:
+    MMR is inherently sequential (pick t depends on picks 1..t−1),
+    and its entire state is the pool's score vector plus the pool×pool
+    similarity matrix — O(pool²) values BOUNDED BY THE LIMIT, not by
+    the corpus. Everything corpus-sized (tokenize, posting aggregate,
+    top-pool cut, candidate token sets) runs distributed; the collect
+    ships ``pool`` rows (the same metadata class as IVF centroids or
+    the BPE per-round argmax). A distributed greedy would spend k
+    scheduler rounds on 30 rows.
+
+    Returns (pick, id_col, score) — pick 1..k in selection order.
+    """
+    from pyspark.sql import types as T2
+
+    sc = bm25_topk(
+        df, query_terms, k=pool, text_col=text_col, id_col=id_col
+    ).select(id_col, "score")
+    toksets = (
+        df.join(sc.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(_tokens(F.col(text_col))).alias("toks"),
+        )
+    )
+    cand = [
+        (r[0], float(r[1]), set(r[2]))
+        for r in sc.join(toksets, id_col)
+        .select(id_col, "score", "toks")
+        .collect()
+    ]
+    cand.sort(key=lambda c: (-c[1], c[0]))
+    # BOTH weights as exact rationals: 1.0 - 0.7 is 0.30000000000000004
+    # in doubles, while the oracle's 3e-1 literal parses to the double
+    # nearest 0.3 — divide each numerator instead, which IS that double
+    lam = float(lambda_num) / float(lambda_den)
+    mu = float(lambda_den - lambda_num) / float(lambda_den)
+    picked: list[tuple[int, int, float]] = []
+    chosen_sets: list[set] = []
+    remaining = list(cand)
+    for pick in range(1, min(k, len(cand)) + 1):
+        best = None
+        for doc, rel, toks in remaining:
+            msim = 0.0
+            for s in chosen_sets:
+                inter = len(toks & s)
+                if inter:
+                    sim = float(inter) / float(len(toks | s))
+                    if sim > msim:
+                        msim = sim
+            mmr = lam * rel - mu * msim
+            # strict > with (mmr desc, id asc) tie-break
+            if best is None or mmr > best[0] or (mmr == best[0] and doc < best[1]):
+                best = (mmr, doc, rel, toks)
+        picked.append((pick, best[1], best[2]))
+        chosen_sets.append(best[3])
+        remaining = [c for c in remaining if c[0] != best[1]]
+    spark = df.sparkSession
+    schema = T2.StructType(
+        [
+            T2.StructField("pick", T2.LongType()),
+            T2.StructField(id_col, T2.LongType()),
+            T2.StructField("score", T2.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(picked, schema)

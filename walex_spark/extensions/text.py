@@ -598,3 +598,295 @@ def distinct_ngram_diversity(
         )
         .orderBy(group_col)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit per corpus slice: least-squares slope of
+    log2(freq) against log2(rank) over the slice's token frequency
+    table. Organic language sits near slope -2 in half-bit units
+    (i.e. -1 in bits — Zipf 1949); templated or synthetic slices bend
+    the curve, so the slope is a per-source corpus-health diagnostic
+    next to ``distinct_ngram_diversity``.
+
+    Determinism discipline: both axes are EXACT integer half-bit logs
+    (``search.half_bits`` — floor(2*log2(r)) via binary length), and
+    the five regression sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    are exact int64 aggregates — Σxy ≤ n·62² stays far inside int64
+    at any corpus size. Only the final slope/intercept leave integer
+    land, as fixed-shape IEEE-double expressions over the five sums
+    (each op correctly rounded, so any engine reproduces the bits;
+    the cross products n·Σxy would overflow int64 at ~10¹⁴ types,
+    hence double ARITHMETIC over exact integer INPUTS, never a
+    decimal intermediate).
+
+    Rank is per-slice (freq DESC, token ASC) — computed from ONE
+    global range sort via ``global_sorted_index`` minus broadcast
+    per-slice offsets, never a per-slice single-task window.
+
+    Returns (group_col, n_types, sum_x, sum_y, sum_xy, sum_xx,
+    zipf_slope, zipf_intercept) — slope/intercept NULL for a
+    degenerate slice (all ranks in one half-bit bucket).
+    """
+    from walex_spark.extensions.search import half_bits
+    from walex_spark.operators.ordering import global_sorted_index
+
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("g", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # checkpoint at birth: ranked feeds BOTH the per-slice offset
+    # aggregate and the regression points — without it the whole
+    # tokenize+count+range-sort subtree evaluates twice (the tf-idf
+    # postings discipline; vocab-sized narrow rows, safe to pin)
+    ranked = global_sorted_index(
+        vocab,
+        [F.col("g").asc(), F.col("cnt").desc(), F.col("tok").asc()],
+        index_col="__pos",
+    ).localCheckpoint(eager=False)
+    offs = ranked.groupBy("g").agg(F.min("__pos").alias("__g0"))
+    pts = ranked.join(F.broadcast(offs), "g").select(
+        "g",
+        half_bits(F.col("__pos") - F.col("__g0") + F.lit(1)).alias("x"),
+        half_bits(F.col("cnt")).alias("y"),
+    )
+    agg = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_types"),
+        F.sum("x").cast(T.LongType()).alias("sum_x"),
+        F.sum("y").cast(T.LongType()).alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast(T.LongType()).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast(T.LongType()).alias("sum_xx"),
+    )
+    n = F.col("n_types").cast(T.DoubleType())
+    sx = F.col("sum_x").cast(T.DoubleType())
+    sy = F.col("sum_y").cast(T.DoubleType())
+    sxy = F.col("sum_xy").cast(T.DoubleType())
+    sxx = F.col("sum_xx").cast(T.DoubleType())
+    # fixed expression shapes — the oracle SQL mirrors them verbatim
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_types",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_xx",
+        F.when(den != F.lit(0.0), num / den).alias("zipf_slope"),
+        F.when(
+            den != F.lit(0.0), (sy - (num / den) * sx) / n
+        ).alias("zipf_intercept"),
+    ).orderBy(group_col)
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-unigram entropy — the gibberish /
+    binary-spill / encoding-junk detector that complements the token
+    gates: natural text sits in a narrow entropy band, base64 blobs
+    and key-mash spike high, single-char runs collapse to ~0.
+
+    Exact half-bit units: with c_ch occurrences of character ch out
+    of n total, the doc's total information is
+    Σ_ch c_ch · half_bits(n div c_ch) — all-integer arithmetic (the
+    ``unigram_surprisal`` discipline applied at character level);
+    only the final per-char average divides.
+
+    Scale shape: ZERO shuffles — a pure projection. Per-doc char
+    counts come from the row itself (count of ch = len(text) −
+    len(replace(text, ch)) over array_distinct chars), so the corpus
+    is touched once, inside one whole-stage-codegen span, and nothing
+    is exploded; O(distinct_chars · len) string work per row with
+    distinct_chars bounded by the alphabet.
+
+    Returns (id_col, n_chars, n_distinct_chars, total_half_bits,
+    half_bits_per_char).
+    """
+    from walex_spark.extensions.search import half_bits
+
+    n = F.length(F.col(text_col)).cast(T.LongType())
+    chars = F.array_distinct(F.split(F.col(text_col), ""))
+    terms = F.transform(
+        chars,
+        lambda ch: (
+            n - F.length(F.replace(F.col(text_col), ch))
+        ).cast(T.LongType()),
+    )
+    # n div c via floor(double /): both operands < 2^31 so the true
+    # quotient is ≥ 1/c > 2^-31 away from any wrong integer — the
+    # correctly-rounded double can't cross the floor boundary
+    hb_terms = F.transform(
+        terms, lambda c: c * half_bits(F.floor(n / c).cast(T.LongType()))
+    )
+    total = F.aggregate(
+        hb_terms, F.lit(0).cast(T.LongType()), lambda acc, t: acc + t
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        F.size(chars).cast(T.LongType()).alias("n_distinct_chars"),
+        total.alias("total_half_bits"),
+        F.when(
+            n > F.lit(0),
+            total.cast(T.DoubleType()) / n.cast(T.DoubleType()),
+        ).alias("half_bits_per_char"),
+    )
+
+
+def token_burstiness(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token dispersion statistics for the corpus's top-k tokens —
+    burstiness in the Church & Gale sense: content words clump (a doc
+    that mentions a term mentions it repeatedly → variance far above
+    mean), function words spread evenly (VMR ≈ 1, Poisson-like).
+    Rising VMR on a supposedly-organic slice means templated
+    repetition; dispersion is also the signal for stopword-list
+    derivation and df-vs-cf weighting choices.
+
+    Per token over ALL docs (zeros included): doc frequency df,
+    corpus count, Σx² of per-doc counts, then
+    variance-to-mean ratio VMR = (n·Σx² − total²) / (n·total)
+    (population variance over mean) and mean count among docs that
+    contain the token. The three sufficient statistics are exact
+    int64 aggregates; VMR/means are fixed-shape IEEE-double
+    expressions over them, mirrored verbatim in the oracle.
+
+    Returns (token, corpus_cnt, df, n_docs, sum_sq, vmr, mean_count,
+    mean_given_present) ordered by (corpus_cnt desc, token).
+
+    Scale shape: one (doc, token) count aggregate (map-side
+    combinable), one token-level re-aggregate, an equi-join against
+    the top-k frame (k rows — AQE broadcasts it), and the one-row
+    doc-count broadcast. Top-k is a global TakeOrdered, never a
+    single-partition window; nothing corpus-sized is collected.
+    """
+    per_doc = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    per_tok = per_doc.groupBy("tok").agg(
+        F.sum("x").cast(T.LongType()).alias("corpus_cnt"),
+        F.count(F.lit(1)).cast(T.LongType()).alias("df"),
+        F.sum(F.col("x") * F.col("x")).cast(T.LongType()).alias("sum_sq"),
+    )
+    top = per_tok.orderBy(F.col("corpus_cnt").desc(), F.col("tok").asc()).limit(
+        top_k
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"))
+    n = F.col("n_docs").cast(T.DoubleType())
+    tot = F.col("corpus_cnt").cast(T.DoubleType())
+    ss = F.col("sum_sq").cast(T.DoubleType())
+    return (
+        top.join(F.broadcast(n_docs))
+        .select(
+            F.col("tok").alias("token"),
+            "corpus_cnt",
+            "df",
+            "n_docs",
+            "sum_sq",
+            ((n * ss - tot * tot) / (n * tot)).alias("vmr"),
+            (tot / n).alias("mean_count"),
+            (tot / F.col("df").cast(T.DoubleType())).alias("mean_given_present"),
+        )
+        .orderBy(F.col("corpus_cnt").desc(), F.col("token").asc())
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit: least-squares slope of half-bit log2(distinct
+    vocabulary size) against half-bit log2(cumulative tokens) over
+    id-ordered corpus prefixes — the vocabulary-GROWTH diagnostic that
+    pairs with ``zipf_fit``'s frequency-decay one. Organic text grows
+    vocabulary as V ≈ K·nᵝ with β ≈ 0.5–0.7 (Heaps 1978); a corpus
+    whose curve flattens early is templated/synthetic (closed
+    vocabulary), one near β = 1 is id-like junk. In half-bit log-log
+    space the fitted slope IS β (both axes scale by the same factor).
+
+    One prefix point per document: cumulative tokens and cumulative
+    new-type count at that doc, both exact int64 (new types per doc =
+    tokens whose corpus-wide min(doc_id) is that doc — the
+    ``ngram_novelty`` trick at unigram level; INCLUSIVE prefix sums =
+    exclusive ``prefix_sums_multi`` + the row's own value). The five
+    regression sums are exact int64; slope/intercept are the same
+    fixed-shape double expressions as ``zipf_fit``.
+
+    Returns ONE row: (n_points, sum_x, sum_y, sum_xy, sum_xx,
+    heaps_beta, heaps_intercept).
+
+    Scale shape: one token aggregate per axis (min / count, map-side
+    combinable), a doc-keyed join of two doc-sized narrow frames, ONE
+    range shuffle for both prefix sums (the prefix_sums_multi
+    contract), and a global 5-long aggregate. Σxy ≤ n·62² — int64 at
+    any corpus size.
+    """
+    from walex_spark.extensions.search import half_bits
+    from walex_spark.operators.ordering import prefix_sums_multi
+
+    toks = df.select(
+        F.col(id_col).alias("d"), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    first = toks.groupBy("tok").agg(F.min("d").alias("fd"))
+    new_types = first.groupBy(F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("nv")
+    )
+    # checkpoint at birth: per_doc feeds prefix_sums_multi, whose
+    # internal range/offset machinery evaluates its child more than
+    # once — without the pin the token explode + both aggregates
+    # re-run per evaluation (12 → ~4 exchanges). Three longs per doc.
+    per_doc = (
+        toks.groupBy("d")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("nt"))
+        .join(new_types, "d", "left")
+        .select("d", "nt", F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
+        .localCheckpoint(eager=False)
+    )
+    cum = prefix_sums_multi(
+        per_doc, ["d"], ["nt", "nv"], ["ct0", "cv0"]
+    ).select(
+        (F.col("ct0") + F.col("nt")).alias("ct"),
+        (F.col("cv0") + F.col("nv")).alias("cv"),
+    )
+    pts = cum.select(
+        half_bits(F.col("ct")).alias("x"), half_bits(F.col("cv")).alias("y")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_points"),
+        F.sum("x").cast(T.LongType()).alias("sum_x"),
+        F.sum("y").cast(T.LongType()).alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast(T.LongType()).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast(T.LongType()).alias("sum_xx"),
+    )
+    n = F.col("n_points").cast(T.DoubleType())
+    sx = F.col("sum_x").cast(T.DoubleType())
+    sy = F.col("sum_y").cast(T.DoubleType())
+    sxy = F.col("sum_xy").cast(T.DoubleType())
+    sxx = F.col("sum_xx").cast(T.DoubleType())
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    return agg.select(
+        "n_points",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_xx",
+        F.when(den != F.lit(0.0), num / den).alias("heaps_beta"),
+        F.when(
+            den != F.lit(0.0), (sy - (num / den) * sx) / n
+        ).alias("heaps_intercept"),
+    )

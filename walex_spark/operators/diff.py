@@ -81,3 +81,51 @@ def table_diff(
         )
         .filter(F.col("status").isNotNull())
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    hash_cols: list[str],
+    shard_size: int = 100,
+) -> DataFrame:
+    """Shard-level integrity manifest: one row per fixed-width key
+    shard with count, key bounds, and an order-free content hash —
+    the artifact two sides of a 100 TB migration (or a CDC source and
+    its materialized sink) exchange to find divergent shards WITHOUT
+    comparing rows: only shards whose manifest rows differ get the
+    expensive row-level ``table_diff`` pass.
+
+    The content hash is the bitwise XOR of per-row 60-bit hashes
+    (first 15 hex chars of md5 over '|'-joined ``hash_cols``) — XOR
+    is commutative/associative, so the fold is exact at any
+    parallelism and any row order, and md5 makes it engine-portable
+    (DuckDB reproduces it bit-for-bit; Spark's xxhash64 wouldn't).
+    NULL handling: concat_ws skips NULLs, so a NULL and an empty
+    string collide — callers with nullable hash_cols should coalesce
+    to a sentinel first (the registry's tables are non-null).
+
+    Returns (shard, n_rows, min_key, max_key, xor_hash) ordered by
+    shard. Scale shape: ONE map-side-combinable aggregate keyed on
+    key div shard_size — shard count scales with data, each shard's
+    state is 5 longs; no joins, no windows, nothing collected.
+    """
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *hash_cols)), 1, 15), 16, 10
+    ).cast(T.LongType())
+    shard = F.expr(f"{key_col} div {int(shard_size)}").cast(T.LongType())
+    return (
+        df.select(
+            shard.alias("shard"),
+            F.col(key_col).alias("__k"),
+            row_hash.alias("__h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_rows"),
+            F.min("__k").cast(T.LongType()).alias("min_key"),
+            F.max("__k").cast(T.LongType()).alias("max_key"),
+            F.expr("bit_xor(__h)").cast(T.LongType()).alias("xor_hash"),
+        )
+        .orderBy("shard")
+    )

@@ -6777,14 +6777,22 @@ def q_doc_novelty_incr(spark, sf_dir):
 
 
 # =========================================================================
-def _wordpiece_oracle(
-    top_pieces: int = 16, max_piece_len: int = 6, stages: int = 12
+def _wordpiece_cte(
+    top_pieces: int = 16,
+    max_piece_len: int = 6,
+    stages: int = 12,
+    keys: str = "doc_id",
 ) -> str:
-    """Greedy longest-match segmentation as a FIXED-DEPTH chain of
-    ``stages`` projection CTEs (the redact-oracle technique — DuckDB's
-    recursive CTEs cannot cleanly reference the vocab list per step,
-    but a word consumes >= 1 char per stage, so any stages >= max
-    word length is exact; extra stages no-op on rest='')."""
+    """The shared WITH-prefix of the wordpiece oracles (vocab
+    derivation + the fixed-depth greedy chain), ending at the
+    ``pieces`` CTE; ``keys`` picks which document columns the ``toks``
+    CTE carries (doc_id for per-doc segmentation, slice keys for
+    fertility). Greedy longest-match segmentation runs as a
+    FIXED-DEPTH chain of ``stages`` projection CTEs (the
+    redact-oracle technique — DuckDB's recursive CTEs cannot cleanly
+    reference the vocab list per step, but a word consumes >= 1 char
+    per stage, so any stages >= max word length is exact; extra
+    stages no-op on rest='')."""
     cases = ", ".join(
         f"CASE WHEN list_contains(vl, substring(rest, 1, {L})) THEN {L} ELSE 0 END"
         for L in range(max_piece_len, 0, -1)
@@ -6800,7 +6808,7 @@ def _wordpiece_oracle(
       FROM seg{k})"""
         )
     return f"""
-    WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents),
+    WITH toks AS (SELECT {keys}, unnest({_DUCK_TOKS}) AS w FROM documents),
     wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
     subs AS (
       SELECT substring(w, i, L) AS p, c
@@ -6817,7 +6825,13 @@ def _wordpiece_oracle(
     vlist AS (SELECT list(p ORDER BY p) AS vl FROM vocab),
     seg0 AS (SELECT w, vl, w AS rest, 0 AS n FROM wc CROSS JOIN vlist),
     {', '.join(chain)},
-    pieces AS (SELECT w, n AS n_pieces FROM seg{stages})
+    pieces AS (SELECT w, n AS n_pieces FROM seg{stages})"""
+
+
+def _wordpiece_oracle(
+    top_pieces: int = 16, max_piece_len: int = 6, stages: int = 12
+) -> str:
+    return f"""{_wordpiece_cte(top_pieces, max_piece_len, stages)}
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
@@ -6825,6 +6839,25 @@ def _wordpiece_oracle(
              AS pieces_per_word
     FROM toks JOIN pieces USING (w)
     GROUP BY doc_id
+    """
+
+
+def _wordpiece_fertility_oracle(
+    top_pieces: int = 16, max_piece_len: int = 6, stages: int = 12
+) -> str:
+    return f"""{_wordpiece_cte(top_pieces, max_piece_len, stages,
+                               keys="source, lang")}
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(length(w)) AS BIGINT) AS n_word_chars,
+           CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS pieces_per_word,
+           CAST(SUM(length(w)) AS DOUBLE) / CAST(SUM(n_pieces) AS DOUBLE)
+             AS chars_per_piece
+    FROM toks JOIN pieces USING (w)
+    GROUP BY source, lang
+    ORDER BY source, lang
     """
 
 
@@ -7583,6 +7616,389 @@ def q_doc_tfidf_cosine(spark, sf_dir):
 
 
 # =========================================================================
+# Fourth r08 session: corpus-statistics / integrity operators
+# =========================================================================
+_HB = "length(bin(LEAST({r}, 2147483647) * LEAST({r}, 2147483647))) - 1"
+
+_ZIPF_ORACLE = f"""
+    WITH toks AS (SELECT source AS g, unnest({_DUCK_TOKS}) AS tok
+                  FROM documents),
+    vocab AS (SELECT g, tok, COUNT(*) AS cnt FROM toks GROUP BY g, tok),
+    ranked AS (
+      SELECT g, cnt,
+             row_number() OVER (PARTITION BY g ORDER BY cnt DESC, tok)
+               AS rnk
+      FROM vocab),
+    pts AS (SELECT g, {_HB.format(r='rnk')} AS x,
+                   {_HB.format(r='cnt')} AS y
+            FROM ranked),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+             CAST(SUM(x * x) AS BIGINT) AS sum_xx
+      FROM pts GROUP BY g)
+    SELECT g AS source, n_types, sum_x, sum_y, sum_xy, sum_xx,
+           CASE WHEN CAST(n_types AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)
+                     <> 0.0
+                THEN (CAST(n_types AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                      - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                     / (CAST(n_types AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                        - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+           END AS zipf_slope,
+           CASE WHEN CAST(n_types AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)
+                     <> 0.0
+                THEN (CAST(sum_y AS DOUBLE)
+                      - ((CAST(n_types AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                          - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                         / (CAST(n_types AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                            - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
+                        * CAST(sum_x AS DOUBLE))
+                     / CAST(n_types AS DOUBLE)
+           END AS zipf_intercept
+    FROM agg ORDER BY source
+    """
+
+
+_HEAPS_ORACLE = f"""
+    WITH toks AS (SELECT doc_id AS d, unnest({_DUCK_TOKS}) AS tok
+                  FROM documents),
+    ft AS (SELECT tok, MIN(d) AS fd FROM toks GROUP BY tok),
+    nt AS (SELECT fd AS d, CAST(COUNT(*) AS BIGINT) AS nv FROM ft GROUP BY fd),
+    tp AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY d),
+    per_doc AS (
+      SELECT tp.d, tp.nt, COALESCE(nt.nv, 0) AS nv
+      FROM tp LEFT JOIN nt USING (d)),
+    cum AS (
+      SELECT SUM(nt) OVER (ORDER BY d) AS ct,
+             SUM(nv) OVER (ORDER BY d) AS cv
+      FROM per_doc),
+    pts AS (SELECT {_HB.format(r='ct')} AS x, {_HB.format(r='cv')} AS y
+            FROM cum),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+             CAST(SUM(x * x) AS BIGINT) AS sum_xx
+      FROM pts)
+    SELECT n_points, sum_x, sum_y, sum_xy, sum_xx,
+           CASE WHEN CAST(n_points AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)
+                     <> 0.0
+                THEN (CAST(n_points AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                      - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                     / (CAST(n_points AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                        - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+           END AS heaps_beta,
+           CASE WHEN CAST(n_points AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)
+                     <> 0.0
+                THEN (CAST(sum_y AS DOUBLE)
+                      - ((CAST(n_points AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                          - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                         / (CAST(n_points AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                            - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
+                        * CAST(sum_x AS DOUBLE))
+                     / CAST(n_points AS DOUBLE)
+           END AS heaps_intercept
+    FROM agg
+    """
+
+
+@_register("q_doc_heaps", _HEAPS_ORACLE)
+def q_doc_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (extensions/text.py::
+    heaps_fit) — the growth diagnostic pairing with q_doc_zipf's decay
+    one: slope of half-bit log2(cumulative vocab) on half-bit
+    log2(cumulative tokens) over id-ordered prefixes ≈ Heaps' β.
+    Per-doc new-type counts via the corpus-wide min(doc_id) trick
+    (order-free, exact); both inclusive prefix sums ride ONE range
+    shuffle (prefix_sums_multi); five exact int64 regression sums +
+    the zipf_fit fixed-shape double tail."""
+    return tx.heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+@_register("q_doc_zipf", _ZIPF_ORACLE)
+def q_doc_zipf(spark, sf_dir):
+    """Zipf's-law fit per source slice (extensions/text.py::zipf_fit)
+    — least-squares slope of half-bit log2(freq) on half-bit
+    log2(rank), the corpus-health diagnostic for templated/synthetic
+    slices. Both axes and all five regression sums are exact int64
+    (half_bits binary-length logs); slope/intercept are fixed-shape
+    IEEE-double expressions over the exact sums, mirrored verbatim in
+    the oracle. Per-slice rank from ONE global range sort + broadcast
+    slice offsets — never a per-slice single-task window."""
+    return tx.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+_CHAR_ENTROPY_ORACLE = f"""
+    WITH ch AS (
+      SELECT doc_id, length(text) AS n, substr(text, i, 1) AS c0
+      FROM documents, unnest(generate_series(1, length(text))) u(i)),
+    cc AS (SELECT doc_id, n, c0, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(SUM(c * ({_HB.format(r='n // c')})) AS BIGINT)
+             AS total_half_bits,
+           CASE WHEN n > 0 THEN
+             CAST(CAST(SUM(c * ({_HB.format(r='n // c')})) AS BIGINT)
+                  AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS half_bits_per_char
+    FROM cc GROUP BY doc_id, n
+    """
+
+
+def _mmr_oracle(
+    terms: list[str], k: int = 10, pool: int = 30,
+    lambda_num: int = 7, lambda_den: int = 10,
+) -> str:
+    """MMR greedy selection as a FIXED-DEPTH chain of k-1 CTE stage
+    pairs (the wordpiece-oracle technique): stage t scores every
+    unpicked candidate λ·rel − (1−λ)·max-sim-to-sel{t-1} and appends
+    the argmax. λ weights are written as divisions of integer-valued
+    E-notation literals — (7e0/1e1) is the SAME correctly-rounded
+    double Python's 7/10 produces, where a bare 0.7 would type as
+    DECIMAL in DuckDB and round differently."""
+    lam = f"({lambda_num}e0 / {lambda_den}e0)"
+    mu = f"({lambda_den - lambda_num}e0 / {lambda_den}e0)"
+    stages = []
+    for t in range(2, k + 1):
+        stages.append(f"""cand{t} AS MATERIALIZED (
+      SELECT c.doc_id, c.score,
+             {lam} * c.score
+               - {mu} * COALESCE(MAX(s.jac), 0e0) AS mmr
+      FROM cand c
+      LEFT JOIN sim s ON s.ia = c.doc_id
+                     AND s.ib IN (SELECT doc_id FROM sel{t - 1})
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{t - 1})
+      GROUP BY c.doc_id, c.score),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM sel{t - 1}
+      UNION ALL
+      SELECT doc_id, score, CAST({t} AS BIGINT) AS pick FROM (
+        SELECT doc_id, score FROM cand{t}
+        ORDER BY mmr DESC, doc_id LIMIT 1))""")
+    return f"""
+    WITH cand AS MATERIALIZED (
+      SELECT doc_id, score FROM ({_bm25_oracle(terms, k=pool)})),
+    ts AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_DUCK_TOKS}) AS toks
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cand)),
+    sim AS MATERIALIZED (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                      AS DOUBLE) AS jac
+      FROM ts a JOIN ts b ON a.doc_id <> b.doc_id),
+    sel1 AS MATERIALIZED (
+      SELECT doc_id, score, CAST(1 AS BIGINT) AS pick FROM cand
+      ORDER BY score DESC, doc_id LIMIT 1),
+    {', '.join(stages)}
+    SELECT pick, doc_id, score FROM sel{k} ORDER BY pick
+    """
+
+
+@_register("q_doc_mmr", _mmr_oracle(_BM25_TERMS))
+def q_doc_mmr(spark, sf_dir):
+    """Maximal-marginal-relevance diversified selection
+    (extensions/search.py::mmr_select): greedy k=10 picks from the
+    BM25 top-30 pool maximizing 0.7·relevance − 0.3·token-Jaccard to
+    the already-picked set — diversified retrieval / diverse-exemplar
+    curation. Everything corpus-sized runs distributed (BM25 +
+    candidate token sets); the inherently-sequential greedy runs on
+    the collected pool (O(pool²) values bounded by the LIMIT — the
+    IVF-centroid metadata class). Oracle = fixed-depth argmax CTE
+    chain; λ as E-notation rationals for bit-equality."""
+    from walex_spark.extensions.search import mmr_select
+
+    return mmr_select(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+# =========================================================================
+_BURSTINESS_ORACLE = f"""
+    WITH pd AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS x
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    pt AS (
+      SELECT tok, CAST(SUM(x) AS BIGINT) AS corpus_cnt,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(x * x) AS BIGINT) AS sum_sq
+      FROM pd GROUP BY tok),
+    top AS (SELECT * FROM pt ORDER BY corpus_cnt DESC, tok LIMIT 20),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tok AS token, corpus_cnt, df, n_docs, sum_sq,
+           (CAST(n_docs AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+            - CAST(corpus_cnt AS DOUBLE) * CAST(corpus_cnt AS DOUBLE))
+           / (CAST(n_docs AS DOUBLE) * CAST(corpus_cnt AS DOUBLE)) AS vmr,
+           CAST(corpus_cnt AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS mean_count,
+           CAST(corpus_cnt AS DOUBLE) / CAST(df AS DOUBLE)
+             AS mean_given_present
+    FROM top CROSS JOIN nd
+    ORDER BY corpus_cnt DESC, token
+    """
+
+
+@_register("q_doc_burstiness", _BURSTINESS_ORACLE)
+def q_doc_burstiness(spark, sf_dir):
+    """Token burstiness / dispersion for the top-20 tokens
+    (extensions/text.py::token_burstiness) — Church & Gale
+    variance-to-mean ratio over per-doc counts with zeros included:
+    the clumping diagnostic separating content words (VMR >> 1) from
+    function words (≈1), and a templated-repetition alarm per slice.
+    Exact int64 sufficient statistics (Σx, df, Σx²) + fixed-shape
+    double ratios; one (doc, token) aggregate, one token re-aggregate,
+    a top-k TakeOrdered and a one-row doc-count broadcast."""
+    return tx.token_burstiness(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+@_register("q_doc_tok_fertility", _wordpiece_fertility_oracle())
+def q_doc_tok_fertility(spark, sf_dir):
+    """Tokenizer fertility/compression eval per (source, lang) slice
+    (extensions/bpe.py::wordpiece_fertility) — pieces-per-word and
+    chars-per-piece under the corpus-derived WordPiece vocab, the
+    fairness audit exposing slices the tokenizer under-serves. Reuses
+    q_doc_wordpiece's zero-shuffle greedy segmentation over DISTINCT
+    words; occurrences join on the word key, slice-sized output,
+    all-integer sums + two IEEE divisions."""
+    from walex_spark.extensions.bpe import wordpiece_fertility
+
+    return wordpiece_fertility(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+_MANIFEST_ORACLE = """
+    WITH h AS (
+      SELECT doc_id // 100 AS shard, doc_id,
+             ('0x' || substr(md5(concat_ws('|', doc_id, text, lang,
+                                           source, n_chars)), 1, 15))
+               ::BIGINT AS rh
+      FROM documents)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_key,
+           CAST(MAX(doc_id) AS BIGINT) AS max_key,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_hash
+    FROM h GROUP BY shard ORDER BY shard
+    """
+
+
+@_register("q_doc_manifest_incr", _MANIFEST_ORACLE)
+def q_doc_manifest_incr(spark, sf_dir):
+    """INCREMENTAL shard-manifest maintenance (streaming/
+    dedup_incr.py::IncrementalManifestIndex — the foreachBatch twin of
+    q_doc_manifest): 3 micro-batches (doc_id mod 3); every manifest
+    statistic folds associatively under insert-only arrival (counts
+    sum, bounds min/max, the XOR hash is its own inverse), so each
+    epoch writes one epoch-sized partial and emits UPSERTS for the
+    shards it touched. The LATEST emission per shard must equal the
+    batch operator — same oracle as q_doc_manifest."""
+    from walex_spark.streaming.dedup_incr import IncrementalManifestIndex
+
+    root = _scratch_dir("manifest_incr_")
+    docs = _t(spark, sf_dir, "documents")
+    idx = IncrementalManifestIndex(
+        f"{root}/idx",
+        key_col="doc_id",
+        hash_cols=("doc_id", "text", "lang", "source", "n_chars"),
+        shard_size=100,
+    )
+    outs = []
+    for e in range(3):
+        out = idx.process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+        path = f"{root}/out-{e}"
+        out.withColumn("epoch", F.lit(e)).write.mode("overwrite").parquet(path)
+        outs.append(path)
+    em = spark.read.parquet(*outs)
+    w = Window.partitionBy("shard").orderBy(F.col("epoch").desc())
+    return (
+        em.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("shard", "n_rows", "min_key", "max_key", "xor_hash")
+        .orderBy("shard")
+    )
+
+
+# =========================================================================
+@_register("q_doc_manifest", _MANIFEST_ORACLE)
+def q_doc_manifest(spark, sf_dir):
+    """Shard-level integrity manifest (operators/diff.py::
+    shard_manifest): per key-shard count, key bounds, and an
+    order-free XOR of md5-derived 60-bit row hashes — the artifact
+    two sides of a migration exchange to localize divergence before
+    any row-level diff. ONE map-side-combinable aggregate; the XOR
+    fold is exact at any parallelism and row order, and md5 makes it
+    engine-portable (the oracle recomputes every row hash)."""
+    from walex_spark.operators.diff import shard_manifest
+
+    return shard_manifest(
+        _t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        hash_cols=["doc_id", "text", "lang", "source", "n_chars"],
+        shard_size=100,
+    )
+
+
+# =========================================================================
+_SOURCE_OVERLAP_ORACLE = f"""
+    WITH t AS (SELECT source AS g, {_DUCK_TOKS} AS toks FROM documents),
+    gr AS (
+      SELECT DISTINCT g,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+      FROM t, unnest(generate_series(1, len(toks) - 2)) u(i)
+      WHERE len(toks) >= 3),
+    sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM gr GROUP BY g),
+    shared AS (
+      SELECT a.g AS sa, b.g AS sb, CAST(COUNT(*) AS BIGINT) AS shared_grams
+      FROM gr a JOIN gr b ON a.sh = b.sh AND a.g <> b.g
+      GROUP BY a.g, b.g)
+    SELECT sa AS source_a, sb AS source_b,
+           na.ng AS grams_a, nb.ng AS grams_b, shared_grams,
+           CAST(shared_grams AS DOUBLE) / CAST(na.ng AS DOUBLE)
+             AS containment,
+           CAST(shared_grams AS DOUBLE)
+             / CAST(na.ng + nb.ng - shared_grams AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sz na ON na.g = sa
+    JOIN sz nb ON nb.g = sb
+    ORDER BY source_a, source_b
+    """
+
+
+@_register("q_doc_source_overlap", _SOURCE_OVERLAP_ORACLE)
+def q_doc_source_overlap(spark, sf_dir):
+    """Pairwise source-overlap matrix (extensions/decontam.py::
+    source_overlap_matrix): shared distinct word-trigram counts +
+    containment/Jaccard for every ordered source pair — the
+    redundancy/contamination map a mixture designer reads before
+    weighting sources. One (slice, gram) distinct aggregate, a
+    gram-keyed self-equi-join (fan-out bounded by |sources| per
+    gram), |S|^2-row output; all-integer counts, two IEEE divisions."""
+    from walex_spark.extensions.decontam import source_overlap_matrix
+
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+@_register("q_doc_char_entropy", _CHAR_ENTROPY_ORACLE)
+def q_doc_char_entropy(spark, sf_dir):
+    """Per-document character-unigram entropy in exact half-bit units
+    (extensions/text.py::char_entropy) — the gibberish/binary-spill
+    detector. ZERO shuffles: per-doc char counts are derived from the
+    row itself (len − len(replace)) over array_distinct chars, one
+    whole-stage-codegen projection over the corpus; the oracle
+    re-derives identical counts by exploding character positions."""
+    return tx.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) covers only
@@ -7646,6 +8062,10 @@ DRIVER_ORDER = [
     "q_doc_exact_dedup_incr", "q_doc_split", "q_doc_decontam_jaccard",
     "q_emb_hamming_topk", "q_doc_token_ids", "q_doc_simhash_incr",
     "q_multimodal_audio", "q_doc_curriculum",
+    # fourth-session additions, zero history:
+    "q_doc_zipf", "q_doc_char_entropy", "q_doc_source_overlap",
+    "q_doc_manifest", "q_doc_tok_fertility", "q_doc_burstiness",
+    "q_doc_mmr", "q_doc_manifest_incr", "q_doc_heaps",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -7659,9 +8079,18 @@ DRIVER_ORDER = [
     # q_window_lag_lead, q_window_running_total, q_window_topn_per_group
     # (eleventh evictee, same class). All become stale-flagged when
     # r09's files land, so they head the r09 window.
-    "q02_top_revenue_orders", "q03_shipping_priority", "q04_order_priority",
-    "q05_region_volume", "q06_forecast_revenue", "q07_nation_volume",
-    "q08_market_share", "q09_profit_by_nation", "q10_returned_items",
+    # q02_top_revenue_orders / q03_shipping_priority /
+    # q04_order_priority / q05_region_volume / q06_forecast_revenue
+    # / q07_nation_volume / q08_market_share / q09_profit_by_nation
+    # / q10_returned_items gave up their slots to the nine
+    # zero-history fourth-session additions (q_doc_zipf,
+    # q_doc_char_entropy, q_doc_source_overlap, q_doc_manifest,
+    # q_doc_tok_fertility, q_doc_burstiness, q_doc_mmr,
+    # q_doc_manifest_incr, q_doc_heaps): pure built-in TPC-H
+    # join-aggregate compositions, no repo operator code, hard-green
+    # r02 AND r05 — same evictee class as the eleven relational
+    # evictions above. Stale-flagged for the r09 window the moment
+    # r09's files land.
     "q11_important_parts", "q12_ship_priority_lag",
     # q13_order_distribution gave up its slot to the zero-history
     # q_doc_diversity: pure built-in join+groupBy composition, no repo

@@ -1110,3 +1110,93 @@ class IncrementalSimHashIndex:
                 new_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
             )
         ).distinct()
+
+
+class IncrementalManifestIndex:
+    """Shard-manifest maintenance — the foreachBatch twin of
+    operators/diff.py::shard_manifest (count + key bounds + order-free
+    XOR content hash per key shard).
+
+    Every statistic in the manifest folds associatively under
+    insert-only arrival: counts sum, bounds min/max, and the XOR hash
+    is its own inverse — so state is per-epoch PARTIAL manifests and
+    an epoch's work is ONE epoch-sized aggregate plus the fold over
+    shards the epoch touched (semi-join-restricted, the exact-dedup
+    twin's shape). Emissions are UPSERTS keyed by shard; the LATEST
+    emission per shard equals the batch operator over everything
+    arrived. At a CDC sink this is how the 100 TB migration check
+    stays continuously fresh: the manifest never rescans the corpus.
+
+    (Deletes/updates would keep count and XOR maintainable — XOR the
+    old image out, the new one in — but break min/max; this twin is
+    insert-only, like the append-only training-corpus feeds it
+    audits. A delete-bearing variant would drop the bounds columns.)
+
+    PER-EPOCH COST CONTRACT: the epoch aggregates only its own rows;
+    index-wide work is the keyed semi-join + the fold over matching
+    shards. Compaction pre-folds partials (``_compact_root`` with the
+    same fold), so the union stays bounded by ``compact_every``.
+    """
+
+    AGG_SCHEMA = (
+        "shard BIGINT, n_rows BIGINT, min_key BIGINT, max_key BIGINT, "
+        "xor_hash BIGINT"
+    )
+
+    def __init__(
+        self,
+        index_dir: str,
+        key_col: str = "doc_id",
+        hash_cols: tuple[str, ...] = ("doc_id", "text"),
+        shard_size: int = 100,
+        compact_every: int = 0,
+    ):
+        self.index_dir = index_dir
+        self.key_col = key_col
+        self.hash_cols = list(hash_cols)
+        self.shard_size = int(shard_size)
+        self.compact_every = compact_every
+
+    def _agg_root(self) -> str:
+        return os.path.join(self.index_dir, "agg")
+
+    @staticmethod
+    def _fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("shard").agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_key").alias("min_key"),
+            F.max("max_key").alias("max_key"),
+            F.expr("bit_xor(xor_hash)").alias("xor_hash"),
+        )
+
+    def compact(self, spark: SparkSession) -> bool:
+        return _compact_root(
+            spark, self._agg_root(), self.AGG_SCHEMA, agg=self._fold
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
+        """Fold the epoch into the manifest; return the UPSERT rows
+        (shard, n_rows, min_key, max_key, xor_hash) for every shard
+        the epoch touched — the batch operator's row shape."""
+        from walex_spark.operators.diff import shard_manifest
+
+        spark = batch_df.sparkSession
+        if self.compact_every and len(_epoch_dirs(self._agg_root())) >= (
+            self.compact_every + 1
+        ):
+            self.compact(spark)
+        ep = shard_manifest(
+            batch_df,
+            key_col=self.key_col,
+            hash_cols=self.hash_cols,
+            shard_size=self.shard_size,
+        )
+        _write_epoch(ep, self._agg_root(), epoch_id)
+        ep_shards = (
+            spark.read.schema(self.AGG_SCHEMA)
+            .parquet(os.path.join(self._agg_root(), f"e-{epoch_id}"))
+            .select("shard")
+        )
+        all_partials = _read_union(spark, self._agg_root(), self.AGG_SCHEMA)
+        touched = all_partials.join(ep_shards, "shard", "left_semi")
+        return self._fold(touched)
