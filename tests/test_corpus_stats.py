@@ -313,3 +313,23 @@ def test_heaps_beta_near_one_for_all_new_tokens(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     g = heaps_fit(df).collect()[0]
     assert g["heaps_beta"] == 1.0
+
+
+def test_junk_fusion_ranks_degenerate_docs_first(spark):
+    from walex_spark.extensions.search import junk_rank_fusion
+
+    organic = [
+        (i, f"the quick brown fox jumps over lazy dog number{i} "
+            f"unique{i} words{i} vary{i}")
+        for i in range(8)
+    ]
+    junk = [(100, "spam spam spam spam spam spam spam spam")]
+    df = spark.createDataFrame(organic + junk, ["doc_id", "text"])
+    top = junk_rank_fusion(df, top_k=3).orderBy("rnk").collect()
+    # the degenerate doc tops all three signals, so it must lead
+    assert top[0]["doc_id"] == 100
+    assert top[0]["rank_rep"] == 1   # most repetitive
+    assert top[0]["rank_ent"] == 1   # lowest char entropy
+    assert top[0]["rank_sur"] == 1   # lowest surprisal
+    # fused score of a triple rank-1: 3/61, written the fixed way
+    assert top[0]["rrf_score"] == 1.0 / 61.0 + 1.0 / 61.0 + 1.0 / 61.0

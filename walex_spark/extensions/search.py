@@ -551,3 +551,97 @@ def mmr_select(
         ]
     )
     return spark.createDataFrame(picked, schema)
+
+
+def junk_rank_fusion(
+    df: DataFrame,
+    k_const: int = 60,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Junk-first curation ranking: reciprocal-rank fusion of three
+    independent degenerate-text signals over the WHOLE corpus —
+    repetition (top-bigram fraction, high = templated), character
+    entropy (low = key-mash/single-char runs), and unigram surprisal
+    (low = boilerplate). The fused head of the list is the
+    remove-first candidate set a curation pass reviews; rank fusion
+    beats score fusion here because the three signals live on
+    incomparable scales (fractions, half-bits/char, half-bits/token)
+    and RRF needs only their orderings (Cormack et al. 2009).
+
+    score(d) = Σ_s 1/(k + rank_s(d)), terms added in the fixed order
+    repetition → entropy → surprisal; a doc missing from a signal
+    (e.g. < 2 tokens ⇒ no bigram signal) contributes 0 for it.
+    Signal values are the bit-exact outputs of the underlying
+    operators; each ranking is a (value, id)-keyed
+    ``global_sorted_index`` — ONE distributed range sort per signal,
+    never a corpus-wide single-task window (the reason this is not
+    ``rrf_fuse`` over unbounded frames, whose final window is only
+    safe after a LIMIT). The final rnk window runs AFTER the top-k
+    LIMIT.
+
+    Returns (id_col, rank_rep, rank_ent, rank_sur, rrf_score, rnk),
+    top-``top_k`` by fused score (ties: smaller id).
+    """
+    from walex_spark.extensions.text import char_entropy, repetition_stats
+    from walex_spark.operators.ordering import global_sorted_index
+
+    def _rank(signal: DataFrame, value_col, asc: bool, name: str) -> DataFrame:
+        order = [
+            F.col("__v").asc() if asc else F.col("__v").desc(),
+            F.col(id_col).asc(),
+        ]
+        # checkpoint at birth: each rank frame (two longs per doc)
+        # feeds the full-outer fusion join chain, under which the
+        # whole signal-compute + range-sort subtree would otherwise
+        # re-evaluate (26 → 15 exchanges across the three signals)
+        return (
+            global_sorted_index(
+                signal.select(F.col(id_col), value_col.alias("__v")),
+                order,
+                index_col=name,
+            )
+            .select(id_col, name)
+            .localCheckpoint(eager=False)
+        )
+
+    rep = _rank(
+        repetition_stats(df, text_col=text_col, id_col=id_col),
+        F.col("top_bigram_frac"),
+        asc=False,
+        name="rank_rep",
+    )
+    ent = _rank(
+        char_entropy(df, text_col=text_col, id_col=id_col),
+        F.col("half_bits_per_char"),
+        asc=True,
+        name="rank_ent",
+    )
+    sur = _rank(
+        unigram_surprisal(df, text_col=text_col, id_col=id_col),
+        F.col("half_bits_per_token"),
+        asc=True,
+        name="rank_sur",
+    )
+    kf = F.lit(float(k_const))
+    fused = (
+        rep.join(ent, id_col, "full_outer")
+        .join(sur, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            "rank_rep",
+            "rank_ent",
+            "rank_sur",
+            (
+                F.coalesce(F.lit(1.0) / (kf + F.col("rank_rep")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (kf + F.col("rank_ent")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (kf + F.col("rank_sur")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    out = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return out.withColumn("rnk", F.row_number().over(w).cast(T.LongType()))

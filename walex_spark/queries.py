@@ -7663,6 +7663,77 @@ _ZIPF_ORACLE = f"""
     """
 
 
+_JUNK_FUSE_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+               AS bigram
+      FROM t WHERE len(toks) >= 2),
+    perb AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS v
+      FROM perb GROUP BY doc_id),
+    ch AS (
+      SELECT doc_id, length(text) AS n, substr(text, i, 1) AS c0
+      FROM documents, unnest(generate_series(1, length(text))) u(i)),
+    cc AS (SELECT doc_id, n, c0, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3),
+    ent AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(c * ({_HB.format(r='n // c')})) AS BIGINT)
+                  AS DOUBLE) / CAST(n AS DOUBLE) AS v
+      FROM cc GROUP BY doc_id, n),
+    tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n_total FROM tk),
+    sc AS (
+      SELECT doc_id, {_HB.format(r='n_total // cnt')} AS hb
+      FROM tk JOIN vocab USING (tok) CROSS JOIN tot),
+    sur AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(hb) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS v
+      FROM sc GROUP BY doc_id),
+    rrep AS (SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY v DESC, doc_id) AS BIGINT) AS rank_rep FROM rep),
+    rent AS (SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY v ASC, doc_id) AS BIGINT) AS rank_ent FROM ent),
+    rsur AS (SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY v ASC, doc_id) AS BIGINT) AS rank_sur FROM sur),
+    fused AS (
+      SELECT doc_id, rank_rep, rank_ent, rank_sur,
+             COALESCE(1e0 / (6e1 + rank_rep), 0e0)
+               + COALESCE(1e0 / (6e1 + rank_ent), 0e0)
+               + COALESCE(1e0 / (6e1 + rank_sur), 0e0) AS rrf_score
+      FROM rrep
+      FULL OUTER JOIN rent USING (doc_id)
+      FULL OUTER JOIN rsur USING (doc_id)),
+    top AS (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 100)
+    SELECT doc_id, rank_rep, rank_ent, rank_sur, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM top
+    """
+
+
+@_register("q_doc_junk_fuse", _JUNK_FUSE_ORACLE)
+def q_doc_junk_fuse(spark, sf_dir):
+    """Junk-first curation ranking (extensions/search.py::
+    junk_rank_fusion): reciprocal-rank fusion of three
+    incomparable-scale degenerate-text signals — top-bigram
+    repetition (desc), character entropy (asc), unigram surprisal
+    (asc) — into one remove-first review list. Each full-corpus
+    ranking is a (value, id)-keyed global_sorted_index range sort
+    (never a corpus-wide single-task window; the rnk window runs
+    AFTER the LIMIT); RRF terms are fixed-order IEEE divisions of
+    exact integer ranks."""
+    from walex_spark.extensions.search import junk_rank_fusion
+
+    return junk_rank_fusion(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
 _HEAPS_ORACLE = f"""
     WITH toks AS (SELECT doc_id AS d, unnest({_DUCK_TOKS}) AS tok
                   FROM documents),
@@ -8066,6 +8137,7 @@ DRIVER_ORDER = [
     "q_doc_zipf", "q_doc_char_entropy", "q_doc_source_overlap",
     "q_doc_manifest", "q_doc_tok_fertility", "q_doc_burstiness",
     "q_doc_mmr", "q_doc_manifest_incr", "q_doc_heaps",
+    "q_doc_junk_fuse",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -8082,16 +8154,16 @@ DRIVER_ORDER = [
     # q02_top_revenue_orders / q03_shipping_priority /
     # q04_order_priority / q05_region_volume / q06_forecast_revenue
     # / q07_nation_volume / q08_market_share / q09_profit_by_nation
-    # / q10_returned_items gave up their slots to the nine
-    # zero-history fourth-session additions (q_doc_zipf,
+    # / q10_returned_items / q11_important_parts gave up their slots
+    # to the ten zero-history fourth-session additions (q_doc_zipf,
     # q_doc_char_entropy, q_doc_source_overlap, q_doc_manifest,
     # q_doc_tok_fertility, q_doc_burstiness, q_doc_mmr,
-    # q_doc_manifest_incr, q_doc_heaps): pure built-in TPC-H
-    # join-aggregate compositions, no repo operator code, hard-green
-    # r02 AND r05 — same evictee class as the eleven relational
-    # evictions above. Stale-flagged for the r09 window the moment
-    # r09's files land.
-    "q11_important_parts", "q12_ship_priority_lag",
+    # q_doc_manifest_incr, q_doc_heaps, q_doc_junk_fuse): pure
+    # built-in TPC-H join-aggregate compositions, no repo operator
+    # code, hard-green r02 AND r05 — same evictee class as the eleven
+    # relational evictions above. Stale-flagged for the r09 window
+    # the moment r09's files land.
+    "q12_ship_priority_lag",
     # q13_order_distribution gave up its slot to the zero-history
     # q_doc_diversity: pure built-in join+groupBy composition, no repo
     # operator code, hard-green r02 AND r05 — same evictee class as
