@@ -333,3 +333,26 @@ def test_junk_fusion_ranks_degenerate_docs_first(spark):
     assert top[0]["rank_sur"] == 1   # lowest surprisal
     # fused score of a triple rank-1: 3/61, written the fixed way
     assert top[0]["rrf_score"] == 1.0 / 61.0 + 1.0 / 61.0 + 1.0 / 61.0
+
+
+def test_prf_expansion_widens_recall(spark):
+    from walex_spark.extensions.search import bm25_topk, prf_expand_topk
+
+    rows = [
+        # feedback docs pair 'hash' with 'bucket'
+        (0, "hash hash bucket probe"),
+        (1, "hash bucket bucket build"),
+        (2, "hash bucket probe build"),
+        # doc 3 never says 'hash' but is all about 'bucket'
+        (3, "bucket bucket bucket probe build"),
+        (4, "completely unrelated cats and dogs"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base_ids = {r["doc_id"]
+                for r in bm25_topk(df, ["hash"], k=5).collect()}
+    prf_ids = {r["doc_id"]
+               for r in prf_expand_topk(
+                   df, ["hash"], fb_k=3, expand_k=2, k=5).collect()}
+    assert 3 not in base_ids          # invisible to the raw query
+    assert 3 in prf_ids               # recovered via expansion
+    assert 4 not in prf_ids           # junk stays out

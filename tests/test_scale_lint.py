@@ -78,6 +78,7 @@ BNLJ_ALLOWANCE = {
     "q_doc_leak_safe_split": 2,
     "q_hybrid_rrf": 2,            # BM25 one-row stats + brute-force query side
     "q_doc_bm25": 1,              # one-row corpus stats
+    "q_doc_prf": 1,               # the same one-row stats, 2nd pass
     "q_doc_temp_mixture": 1,      # one-row min-count
     "q_doc_pipeline_e2e": 1,      # one-row min-count (mixture stage)
     "q_doc_surprisal": 1,         # one-row n_total

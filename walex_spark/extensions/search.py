@@ -645,3 +645,80 @@ def junk_rank_fusion(
     )
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return out.withColumn("rnk", F.row_number().over(w).cast(T.LongType()))
+
+
+def prf_expand_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    fb_k: int = 10,
+    expand_k: int = 4,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio 1971 / RM1-style):
+    run BM25, treat the top-``fb_k`` documents as relevant, mine the
+    ``expand_k`` best expansion terms from them, and re-run BM25 with
+    the widened query — the classic recall lever when the original
+    bag-of-words misses vocabulary the relevant docs actually use.
+
+    Expansion-term weight is EXACT integer arithmetic: (Σ tf over the
+    feedback docs) × half_bits(n_docs div corpus_df) — feedback mass
+    times a half-bit idf (the module's log-free discipline), original
+    terms excluded, ties (weight desc, term asc). The final query is
+    original terms in their given order followed by expansion terms
+    in weight-rank order; ``bm25_topk`` then sums contributions in
+    exactly that term order, which the oracle mirrors with an
+    ORDER-BY-term-rank left fold (0.0 + x == x in IEEE, so the
+    coalesce-chain and the present-only fold are bit-identical).
+
+    Returns bm25_topk's shape (id_col, n_terms_matched, score, rnk)
+    for the expanded query.
+
+    Scale shape: both retrieval passes are ``bm25_topk`` (query-term
+    filter BEFORE any shuffle); term mining joins the feedback docs'
+    tokens (fb_k docs — LIMIT-bounded) against the corpus
+    document-frequency aggregate and TakeOrders ``expand_k`` rows;
+    the only collect ships ``expand_k`` strings (metadata, the
+    IVF-centroid class — term selection must reach the driver to
+    parameterize the second pass's plan).
+    """
+    fb = bm25_topk(
+        df, query_terms, k=fb_k, text_col=text_col, id_col=id_col
+    ).select(id_col)
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct(id_col).cast(T.LongType()).alias("df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"))
+    fb_tf = (
+        toks.join(fb, id_col, "left_semi")
+        .filter(~F.col("tok").isin(list(query_terms)))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("fb_tf"))
+    )
+    wts = (
+        fb_tf.join(dfreq, "tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "tok",
+            (
+                F.col("fb_tf") * half_bits(F.expr("n_docs div df"))
+            ).alias("w"),
+        )
+    )
+    expansion = [
+        r.tok
+        for r in wts.orderBy(F.col("w").desc(), F.col("tok").asc())
+        .limit(expand_k)
+        .collect()
+    ]
+    return bm25_topk(
+        df,
+        list(query_terms) + expansion,
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+    )

@@ -7663,6 +7663,91 @@ _ZIPF_ORACLE = f"""
     """
 
 
+def _prf_oracle(
+    terms: list[str], fb_k: int = 10, expand_k: int = 4, k: int = 20,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """PRF final ranking with a DYNAMIC (data-dependent) term set: the
+    literal per-term conditional sums of _bm25_oracle can't apply, so
+    the per-doc score is a list_reduce over contributions ordered by
+    term rank — DuckDB's left fold matches bm25_topk's coalesce chain
+    bit-for-bit because 0.0 + x == x in IEEE for the positive
+    contributions (absent terms add exact zeros in Spark; present-only
+    folding skips them)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    values = ", ".join(f"('{t}', {i + 1})" for i, t in enumerate(terms))
+    return f"""
+    WITH fb AS MATERIALIZED (
+      SELECT doc_id FROM ({_bm25_oracle(terms, k=fb_k)})),
+    toksall AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toksall GROUP BY tok),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    fbtf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS fb_tf
+      FROM toksall WHERE doc_id IN (SELECT doc_id FROM fb)
+        AND tok NOT IN ({in_list})
+      GROUP BY tok),
+    wts AS (
+      SELECT tok, fb_tf * ({_HB.format(r='n_docs // df')}) AS w
+      FROM fbtf JOIN dfreq USING (tok) CROSS JOIN nd),
+    exp AS (
+      SELECT tok, CAST({len(terms)} + row_number() OVER
+               (ORDER BY w DESC, tok) AS BIGINT) AS trank
+      FROM wts ORDER BY w DESC, tok LIMIT {expand_k}),
+    qterms AS MATERIALIZED (
+      SELECT * FROM (VALUES {values}) t(tok, trank)
+      UNION ALL SELECT tok, trank FROM exp),
+    toks2 AS (SELECT doc_id, len({_DUCK_TOKS}) AS dl,
+                     unnest({_DUCK_TOKS}) AS term
+              FROM documents),
+    ft AS (
+      SELECT doc_id, dl, term, trank, COUNT(*) AS tf
+      FROM toks2 JOIN qterms ON term = tok GROUP BY 1, 2, 3, 4),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len({_DUCK_TOKS})) AS total_tokens
+      FROM documents),
+    dfq AS (SELECT term, COUNT(*) AS df FROM ft GROUP BY term),
+    contrib AS (
+      SELECT f.doc_id, f.trank,
+             ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * {k1 + 1.0!r})
+                / (CAST(tf AS DOUBLE)
+                   + {k1!r} * ({1.0 - b!r} + {b!r}
+                     * (CAST(dl AS DOUBLE)
+                        / (CAST(total_tokens AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE)))))) AS c
+      FROM ft f JOIN dfq USING (term) CROSS JOIN stats),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             list_reduce(list(c ORDER BY trank), (a, b2) -> a + b2)
+               AS score
+      FROM contrib GROUP BY doc_id),
+    top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT {k})
+    SELECT doc_id, n_terms_matched, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM top
+    """
+
+
+@_register("q_doc_prf", _prf_oracle(_BM25_TERMS))
+def q_doc_prf(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (extensions/search.py::
+    prf_expand_topk — Rocchio-style): BM25 top-10 as feedback, 4
+    expansion terms by exact integer weight (feedback tf × half-bit
+    corpus idf, ties weight-desc/term-asc), BM25 re-run with the
+    widened query. The only collect ships 4 strings (term selection
+    must reach the driver to parameterize the second plan). Oracle
+    scores the dynamic term set with an ORDER-BY-rank left fold —
+    bit-identical to the coalesce chain since 0.0 + x == x."""
+    from walex_spark.extensions.search import prf_expand_topk
+
+    return prf_expand_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+# =========================================================================
 _JUNK_FUSE_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     bg AS (
@@ -8137,7 +8222,7 @@ DRIVER_ORDER = [
     "q_doc_zipf", "q_doc_char_entropy", "q_doc_source_overlap",
     "q_doc_manifest", "q_doc_tok_fertility", "q_doc_burstiness",
     "q_doc_mmr", "q_doc_manifest_incr", "q_doc_heaps",
-    "q_doc_junk_fuse",
+    "q_doc_junk_fuse", "q_doc_prf",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -8154,16 +8239,16 @@ DRIVER_ORDER = [
     # q02_top_revenue_orders / q03_shipping_priority /
     # q04_order_priority / q05_region_volume / q06_forecast_revenue
     # / q07_nation_volume / q08_market_share / q09_profit_by_nation
-    # / q10_returned_items / q11_important_parts gave up their slots
-    # to the ten zero-history fourth-session additions (q_doc_zipf,
+    # / q10_returned_items / q11_important_parts /
+    # q12_ship_priority_lag gave up their slots to the eleven
+    # zero-history fourth-session additions (q_doc_zipf,
     # q_doc_char_entropy, q_doc_source_overlap, q_doc_manifest,
     # q_doc_tok_fertility, q_doc_burstiness, q_doc_mmr,
-    # q_doc_manifest_incr, q_doc_heaps, q_doc_junk_fuse): pure
-    # built-in TPC-H join-aggregate compositions, no repo operator
-    # code, hard-green r02 AND r05 — same evictee class as the eleven
-    # relational evictions above. Stale-flagged for the r09 window
-    # the moment r09's files land.
-    "q12_ship_priority_lag",
+    # q_doc_manifest_incr, q_doc_heaps, q_doc_junk_fuse, q_doc_prf):
+    # pure built-in TPC-H join-aggregate compositions, no repo
+    # operator code, hard-green r02 AND r05 — same evictee class as
+    # the eleven relational evictions above. Stale-flagged for the
+    # r09 window the moment r09's files land.
     # q13_order_distribution gave up its slot to the zero-history
     # q_doc_diversity: pure built-in join+groupBy composition, no repo
     # operator code, hard-green r02 AND r05 — same evictee class as
