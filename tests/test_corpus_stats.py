@@ -1,7 +1,8 @@
-"""Pure-Python-replica tests for the corpus-statistics operators
-(zipf_fit, char_entropy, source_overlap_matrix, wordpiece_fertility,
-shard_manifest) — the hand-check discipline every registry query
-carries next to its DuckDB oracle."""
+"""Pure-Python-replica / behavioral tests for the fourth-r08-session
+operators (zipf_fit, char_entropy, source_overlap_matrix,
+wordpiece_fertility, shard_manifest, token_burstiness, heaps_fit,
+mmr_select, junk_rank_fusion, prf_expand_topk) — the hand-check
+discipline every registry query carries next to its DuckDB oracle."""
 
 import math
 from collections import Counter
