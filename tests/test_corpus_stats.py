@@ -357,3 +357,24 @@ def test_prf_expansion_widens_recall(spark):
     assert 3 not in base_ids          # invisible to the raw query
     assert 3 in prf_ids               # recovered via expansion
     assert 4 not in prf_ids           # junk stays out
+
+
+def test_dataset_card_replica(spark):
+    from walex_spark.extensions.text import dataset_card
+
+    rows = [
+        (0, "a b c", "en", "s1"),
+        (1, "a b c", "en", "s1"),      # exact dup of 0
+        (2, "d e", "de", "s2"),
+        (3, "f", "en", "s3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    g = dataset_card(df).collect()[0].asDict()
+    assert g["n_docs"] == 4
+    assert g["n_tokens"] == 3 + 3 + 2 + 1
+    assert g["total_chars"] == sum(len(t) for _, t, _, _ in rows)
+    assert g["vocab_size"] == 6
+    assert g["n_sources"] == 3 and g["n_langs"] == 2
+    assert g["dup_groups"] == 3 and g["dup_docs"] == 1
+    assert g["dup_rate"] == 1 / 4
+    assert g["mean_doc_tokens"] == 9 / 4

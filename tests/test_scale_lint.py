@@ -79,6 +79,7 @@ BNLJ_ALLOWANCE = {
     "q_hybrid_rrf": 2,            # BM25 one-row stats + brute-force query side
     "q_doc_bm25": 1,              # one-row corpus stats
     "q_doc_prf": 1,               # the same one-row stats, 2nd pass
+    "q_doc_dataset_card": 1,      # one-row base x one-row vocab join
     "q_doc_temp_mixture": 1,      # one-row min-count
     "q_doc_pipeline_e2e": 1,      # one-row min-count (mixture stage)
     "q_doc_surprisal": 1,         # one-row n_total
@@ -131,6 +132,9 @@ GLOBAL_WINDOW_OK = {
     "q_doc_zipf",
     # same offsets frame (prefix_sums_multi over the per-doc counts)
     "q_doc_heaps",
+    # rank over the top-k LIMIT output (the q_doc_bm25 class)
+    "q_doc_prf",
+    "q_doc_junk_fuse",
 }
 
 

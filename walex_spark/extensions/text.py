@@ -890,3 +890,63 @@ def heaps_fit(
             den != F.lit(0.0), (sy - (num / den) * sx) / n
         ).alias("heaps_intercept"),
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row dataset card — the summary artifact a corpus release
+    publishes (HF dataset-card / Datasheets-for-Datasets numbers):
+    document and token volume, vocabulary size, slice counts, and the
+    exact-duplicate rate. All exact integers plus two IEEE divisions.
+
+    Returns ONE row: (n_docs, n_tokens, total_chars, vocab_size,
+    n_sources, n_langs, dup_groups, dup_docs, dup_rate,
+    mean_doc_tokens).
+
+    Scale shape: one corpus pass computes every per-row statistic
+    (counts, char/token sums, the md5 group count and the two slice
+    count-distincts ride the same Expand-based aggregate); the
+    vocabulary size is the one exploded aggregate (token-keyed,
+    map-side combinable) and rejoins as a one-row broadcast. Nothing
+    is collected; output is literally one row.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
+        F.sum(F.size(toks)).cast(T.LongType()).alias("n_tokens"),
+        F.sum(F.length(F.col(text_col))).cast(T.LongType()).alias(
+            "total_chars"
+        ),
+        F.countDistinct(F.col("source")).cast(T.LongType()).alias(
+            "n_sources"
+        ),
+        F.countDistinct(F.col("lang")).cast(T.LongType()).alias("n_langs"),
+        F.countDistinct(F.md5(F.col(text_col)))
+        .cast(T.LongType())
+        .alias("dup_groups"),
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").cast(T.LongType()).alias("vocab_size"))
+    )
+    return base.join(F.broadcast(vocab)).select(
+        "n_docs",
+        "n_tokens",
+        "total_chars",
+        "vocab_size",
+        "n_sources",
+        "n_langs",
+        "dup_groups",
+        (F.col("n_docs") - F.col("dup_groups")).alias("dup_docs"),
+        (
+            (F.col("n_docs") - F.col("dup_groups")).cast(T.DoubleType())
+            / F.col("n_docs").cast(T.DoubleType())
+        ).alias("dup_rate"),
+        (
+            F.col("n_tokens").cast(T.DoubleType())
+            / F.col("n_docs").cast(T.DoubleType())
+        ).alias("mean_doc_tokens"),
+    )

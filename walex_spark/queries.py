@@ -7663,6 +7663,41 @@ _ZIPF_ORACLE = f"""
     """
 
 
+_DATASET_CARD_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_groups
+      FROM documents),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+      FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents))
+    SELECT n_docs, n_tokens, total_chars, vocab_size, n_sources,
+           n_langs, dup_groups,
+           n_docs - dup_groups AS dup_docs,
+           CAST(n_docs - dup_groups AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS dup_rate,
+           CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS mean_doc_tokens
+    FROM base CROSS JOIN vocab
+    """
+
+
+@_register("q_doc_dataset_card", _DATASET_CARD_ORACLE)
+def q_doc_dataset_card(spark, sf_dir):
+    """One-row dataset card (extensions/text.py::dataset_card) — the
+    release-summary artifact (Datasheets-for-Datasets numbers):
+    volume, vocabulary, slice counts, exact-dup rate. One corpus pass
+    carries every per-row statistic (the three count-distincts ride
+    one Expand aggregate); the vocabulary aggregate rejoins as a
+    one-row broadcast. Exact integers + two IEEE divisions."""
+    return tx.dataset_card(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
 def _prf_oracle(
     terms: list[str], fb_k: int = 10, expand_k: int = 4, k: int = 20,
     k1: float = 1.2, b: float = 0.75,
@@ -8222,7 +8257,7 @@ DRIVER_ORDER = [
     "q_doc_zipf", "q_doc_char_entropy", "q_doc_source_overlap",
     "q_doc_manifest", "q_doc_tok_fertility", "q_doc_burstiness",
     "q_doc_mmr", "q_doc_manifest_incr", "q_doc_heaps",
-    "q_doc_junk_fuse", "q_doc_prf",
+    "q_doc_junk_fuse", "q_doc_prf", "q_doc_dataset_card",
     # (b) 37 of the 48 stalest queries — last hard driver row r05,
     # three rounds of code drift (incl. this round's incremental-dedup
     # and oracle changes) since their last witness. Seven r05 queries
@@ -8264,7 +8299,10 @@ DRIVER_ORDER = [
     # q17_small_quantity_revenue gave up its slot to the zero-history
     # q_doc_decontam_jaccard: pure built-in correlated-scalar-subquery
     # join, no repo operator code, hard-green r02 AND r05.
-    "q18_large_orders",
+    # q18_large_orders gave up its slot to the zero-history
+    # q_doc_dataset_card (twelfth fourth-session addition): pure
+    # built-in join-aggregate composition, no repo operator code,
+    # hard-green r02 AND r05 — same evictee class.
     # q19_disjunctive_revenue gave up its slot to the zero-history
     # q_doc_token_budget: pure built-in disjunctive-filter join, no
     # repo operator code, hard-green r02 AND r05 — same evictee class.
