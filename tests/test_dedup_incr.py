@@ -680,3 +680,58 @@ def test_manifest_compaction_bounded_and_identical(spark, docs, tmp_path):
         )
     assert max_live <= k + 1
     assert _manifest_latest(emitted) == _manifest_batch(docs)
+
+
+def test_manifest_foreachbatch_stream_e2e(spark, docs, tmp_path):
+    """Deployment-shape wiring for the manifest twin: 3 parquet file
+    drops -> readStream maxFilesPerTrigger=1 -> writeStream.foreachBatch
+    driving the manifest index; the latest emission per shard equals
+    the batch shard_manifest. Epoch-stamped outputs stand in for the
+    UPSERT sink a real deployment MERGEs into."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from walex_spark.streaming.dedup_incr import IncrementalManifestIndex
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e, b in enumerate(_epochs(docs)):
+        staged = str(tmp_path / f"stage{e}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{e}.parquet")
+
+    idx = IncrementalManifestIndex(
+        str(tmp_path / "midx"), key_col="doc_id",
+        hash_cols=("doc_id", "text"), shard_size=7,
+    )
+    out_root = str(tmp_path / "out")
+
+    def sink(batch_df, epoch_id):
+        idx.process_batch(batch_df, epoch_id).withColumn(
+            "epoch", F2.lit(epoch_id)
+        ).write.mode("overwrite").parquet(f"{out_root}/e-{epoch_id}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = [
+        (r["epoch"], r)
+        for r in spark.read.parquet(f"{out_root}/e-*").collect()
+    ]
+    assert _manifest_latest(emitted) == _manifest_batch(docs)
