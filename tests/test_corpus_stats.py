@@ -378,3 +378,15 @@ def test_dataset_card_replica(spark):
     assert g["dup_groups"] == 3 and g["dup_docs"] == 1
     assert g["dup_rate"] == 1 / 4
     assert g["mean_doc_tokens"] == 9 / 4
+
+
+def test_char_entropy_drops_empty_and_null(spark):
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+    ])
+    df = spark.createDataFrame([(0, "abc"), (1, ""), (2, None)], schema)
+    got = char_entropy(df).collect()
+    assert [r["doc_id"] for r in got] == [0]

@@ -707,10 +707,15 @@ def char_entropy(
     distinct_chars bounded by the alphabet.
 
     Returns (id_col, n_chars, n_distinct_chars, total_half_bits,
-    half_bits_per_char).
+    half_bits_per_char). NULL/empty texts are DROPPED (the character
+    population is undefined for them, and the SQL twin's
+    position-explode produces no row to group).
     """
     from walex_spark.extensions.search import half_bits
 
+    df = df.where(
+        F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
+    )
     n = F.length(F.col(text_col)).cast(T.LongType())
     chars = F.array_distinct(F.split(F.col(text_col), ""))
     terms = F.transform(
@@ -916,7 +921,12 @@ def dataset_card(
     toks = _tokens(F.col(text_col))
     base = df.agg(
         F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
-        F.sum(F.size(toks)).cast(T.LongType()).alias("n_tokens"),
+        # NULL-text guard (the bm25_topk precedent): pre-ANSI
+        # size(NULL) is -1, which would skew the sum where the
+        # oracle's SUM simply skips NULLs
+        F.sum(F.when(toks.isNotNull(), F.size(toks)).otherwise(F.lit(0)))
+        .cast(T.LongType())
+        .alias("n_tokens"),
         F.sum(F.length(F.col(text_col))).cast(T.LongType()).alias(
             "total_chars"
         ),
