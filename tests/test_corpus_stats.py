@@ -390,3 +390,72 @@ def test_char_entropy_drops_empty_and_null(spark):
     df = spark.createDataFrame([(0, "abc"), (1, ""), (2, None)], schema)
     got = char_entropy(df).collect()
     assert [r["doc_id"] for r in got] == [0]
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis) — the exact-arithmetic primitives behind
+# the corpus-law fits and the manifest hash, checked against pure
+# Python on arbitrary inputs (no Spark in the loop: the replica tests
+# above already pin the distributed plumbing)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(min_value=1, max_value=1 << 62))
+@settings(max_examples=300, deadline=None)
+def test_half_bits_matches_exact_log_under_clamp(r):
+    clamped = min(r, (1 << 31) - 1)
+    assert _hb(r) == math.floor(2 * math.log2(clamped))
+
+
+@given(st.lists(st.tuples(st.integers(0, 1 << 40),
+                          st.integers(1, 1 << 20)), min_size=2, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_llsq_sums_fit_int64_and_slope_is_finite(pts):
+    # the zipf/heaps sufficient-statistic bound: with x,y <= 62
+    # half-bits, every sum stays far inside int64 for any n
+    hpts = [(_hb(max(x, 1)), _hb(c)) for x, c in pts]
+    n = len(hpts)
+    sx = sum(x for x, _ in hpts)
+    sy = sum(y for _, y in hpts)
+    sxy = sum(x * y for x, y in hpts)
+    sxx = sum(x * x for x, _ in hpts)
+    for s in (sx, sy, sxy, sxx, n * sxy, n * sxx, sx * sy, sx * sx):
+        assert abs(s) < (1 << 62)
+    den = n * sxx - sx * sx
+    if den:
+        slope = (n * sxy - sx * sy) / den
+        assert slope == slope  # finite, not NaN
+
+
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.text(max_size=30)),
+                min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_xor_manifest_hash_is_order_and_partition_free(rows):
+    import hashlib
+
+    def rh(doc_id, text):
+        s = f"{doc_id}|{text}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    fwd = 0
+    for d, t in rows:
+        fwd ^= rh(d, t)
+    rev = 0
+    for d, t in reversed(rows):
+        rev ^= rh(d, t)
+    # any 2-way split folds to the same value
+    mid = len(rows) // 2
+    a = 0
+    for d, t in rows[:mid]:
+        a ^= rh(d, t)
+    b = 0
+    for d, t in rows[mid:]:
+        b ^= rh(d, t)
+    assert fwd == rev == (a ^ b)
+    # self-inverse: removing a row restores the pre-insert state
+    if rows:
+        d, t = rows[-1]
+        assert (fwd ^ rh(d, t)) == rev ^ rh(d, t)
