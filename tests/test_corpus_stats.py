@@ -459,3 +459,27 @@ def test_xor_manifest_hash_is_order_and_partition_free(rows):
     if rows:
         d, t = rows[-1]
         assert (fwd ^ rh(d, t)) == rev ^ rh(d, t)
+
+
+def test_manifest_diff_localizes_divergence(spark):
+    from walex_spark.operators.diff import manifest_diff, shard_manifest
+
+    rows_a = [(i, f"t{i}") for i in range(30)]
+    rows_b = (
+        [(i, f"t{i}") for i in range(10)]           # shard 0 identical
+        + [(i, f"t{i}X" if i == 12 else f"t{i}")    # shard 1: one cell edit
+           for i in range(10, 20)]
+        + []                                        # shard 2 missing entirely
+        + [(35, "new")]                             # shard 3 only in b
+    )
+    ma = shard_manifest(
+        spark.createDataFrame(rows_a, ["doc_id", "text"]),
+        "doc_id", ["doc_id", "text"], 10)
+    mb = shard_manifest(
+        spark.createDataFrame(rows_b, ["doc_id", "text"]),
+        "doc_id", ["doc_id", "text"], 10)
+    got = {r["shard"]: r.asDict() for r in manifest_diff(ma, mb).collect()}
+    assert set(got) == {1, 2, 3}          # shard 0 silent
+    assert got[1]["status"] == "changed" and got[1]["hash_match"] is False
+    assert got[2]["status"] == "removed"
+    assert got[3]["status"] == "added"

@@ -129,3 +129,55 @@ def shard_manifest(
         )
         .orderBy("shard")
     )
+
+
+def manifest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Compare two shard manifests (``shard_manifest`` outputs): one
+    row per DIVERGENT shard with a status — the cheap first pass of a
+    migration check; only shards this returns need the row-level
+    ``table_diff``. A shard diverges when present on one side only,
+    or when any statistic (count, bounds, XOR content hash) differs.
+
+    Returns (shard, status ∈ {added, removed, changed}, n_rows_a,
+    n_rows_b, hash_match) ordered by shard. One full-outer equi-join
+    of two manifest-sized (i.e. corpus/shard_size-row) frames — at
+    100 TB that is thousands of rows, not billions.
+    """
+    pa = a.select(
+        F.col("shard"),
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("min_key").alias("min_a"),
+        F.col("max_key").alias("max_a"),
+        F.col("xor_hash").alias("xor_a"),
+    )
+    pb = b.select(
+        F.col("shard"),
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("min_key").alias("min_b"),
+        F.col("max_key").alias("max_b"),
+        F.col("xor_hash").alias("xor_b"),
+    )
+    j = pa.join(pb, "shard", "full_outer")
+    status = (
+        F.when(F.col("n_rows_a").isNull(), F.lit(STATUS_ADDED))
+        .when(F.col("n_rows_b").isNull(), F.lit(STATUS_REMOVED))
+        .when(
+            (F.col("n_rows_a") != F.col("n_rows_b"))
+            | (F.col("min_a") != F.col("min_b"))
+            | (F.col("max_a") != F.col("max_b"))
+            | (F.col("xor_a") != F.col("xor_b")),
+            F.lit(STATUS_CHANGED),
+        )
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            "shard",
+            "status",
+            "n_rows_a",
+            "n_rows_b",
+            (F.col("xor_a") == F.col("xor_b")).alias("hash_match"),
+        )
+        .orderBy("shard")
+    )
