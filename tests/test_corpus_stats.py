@@ -483,3 +483,7 @@ def test_manifest_diff_localizes_divergence(spark):
     assert got[1]["status"] == "changed" and got[1]["hash_match"] is False
     assert got[2]["status"] == "removed"
     assert got[3]["status"] == "added"
+    # one-sided shards coalesce hash_match to False (not NULL), so
+    # callers filtering hash_match == False see them too
+    assert got[2]["hash_match"] is False
+    assert got[3]["hash_match"] is False

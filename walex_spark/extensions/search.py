@@ -526,6 +526,17 @@ def mmr_select(
     chosen_sets: list[set] = []
     remaining = list(cand)
     for pick in range(1, min(k, len(cand)) + 1):
+        if not chosen_sets:
+            # First pick: the oracle's sel1 CTE orders by the RAW
+            # score (rel desc, id asc). Selecting by lam*rel here can
+            # diverge when two distinct score doubles collide after
+            # the lambda multiply — take the head of the already
+            # (-rel, id)-sorted pool, which mirrors sel1 exactly.
+            doc, rel, toks = cand[0]
+            picked.append((pick, doc, rel))
+            chosen_sets.append(toks)
+            remaining = [c for c in remaining if c[0] != doc]
+            continue
         best = None
         for doc, rel, toks in remaining:
             msim = 0.0

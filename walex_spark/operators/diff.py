@@ -177,7 +177,13 @@ def manifest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
             "status",
             "n_rows_a",
             "n_rows_b",
-            (F.col("xor_a") == F.col("xor_b")).alias("hash_match"),
+            # coalesced to False for one-sided shards: added/removed
+            # rows have a NULL xor on one side, and a NULL hash_match
+            # would silently drop them from callers filtering
+            # hash_match == False
+            F.coalesce(
+                F.col("xor_a") == F.col("xor_b"), F.lit(False)
+            ).alias("hash_match"),
         )
         .orderBy("shard")
     )

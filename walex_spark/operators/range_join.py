@@ -52,6 +52,18 @@ def point_interval_join(
     ``how``: 'inner' or 'left_semi' (points that hit any interval).
     Intervals with hi < lo are dropped (empty range), matching SQL
     BETWEEN semantics.
+
+    SCALE GUARD — output cardinality: this operator MATERIALIZES every
+    (point, interval) match row. When both sides densify k x, match
+    count can grow ~k^2 regardless of plan quality (q_range_join_bands
+    measures ~100x matches at the 10x data step — a property of the
+    OUTPUT, shared by the SQL oracle). Reach for this operator only
+    when the matches themselves are the product. If the matches feed
+    an aggregate (count/sum/min/max per interval), use
+    ``point_interval_aggregate`` instead: event-differencing prefix
+    sums compute the same aggregates in O(points + intervals) rows
+    without materializing a single match (measured 1.71x at the 10x
+    step vs this operator's ~7x).
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"point_interval_join how={how!r}")

@@ -2919,6 +2919,15 @@ def q_range_join_bands(spark, sf_dir):
     the operator's bucket decomposition turns it into an equi-join on
     floor(price/width) — one shuffle per side, AQE-skew-safe. DuckDB
     executes the plain BETWEEN join (its IEJoin handles it natively).
+
+    WEAK-BY-DESIGN at scale: this query MATERIALIZES the matches, so
+    its cost is output-cardinality-bound (~100x matches at the 10x
+    step when both sides densify — the oracle shares the property).
+    It stays registered as the answer for when matches must
+    materialize; the scale path for aggregate consumers is
+    q_range_agg_twolevel (point_interval_aggregate, event-differencing
+    prefix sums, 1.71x at 10x) — see the SCALE GUARD note on
+    point_interval_join itself.
     """
     from walex_spark.operators.range_join import point_interval_join
 
@@ -7174,7 +7183,8 @@ _TOKEN_IDS_ORACLE = f"""
     rv AS (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS tid
            FROM vocab)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           list(CAST(tid AS BIGINT) ORDER BY pos) AS token_ids
+           string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)
+             AS token_ids_str
     FROM toks JOIN rv USING (tok)
     GROUP BY doc_id
     """
@@ -7187,10 +7197,24 @@ def q_doc_token_ids(spark, sf_dir):
     the distributed global_sorted_index over the VOCAB — never a
     single-task window), corpus re-assembled per doc as ordered id
     arrays with one collect_list aggregate — the materialize-training-
-    tokens step every pipeline ends with."""
+    tokens step every pipeline ends with.
+
+    Driver surface note: token_id_arrays returns token_ids as
+    array<bigint>, but the driver's canonicalizer sorts rows with
+    pandas, and a list-typed cell is unhashable there (the one red
+    row of round 8). The registered query therefore flattens the
+    sequence to a space-joined string — same information, totally
+    ordered, hashable — and the oracle string_aggs the same ids."""
     from walex_spark.extensions.bpe import token_id_arrays
 
-    return token_id_arrays(_t(spark, sf_dir, "documents"))
+    ids = token_id_arrays(_t(spark, sf_dir, "documents"))
+    return ids.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("token_ids", lambda t: t.cast("string")), " "
+        ).alias("token_ids_str"),
+    )
 
 
 # =========================================================================
@@ -8235,7 +8259,54 @@ def q_doc_char_entropy(spark, sf_dir):
 #            code, hard-green in r02 AND r05). Both become
 #            stale-flagged by the new test_stale_witnesses_are_in_window
 #            once r09's files land, so they head the r09 window.
+#   r09:     (this round) q_doc_token_ids heads the window — the one
+#            query with NO hard driver row in ANY round (its r08 red
+#            was the driver canonicalizer choking on an array<bigint>
+#            column; the query now surfaces token_ids_str and the
+#            canon rule is linted registry-wide in test_scale_lint).
+#            Then the full 41-query r05 cohort — every query whose
+#            last hard row is r05 becomes stale-mandatory (>=4 rule)
+#            the moment r09's files land, so the window pre-empts the
+#            test instead of reacting to it. The remaining 8 slots
+#            pre-empt the oldest r06 witnesses, biased toward code
+#            touched this round (prefix-family dedup, the e2e
+#            pipeline composition measured at sf1 this round) and the
+#            heaviest ANN variants; they yield their slots to any
+#            r09-new query (zero-history outranks every repeat
+#            witness).
 DRIVER_ORDER = [
+    # (a) the one zero-hard-history query, head of the window:
+    "q_doc_token_ids",
+    # (b) the 41-query r05-stale cohort (complete — nothing last
+    # witnessed in r05 stays outside this window):
+    "q01_pricing_summary", "q02_top_revenue_orders",
+    "q03_shipping_priority", "q04_order_priority", "q05_region_volume",
+    "q06_forecast_revenue", "q07_nation_volume", "q08_market_share",
+    "q09_profit_by_nation", "q10_returned_items", "q11_important_parts",
+    "q12_ship_priority_lag", "q13_order_distribution", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_part_stock_suppliers",
+    "q21_sole_late_supplier", "q22_idle_customers",
+    "q_anti_join", "q_case_having", "q_cdc_apply_deltas",
+    "q_cdc_sessionize", "q_cube_orders", "q_date_funcs",
+    "q_distinct_agg", "q_doc_cluster_survivors", "q_doc_normalize",
+    "q_grouping_sets", "q_pivot_status_priority", "q_profile_orders",
+    "q_rollup_lineitem", "q_scalar_funcs", "q_semi_join", "q_set_ops",
+    "q_window_lag_lead", "q_window_running_total",
+    "q_window_topn_per_group",
+    # (c) 8 r06 pre-empts (r06's 50-query cohort becomes
+    # stale-mandatory in r10 — exactly window-sized; every slot
+    # banked now is r10 slack). Chosen: the two prefix-family queries
+    # adjacent to this round's q_doc_prefix_incr work, the pipeline
+    # composition this round measures at sf1, and the heaviest
+    # ANN/window-family representatives:
+    "q_doc_prefix_jaccard", "q_doc_minhash_est", "q_doc_pipeline_e2e",
+    "q_emb_ann_pq", "q_emb_ann_ivfpq", "q_doc_despan",
+    "q_events_funnel", "q_skew_salted_agg",
+]
+
+_DRIVER_ORDER_R08 = [
     # (a) zero-hard-history queries (rule below), head of the window —
     # the eight mid-r08 additions (bigram-LM surprisal, DSIR selection,
     # trigram novelty, JL random-projection ANN, hard-negative mining,
