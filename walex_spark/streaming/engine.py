@@ -25,6 +25,16 @@ from pyspark.sql import DataFrame
 from walex_spark.operators import transforms as X
 
 
+def to_module_name(name: str) -> str:
+    """snake_case table -> CamelCase module segment — byte-parity with
+    the reference's ``to_module_name/1`` (config.ex:152-166), including
+    its quirk of leaving already-capitalized parts untouched
+    (``user_Account`` -> ``UserAccount``, ``HTTP_log`` -> ``HTTPLog``)."""
+    return "".join(
+        p if p[:1].isupper() else p.capitalize() for p in str(name).split("_")
+    )
+
+
 @dataclass
 class _Registration:
     name: str  # table name, or "*" for all subscribed
@@ -86,6 +96,75 @@ class WalExEngine:
     def remove_handlers(self, name: str) -> "WalExEngine":
         """Drop every registration for a table (remove_config analog)."""
         self._registrations = [r for r in self._registrations if r.name != name]
+        return self
+
+    # -- convention-based resolution (config.ex:138-182) -------------------
+    def discover(
+        self, package: str, subscriptions: list[str] | None = None
+    ) -> "WalExEngine":
+        """Convention-based handler-module resolution — the reference's
+        ``build_module_names/3`` (config.ex:138-182), which maps each
+        subscribed snake_case table to the ``MyApp.Events.TableName``
+        module and silently keeps only the modules that compile.
+
+        Python spelling of the same convention, tried in order per
+        subscribed table:
+
+          1. module  ``<package>.events.<table>``  (snake_case module
+             per table — the idiomatic Python layout);
+          2. class   ``<package>.events.<TableName>`` (the camelized
+             name produced by ``to_module_name``, the reference's
+             literal convention).
+
+        A table that resolves to neither is SKIPPED without error —
+        exactly ``map_existing_modules/1``'s filter of modules that
+        fail ``Code.ensure_compiled``. Inside a resolved module/class,
+        attributes named ``on_event`` / ``on_insert`` / ``on_update``
+        / ``on_delete`` register for that table with the same
+        semantics as the explicit DSL; optional module constants
+        ``UNWATCHED_FIELDS`` (list) and ``UNWATCHED_RECORDS`` (dict)
+        apply to every handler the module contributes (dsl.ex's
+        per-macro options surface).
+
+        ``subscriptions`` defaults to the engine's own subscription
+        list; discovery with neither set is an error (the reference
+        needs the subscription list for the same reason).
+        """
+        import importlib
+
+        tables = subscriptions if subscriptions is not None else self.subscriptions
+        if tables is None:
+            raise ValueError(
+                "discover() needs subscriptions — pass them or set them "
+                "on the engine (build_module_names/3 takes the same list)"
+            )
+        registrars = {
+            "on_event": self.on_event,
+            "on_insert": self.on_insert,
+            "on_update": self.on_update,
+            "on_delete": self.on_delete,
+        }
+        for table in tables:
+            holder = None
+            try:
+                holder = importlib.import_module(f"{package}.events.{table}")
+            except ImportError:
+                try:
+                    root = importlib.import_module(f"{package}.events")
+                    holder = getattr(root, to_module_name(table), None)
+                except ImportError:
+                    holder = None
+            if holder is None:
+                continue  # map_existing_modules: missing module = skip
+            kw = {}
+            if getattr(holder, "UNWATCHED_FIELDS", None):
+                kw["unwatched_fields"] = list(holder.UNWATCHED_FIELDS)
+            if getattr(holder, "UNWATCHED_RECORDS", None):
+                kw["unwatched_records"] = dict(holder.UNWATCHED_RECORDS)
+            for attr, register in registrars.items():
+                h = getattr(holder, attr, None)
+                if callable(h):
+                    register(table, h, **kw)
         return self
 
     # -- dispatch (event_modules.ex:49-63) --------------------------------
