@@ -487,3 +487,46 @@ def test_manifest_diff_localizes_divergence(spark):
     # callers filtering hash_match == False see them too
     assert got[2]["hash_match"] is False
     assert got[3]["hash_match"] is False
+
+
+def test_source_drift_psi_hand_replica(spark):
+    from walex_spark.extensions.text import source_drift_psi
+
+    # source X: 3 docs in bucket 0 (1 token), 1 doc in bucket 1
+    # source Y: 2 docs in bucket 1 (10 tokens)
+    rows = [
+        (1, "a", "X"), (2, "b", "X"), (3, "c", "X"),
+        (4, " ".join(["w"] * 10), "X"),
+        (5, " ".join(["w"] * 10), "Y"), (6, " ".join(["w"] * 10), "Y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r.asDict() for r in source_drift_psi(df).collect()}
+    # corpus buckets: b0=3 docs, b1=3 docs; B=6; X: A=4, a0=3, a1=1
+    # bucket0: aB=18, bA=12 -> hb=half_bits(18 div 12 = 1)=0, d=6
+    # bucket1: aB=6,  bA=12 -> hb=-half_bits(2)=-2, d=-6
+    assert got["X"]["n_docs"] == 4
+    assert got["X"]["buckets_hit"] == 2 and got["X"]["zero_buckets"] == 0
+    assert got["X"]["psi_num"] == 6 * 0 + (-6) * (-2) == 12
+    assert abs(got["X"]["psi_half_bits"] - 12 / (4 * 6)) < 1e-12
+    # Y: A=2, a0=0 (zero bucket -> hb saturates at -61, d=-3*2=-6),
+    # a1=2: aB=12, bA=6 -> hb=half_bits(2)=2, d=6
+    assert got["Y"]["zero_buckets"] == 1 and got["Y"]["buckets_hit"] == 1
+    assert got["Y"]["psi_num"] == (-6) * (-61) + 6 * 2 == 378
+    assert abs(got["Y"]["psi_half_bits"] - 378 / (2 * 6)) < 1e-12
+
+
+def test_source_drift_psi_identical_slices_score_zero(spark):
+    from walex_spark.extensions.text import source_drift_psi
+
+    # both sources have the same shape -> every d numerator is 0
+    rows = [
+        (i, " ".join(["w"] * (5 if i % 2 else 25)), s)
+        for s in ("X", "Y") for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(i + (100 if s == "Y" else 0), t, s) for i, t, s in rows],
+        ["doc_id", "text", "source"],
+    )
+    for r in source_drift_psi(df).collect():
+        assert r["psi_num"] == 0 and r["psi_half_bits"] == 0.0
+        assert r["zero_buckets"] == 0

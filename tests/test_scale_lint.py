@@ -81,6 +81,9 @@ BNLJ_ALLOWANCE = {
     "q_doc_bm25": 1,              # one-row corpus stats
     "q_doc_prf": 1,               # the same one-row stats, 2nd pass
     "q_doc_dataset_card": 1,      # one-row base x one-row vocab join
+    # the |sources|-row totals broadcast + the one-row corpus-total
+    # broadcast building the |buckets| x |sources| PSI grid
+    "q_doc_source_psi": 2,
     "q_doc_temp_mixture": 1,      # one-row min-count
     "q_doc_pipeline_e2e": 1,      # one-row min-count (mixture stage)
     "q_doc_surprisal": 1,         # one-row n_total

@@ -960,3 +960,126 @@ def dataset_card(
             / F.col("n_docs").cast(T.DoubleType())
         ).alias("mean_doc_tokens"),
     )
+
+
+def source_drift_psi(
+    df: DataFrame,
+    bucket_width: int = 10,
+    n_buckets: int = 15,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Population Stability Index of each corpus slice's document
+    token-count distribution against the whole-corpus baseline — the
+    standard data-ops drift monitor (Siddiqi 2006 credit-scoring
+    practice; in a training pipeline, per-source/per-dump PSI is the
+    alarm that one ingestion slice changed shape: truncation bugs,
+    boilerplate floods, crawler drift). Rule-of-thumb thresholds:
+    < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted — our half-bit
+    variant scales those by 2/ln 2 ≈ 2.89.
+
+    PSI(s) = Σ_i (a_i/A − b_i/B) · log(a_i·B / (b_i·A)) over token-
+    count buckets i (bucket = min(n_tokens div bucket_width,
+    n_buckets−1)), a = slice doc counts, b = corpus doc counts.
+    Exact-integer surface (the module's half-bit discipline): the log
+    factor is ±half_bits(max(aB, bA) div min(aB, bA)) — the signed
+    integer half-bit log of the cross ratio — saturated at −61 (the
+    half_bits clamp) for buckets the slice never hits; the mass
+    factor's numerator d_i = a_i·B − b_i·A is an exact int64 over the
+    common denominator A·B. psi_num = Σ d_i·hb_i is summed in
+    DECIMAL(38,0) (d can reach A·B ≈ 2^63 at extreme scale; the
+    products a·B / b·A themselves bound corpus size at ~3e9 docs per
+    side before int64 overflow — beyond that, run per-shard and sum)
+    and surfaces as int64; psi_half_bits = psi_num / (A·B) is one
+    double division. Every term is engine-independent, so the oracle
+    hash-matches bit for bit.
+
+    Returns (group_col, n_docs, buckets_hit, zero_buckets, psi_num,
+    psi_half_bits) ordered by group_col.
+
+    Scale shape: one narrow (slice, bucket) map + two map-side-
+    combinable count aggregates; the join grid is |corpus buckets| ×
+    |slices| — metadata-sized by construction (n_buckets is a
+    constant), built with two bounded broadcasts (the burstiness /
+    dataset_card class). Nothing corpus-sized shuffles twice and no
+    text leaves the first projection.
+    """
+    from walex_spark.extensions.search import half_bits
+
+    per = df.select(
+        F.col(group_col),
+        F.least(
+            F.floor(
+                F.size(_tokens(F.col(text_col))) / F.lit(int(bucket_width))
+            ),
+            F.lit(int(n_buckets) - 1),
+        )
+        .cast(T.LongType())
+        .alias("bucket"),
+    )
+    slice_counts = per.groupBy(group_col, "bucket").agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("a")
+    )
+    corpus_counts = per.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("b")
+    )
+    # totals named sa/cb (not A/B): Spark's default case-insensitive
+    # resolver would make `A` ambiguous with the per-bucket `a`
+    slice_tot = per.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("sa")
+    )
+    corpus_tot = per.agg(F.count(F.lit(1)).cast(T.LongType()).alias("cb"))
+    grid = (
+        corpus_counts.join(F.broadcast(slice_tot))
+        .join(slice_counts, [group_col, "bucket"], "left")
+        .join(F.broadcast(corpus_tot))
+        .select(
+            group_col,
+            "bucket",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            "b",
+            "sa",
+            "cb",
+        )
+    )
+    ab = F.col("a") * F.col("cb")
+    ba = F.col("b") * F.col("sa")
+    # exact INTEGER division (Spark `/` on longs is double division —
+    # `div` is the cross-engine-exact spelling, DuckDB's `//`)
+    hb = (
+        F.when(F.col("a") == 0, F.lit(-61).cast(T.LongType()))
+        .when(ab >= ba, half_bits(F.expr("(a * cb) div (b * sa)")))
+        .otherwise(-half_bits(F.expr("(b * sa) div (a * cb)")))
+    )
+    term = (ab - ba).cast(T.DecimalType(38, 0)) * hb.cast(T.DecimalType(38, 0))
+    return (
+        grid.withColumn("__hb", hb)
+        .groupBy(group_col)
+        .agg(
+            F.max("sa").alias("n_docs"),
+            F.sum((F.col("a") > 0).cast(T.LongType()))
+            .cast(T.LongType())
+            .alias("buckets_hit"),
+            F.sum((F.col("a") == 0).cast(T.LongType()))
+            .cast(T.LongType())
+            .alias("zero_buckets"),
+            F.sum(term).cast(T.LongType()).alias("psi_num"),
+            F.max("sa").alias("__A"),
+            F.max("cb").alias("__B"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "buckets_hit",
+            "zero_buckets",
+            "psi_num",
+            (
+                F.col("psi_num").cast(T.DoubleType())
+                / (
+                    F.col("__A").cast(T.DoubleType())
+                    * F.col("__B").cast(T.DoubleType())
+                )
+            ).alias("psi_half_bits"),
+        )
+        .orderBy(group_col)
+    )

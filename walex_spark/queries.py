@@ -8075,6 +8075,67 @@ def q_doc_burstiness(spark, sf_dir):
 
 
 # =========================================================================
+_SOURCE_PSI_ORACLE = f"""
+    WITH per AS (
+      SELECT source,
+             LEAST(len({_DUCK_TOKS}) // 10, 14) AS bucket
+      FROM documents),
+    sc AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS a
+           FROM per GROUP BY source, bucket),
+    cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS b
+           FROM per GROUP BY bucket),
+    st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sa
+           FROM per GROUP BY source),
+    ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS cb FROM per),
+    grid AS (
+      SELECT st.source, cc.bucket, COALESCE(sc.a, 0) AS a, cc.b,
+             st.sa, ct.cb
+      FROM cc CROSS JOIN st
+      LEFT JOIN sc ON sc.source = st.source AND sc.bucket = cc.bucket
+      CROSS JOIN ct),
+    terms AS (
+      SELECT source, sa, cb, a,
+        CASE WHEN a = 0 THEN -61
+             WHEN a * cb >= b * sa THEN
+               length(bin(LEAST((a * cb) // (b * sa), 2147483647)
+                          * LEAST((a * cb) // (b * sa), 2147483647))) - 1
+             ELSE
+               -(length(bin(LEAST((b * sa) // (a * cb), 2147483647)
+                            * LEAST((b * sa) // (a * cb), 2147483647))) - 1)
+        END AS hb,
+        (a * cb - b * sa) AS d
+      FROM grid)
+    SELECT source, MAX(sa) AS n_docs,
+      CAST(SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS buckets_hit,
+      CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS zero_buckets,
+      CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(hb AS DECIMAL(38,0)))
+        AS BIGINT) AS psi_num,
+      CAST(CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(hb AS DECIMAL(38,0)))
+                AS BIGINT) AS DOUBLE)
+        / (CAST(MAX(sa) AS DOUBLE) * CAST(MAX(cb) AS DOUBLE))
+        AS psi_half_bits
+    FROM terms GROUP BY source
+    """
+
+
+@_register("q_doc_source_psi", _SOURCE_PSI_ORACLE)
+def q_doc_source_psi(spark, sf_dir):
+    """Per-source distribution-drift monitor (extensions/text.py::
+    source_drift_psi): Population Stability Index of each source's
+    document token-count histogram against the whole-corpus baseline,
+    in the exact half-bit integer-log discipline (signed
+    ±half_bits(cross-ratio) log factor, int64 mass numerator over the
+    common A·B denominator, DECIMAL(38,0) accumulation) — the
+    ingestion-slice alarm every production pipeline runs per dump.
+    One narrow bucket map + two count aggregates; the scoring grid is
+    |buckets| × |sources| metadata built from two bounded
+    broadcasts (the burstiness/dataset_card class)."""
+    return tx.source_drift_psi(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
 @_register("q_doc_tok_fertility", _wordpiece_fertility_oracle())
 def q_doc_tok_fertility(spark, sf_dir):
     """Tokenizer fertility/compression eval per (source, lang) slice
@@ -8303,7 +8364,11 @@ DRIVER_ORDER = [
     # ANN/window-family representatives:
     "q_doc_prefix_jaccard", "q_doc_minhash_est", "q_doc_pipeline_e2e",
     "q_emb_ann_pq", "q_emb_ann_ivfpq", "q_doc_despan",
-    "q_events_funnel", "q_skew_salted_agg",
+    # q_events_funnel gave its pre-empt slot back to the r09-new
+    # q_doc_source_psi (zero-history outranks every repeat witness;
+    # funnel's r06 hard row keeps it merely pre-empt-eligible, and it
+    # becomes stale-mandatory with the rest of the r06 cohort in r10):
+    "q_doc_source_psi", "q_skew_salted_agg",
 ]
 
 _DRIVER_ORDER_R08 = [
