@@ -1,0 +1,72 @@
+"""Incremental drift monitor (streaming/drift_incr.py) contracts:
+per-epoch emission equals the from-scratch epoch-vs-prefix PSI, epoch
+replay is idempotent, compaction preserves the baseline, and epoch 0
+emits nothing. The registry oracle (q_doc_drift_incr) spells the same
+definition in SQL; these tests pin the pieces the oracle can't see —
+state layout, replay, compaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from walex_spark.streaming.drift_incr import IncrementalDriftMonitor
+
+
+def _docs(spark, specs):
+    # specs: list of (doc_id, n_tokens)
+    rows = [(i, " ".join(["w"] * n)) for i, n in specs]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_epoch0_emits_nothing_but_indexes(spark, tmp_path):
+    mon = IncrementalDriftMonitor(str(tmp_path / "idx"))
+    out = mon.process_batch(_docs(spark, [(1, 5), (2, 25)]), 0)
+    assert out.count() == 0
+    base = mon.baseline(spark)
+    assert {r["bucket"]: r["n"] for r in base.collect()} == {0: 1, 2: 1}
+
+
+def test_epoch_vs_prefix_hand_replica(spark, tmp_path):
+    mon = IncrementalDriftMonitor(str(tmp_path / "idx"))
+    # epoch 0: buckets {0: 2, 1: 1}; epoch 1: buckets {0: 1, 2: 2}
+    mon.process_batch(_docs(spark, [(1, 3), (2, 7), (3, 12)]), 0)
+    row = mon.process_batch(
+        _docs(spark, [(4, 5), (5, 21), (6, 27)]), 1
+    ).collect()[0].asDict()
+    assert row["epoch"] == 1
+    assert row["n_docs"] == 3 and row["baseline_docs"] == 3
+    # grid (a=epoch, b=baseline): b0 (1,2), b1 (0,1), b2 (2,0)
+    # sa=cb=3 so d = 3(a-b), ratios a/b exactly
+    # b0: d=-3, hb=-half_bits(2)=-2 -> +6
+    # b1: a=0 -> hb=-61, d=-3 -> +183 ; zero_buckets=1
+    # b2: b=0 -> hb=+61, d=+6 -> +366 ; new_buckets=1
+    assert row["buckets_hit"] == 2
+    assert row["zero_buckets"] == 1 and row["new_buckets"] == 1
+    assert row["psi_num"] == 6 + 183 + 366 == 555
+    assert abs(row["psi_half_bits"] - 555 / 9) < 1e-12
+
+
+def test_replay_idempotent(spark, tmp_path):
+    mon = IncrementalDriftMonitor(str(tmp_path / "idx"))
+    e0 = _docs(spark, [(i, 5 * (i % 4)) for i in range(1, 9)])
+    e1 = _docs(spark, [(i, 7 * (i % 3)) for i in range(9, 15)])
+    mon.process_batch(e0, 0)
+    first = sorted(mon.process_batch(e1, 1).collect())
+    # crash-and-replay of epoch 1: same rows, and the baseline must
+    # not have been polluted by epoch 1's own earlier write
+    replay = sorted(mon.process_batch(e1, 1).collect())
+    assert first == replay
+
+
+def test_compaction_preserves_emissions(spark, tmp_path):
+    a = IncrementalDriftMonitor(str(tmp_path / "a"))
+    b = IncrementalDriftMonitor(str(tmp_path / "b"), compact_every=1)
+    epochs = [
+        _docs(spark, [(1, 3), (2, 9)]),
+        _docs(spark, [(3, 9), (4, 15)]),
+        _docs(spark, [(5, 3), (6, 40)]),
+    ]
+    outs_a, outs_b = [], []
+    for e, df in enumerate(epochs):
+        outs_a += sorted(a.process_batch(df, e).collect())
+        outs_b += sorted(b.process_batch(df, e).collect())
+    assert outs_a == outs_b

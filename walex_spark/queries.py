@@ -8120,6 +8120,84 @@ _SOURCE_PSI_ORACLE = f"""
     """
 
 
+_DRIFT_INCR_ORACLE = f"""
+    WITH per AS (
+      SELECT doc_id % 3 AS ep,
+             LEAST(len({_DUCK_TOKS}) // 10, 14) AS bucket
+      FROM documents),
+    eps AS (SELECT 1 AS e UNION ALL SELECT 2 AS e),
+    ac AS (SELECT ep AS e, bucket, CAST(COUNT(*) AS BIGINT) AS a
+           FROM per WHERE ep >= 1 GROUP BY ep, bucket),
+    bc AS (SELECT eps.e AS e, per.bucket, CAST(COUNT(*) AS BIGINT) AS b
+           FROM eps JOIN per ON per.ep < eps.e GROUP BY eps.e, per.bucket),
+    grid AS (
+      SELECT COALESCE(ac.e, bc.e) AS e,
+             COALESCE(ac.bucket, bc.bucket) AS bucket,
+             COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+      FROM ac FULL OUTER JOIN bc
+        ON ac.e = bc.e AND ac.bucket = bc.bucket),
+    tot AS (SELECT e, CAST(SUM(a) AS BIGINT) AS sa,
+                   CAST(SUM(b) AS BIGINT) AS cb
+            FROM grid GROUP BY e),
+    terms AS (
+      SELECT g.e, a, b, sa, cb,
+        CASE WHEN a = 0 THEN -61
+             WHEN b = 0 THEN 61
+             WHEN a * cb >= b * sa THEN
+               length(bin(LEAST((a * cb) // (b * sa), 2147483647)
+                          * LEAST((a * cb) // (b * sa), 2147483647))) - 1
+             ELSE
+               -(length(bin(LEAST((b * sa) // (a * cb), 2147483647)
+                            * LEAST((b * sa) // (a * cb), 2147483647))) - 1)
+        END AS hb,
+        (a * cb - b * sa) AS d
+      FROM grid g JOIN tot ON g.e = tot.e)
+    SELECT e AS epoch, MAX(sa) AS n_docs, MAX(cb) AS baseline_docs,
+      CAST(SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS buckets_hit,
+      CAST(SUM(CASE WHEN a = 0 AND b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS zero_buckets,
+      CAST(SUM(CASE WHEN b = 0 AND a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS new_buckets,
+      CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(hb AS DECIMAL(38,0)))
+        AS BIGINT) AS psi_num,
+      CAST(CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(hb AS DECIMAL(38,0)))
+                AS BIGINT) AS DOUBLE)
+        / (CAST(MAX(sa) AS DOUBLE) * CAST(MAX(cb) AS DOUBLE))
+        AS psi_half_bits
+    FROM terms GROUP BY e
+    """
+
+
+@_register("q_doc_drift_incr", _DRIFT_INCR_ORACLE)
+def q_doc_drift_incr(spark, sf_dir):
+    """INCREMENTAL drift monitor (streaming/drift_incr.py::
+    IncrementalDriftMonitor — the foreachBatch twin of
+    q_doc_source_psi, closing the monitoring family's streaming gap):
+    3 micro-batches (doc_id mod 3); each epoch's token-count
+    histogram persists as n_buckets-row metadata, and epochs 1 and 2
+    each emit ONE row — their PSI against the accumulated prior
+    histogram, with the epoch-introduces-a-new-bucket case saturating
+    at +61 (symmetric to the batch -61). Epoch 0 indexes silently.
+    The oracle spells the same epoch-vs-prefix definition in SQL.
+    Per-epoch cost is O(epoch) for the bucket map and O(n_buckets)
+    for everything else — the cheapest index in the streaming
+    family."""
+    from walex_spark.streaming.drift_incr import IncrementalDriftMonitor
+
+    root = _scratch_dir("drift_incr_")
+    docs = _t(spark, sf_dir, "documents")
+    mon = IncrementalDriftMonitor(f"{root}/idx")
+    outs = []
+    for e in range(3):
+        out = mon.process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+        path = f"{root}/out-{e}"
+        out.write.mode("overwrite").parquet(path)
+        outs.append(path)
+    return spark.read.parquet(*outs)
+
+
+# =========================================================================
 @_register("q_doc_source_psi", _SOURCE_PSI_ORACLE)
 def q_doc_source_psi(spark, sf_dir):
     """Per-source distribution-drift monitor (extensions/text.py::
@@ -8364,11 +8442,12 @@ DRIVER_ORDER = [
     # ANN/window-family representatives:
     "q_doc_prefix_jaccard", "q_doc_minhash_est", "q_doc_pipeline_e2e",
     "q_emb_ann_pq", "q_emb_ann_ivfpq", "q_doc_despan",
-    # q_events_funnel gave its pre-empt slot back to the r09-new
-    # q_doc_source_psi (zero-history outranks every repeat witness;
-    # funnel's r06 hard row keeps it merely pre-empt-eligible, and it
-    # becomes stale-mandatory with the rest of the r06 cohort in r10):
-    "q_doc_source_psi", "q_skew_salted_agg",
+    # q_events_funnel and q_skew_salted_agg gave their pre-empt slots
+    # back to the r09-new q_doc_source_psi / q_doc_drift_incr
+    # (zero-history outranks every repeat witness; both evictees hold
+    # r06 hard rows and become stale-mandatory with the rest of the
+    # r06 cohort in r10):
+    "q_doc_source_psi", "q_doc_drift_incr",
 ]
 
 _DRIVER_ORDER_R08 = [
