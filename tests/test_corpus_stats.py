@@ -515,6 +515,58 @@ def test_source_drift_psi_hand_replica(spark):
     assert abs(got["Y"]["psi_half_bits"] - 378 / (2 * 6)) < 1e-12
 
 
+def test_source_drift_ks_hand_replica(spark):
+    from walex_spark.extensions.text import source_drift_ks
+
+    # same fixture as the PSI replica: X = 3 docs of 1 token + 1 doc
+    # of 10 tokens; Y = 2 docs of 10 tokens. corpus: b(1)=3, b(10)=3,
+    # B=6. X (A=4): v=1 ca=3 ccum=3 -> d=|18-12|=6; v=10 d=|24-24|=0.
+    # Y (A=2): v=1 ca=0 -> d=|0-6|=6; v=10 d=|12-12|=0.
+    rows = [
+        (1, "a", "X"), (2, "b", "X"), (3, "c", "X"),
+        (4, " ".join(["w"] * 10), "X"),
+        (5, " ".join(["w"] * 10), "Y"), (6, " ".join(["w"] * 10), "Y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r.asDict() for r in source_drift_ks(df).collect()}
+    assert got["X"]["n_docs"] == 4 and got["X"]["n_values"] == 2
+    assert got["X"]["ks_num"] == 6 and got["X"]["ks_at"] == 1
+    assert abs(got["X"]["ks_stat"] - 6 / 24) < 1e-12
+    assert got["Y"]["ks_num"] == 6 and got["Y"]["ks_at"] == 1
+    assert abs(got["Y"]["ks_stat"] - 6 / 12) < 1e-12
+
+
+def test_source_drift_ks_tie_breaks_to_smallest_threshold(spark):
+    from walex_spark.extensions.text import source_drift_ks
+
+    # X: v=1 x2, v=3 x2; Y: v=2 x4. corpus b(1)=2, b(2)=4, b(3)=2,
+    # B=8. X (A=4): v=1 d=|2*8-2*4|=8; v=2 d=|16-24|=8 (TIE);
+    # v=3 d=0 -> the deterministic join-back must pick ks_at=1.
+    rows = (
+        [(i, "w", "X") for i in range(2)]
+        + [(10 + i, "w w w", "X") for i in range(2)]
+        + [(20 + i, "w w", "Y") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r.asDict() for r in source_drift_ks(df).collect()}
+    assert got["X"]["ks_num"] == 8 and got["X"]["ks_at"] == 1
+    assert got["X"]["n_values"] == 3
+
+
+def test_source_drift_ks_identical_slices_score_zero(spark):
+    from walex_spark.extensions.text import source_drift_ks
+
+    rows = [
+        (i + (100 if s == "Y" else 0), " ".join(["w"] * (5 if i % 2 else 25)), s)
+        for s in ("X", "Y") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    for r in source_drift_ks(df).collect():
+        assert r["ks_num"] == 0 and r["ks_stat"] == 0.0
+        # every threshold ties at d=0 -> smallest observed value
+        assert r["ks_at"] == 5
+
+
 def test_source_drift_psi_identical_slices_score_zero(spark):
     from walex_spark.extensions.text import source_drift_psi
 

@@ -84,6 +84,8 @@ BNLJ_ALLOWANCE = {
     # the |sources|-row totals broadcast + the one-row corpus-total
     # broadcast building the |buckets| x |sources| PSI grid
     "q_doc_source_psi": 2,
+    # same grid shape over the raw value domain (|values| x |sources|)
+    "q_doc_source_ks": 2,
     "q_doc_temp_mixture": 1,      # one-row min-count
     "q_doc_pipeline_e2e": 1,      # one-row min-count (mixture stage)
     "q_doc_surprisal": 1,         # one-row n_total

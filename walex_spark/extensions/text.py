@@ -997,12 +997,13 @@ def source_drift_psi(
     Returns (group_col, n_docs, buckets_hit, zero_buckets, psi_num,
     psi_half_bits) ordered by group_col.
 
-    Scale shape: one narrow (slice, bucket) map + two map-side-
-    combinable count aggregates; the join grid is |corpus buckets| ×
-    |slices| — metadata-sized by construction (n_buckets is a
-    constant), built with two bounded broadcasts (the burstiness /
-    dataset_card class). Nothing corpus-sized shuffles twice and no
-    text leaves the first projection.
+    Scale shape: one narrow (slice, bucket) map + four map-side-
+    combinable count aggregates (each shuffling only partial counts);
+    the join grid is |corpus buckets| × |slices| — metadata-sized by
+    construction (n_buckets is a constant), built with two bounded
+    broadcasts (the burstiness / dataset_card class). Nothing
+    corpus-sized crosses an exchange and no text leaves the first
+    projection.
     """
     from walex_spark.extensions.search import half_bits
 
@@ -1017,6 +1018,11 @@ def source_drift_psi(
         .cast(T.LongType())
         .alias("bucket"),
     )
+    # Four independent count aggregates, not a fold from slice_counts:
+    # Catalyst recomputes multiply-consumed subtrees (no CSE), so the
+    # "one histogram, fold coarser" shape costs the same 4 corpus
+    # scans plus extra metadata exchanges. Partial aggregation keeps
+    # each pass's shuffle at partial-count size — narrow by design.
     slice_counts = per.groupBy(group_col, "bucket").agg(
         F.count(F.lit(1)).cast(T.LongType()).alias("a")
     )
@@ -1080,6 +1086,140 @@ def source_drift_psi(
                     * F.col("__B").cast(T.DoubleType())
                 )
             ).alias("psi_half_bits"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def source_drift_ks(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic of each corpus
+    slice's document token-count distribution against the whole-corpus
+    baseline — the bucket-free complement to ``source_drift_psi``.
+    PSI needs a binning choice and saturates on empty buckets; KS is
+    the sup-norm distance between the two EMPIRICAL CDFs evaluated on
+    the raw value domain, so it catches shifts that fall inside one
+    PSI bucket (e.g. every doc in a dump losing its last sentence).
+
+    KS(s) = max_v |ECDF_s(v) − ECDF_corpus(v)| over observed token
+    counts v. Exact-integer surface: at threshold v the difference is
+    |ca·B − cb·A| / (A·B) with ca/cb the cumulative doc counts ≤ v for
+    the slice / the corpus and A/B their totals — the numerator is an
+    exact int64 (the PSI overflow note applies: products bound corpus
+    size at ~3e9 docs per side; beyond that run per-shard), the max of
+    int64s is exact, and the one IEEE division happens at the very
+    end. The argmax threshold is recovered deterministically — filter
+    to rows where the diff equals the per-slice windowed max, then
+    MIN(v) among ties — NOT engine-specific ``max_by``/``arg_max``,
+    whose tie-breaking is unspecified and would flip the value hash.
+
+    Returns (group_col, n_docs, n_values, ks_num, ks_at, ks_stat)
+    ordered by group_col: ks_num/ks_at the exact integer numerator and
+    smallest threshold attaining it, ks_stat = ks_num/(A·B) ∈ [0, 1].
+
+    Scale shape: one corpus pass into a (slice, token-count) histogram
+    — the value domain is bounded by the longest document, not the
+    corpus, so everything after the first two count aggregates is
+    metadata-sized: the grid is |values| × |slices| rows built from
+    two bounded broadcasts (the ``source_drift_psi`` grid), one window
+    partitioned by slice computes BOTH cumulative counts (the grid is
+    corpus-value-driven, so every partition carries the full common
+    threshold set), and the argmax rides the same partitioning as one
+    more Window node — no join-back, no second grid subtree.
+    """
+    per = df.select(
+        F.col(group_col),
+        F.size(_tokens(F.col(text_col))).cast(T.LongType()).alias("v"),
+    )
+    # Four independent count aggregates over `per`, NOT a fold from
+    # the (slice, value) histogram: Catalyst has no cross-consumer
+    # subtree reuse, so deriving the coarser counts from slice_counts
+    # recomputes the histogram subtree once per consumer (still 4
+    # corpus scans, plus extra metadata exchanges — measured 11 -> 19
+    # plan Exchanges). With map-side partial aggregation each pass
+    # shuffles only its partial-count output (|slices| x |values| rows
+    # per mapper at most), so 4 narrow passes IS the cheap shape.
+    slice_counts = per.groupBy(group_col, "v").agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("a")
+    )
+    corpus_counts = per.groupBy("v").agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("b")
+    )
+    slice_tot = per.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(T.LongType()).alias("sa")
+    )
+    corpus_tot = per.agg(F.count(F.lit(1)).cast(T.LongType()).alias("cb"))
+    grid = (
+        corpus_counts.join(F.broadcast(slice_tot))
+        .join(slice_counts, [group_col, "v"], "left")
+        .join(F.broadcast(corpus_tot))
+        .select(
+            group_col,
+            "v",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            "b",
+            "sa",
+            "cb",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    diffs = grid.select(
+        group_col,
+        "v",
+        "sa",
+        "cb",
+        F.abs(
+            F.sum("a").over(w) * F.col("cb")
+            - F.sum("b").over(w) * F.col("sa")
+        ).alias("d"),
+    )
+    # per-slice max and threshold count as UNBOUNDED windows over the
+    # same partition key (one more Window node on the existing
+    # exchange), then filter-to-max + MIN(v): a groupBy-then-join-back
+    # argmax would consume `diffs` twice, and Catalyst's lack of
+    # cross-consumer reuse would duplicate the whole grid subtree
+    wg = Window.partitionBy(group_col)
+    scored = diffs.select(
+        group_col,
+        "v",
+        "sa",
+        "cb",
+        "d",
+        F.max("d").over(wg).alias("ks_num"),
+        F.count(F.lit(1)).over(wg).cast(T.LongType()).alias("n_values"),
+    )
+    return (
+        scored.filter(F.col("d") == F.col("ks_num"))
+        .groupBy(group_col)
+        .agg(
+            F.max("sa").alias("n_docs"),
+            F.max("n_values").alias("n_values"),
+            F.max("ks_num").alias("ks_num"),
+            F.min("v").alias("ks_at"),
+            F.max("cb").alias("__B"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_values",
+            "ks_num",
+            "ks_at",
+            (
+                F.col("ks_num").cast(T.DoubleType())
+                / (
+                    F.col("n_docs").cast(T.DoubleType())
+                    * F.col("__B").cast(T.DoubleType())
+                )
+            ).alias("ks_stat"),
         )
         .orderBy(group_col)
     )

@@ -8213,6 +8213,61 @@ def q_doc_source_psi(spark, sf_dir):
     return tx.source_drift_psi(_t(spark, sf_dir, "documents"))
 
 
+_SOURCE_KS_ORACLE = f"""
+    WITH per AS (
+      SELECT source, CAST(len({_DUCK_TOKS}) AS BIGINT) AS v
+      FROM documents),
+    sc AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS a
+           FROM per GROUP BY source, v),
+    cc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS b
+           FROM per GROUP BY v),
+    st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sa
+           FROM per GROUP BY source),
+    ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS cb FROM per),
+    grid AS (
+      SELECT st.source, cc.v, COALESCE(sc.a, 0) AS a, cc.b,
+             st.sa, ct.cb
+      FROM cc CROSS JOIN st
+      LEFT JOIN sc ON sc.source = st.source AND sc.v = cc.v
+      CROSS JOIN ct),
+    cum AS (
+      SELECT source, v, sa, cb,
+             CAST(ABS(
+               CAST(SUM(a) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) * cb
+               - CAST(SUM(b) OVER (PARTITION BY source ORDER BY v)
+                      AS BIGINT) * sa) AS BIGINT) AS d
+      FROM grid),
+    mx AS (SELECT source, MAX(sa) AS n_docs,
+                  CAST(COUNT(*) AS BIGINT) AS n_values,
+                  MAX(d) AS ks_num, MAX(cb) AS mcb
+           FROM cum GROUP BY source)
+    SELECT mx.source, mx.n_docs, mx.n_values, mx.ks_num,
+           MIN(cum.v) AS ks_at,
+           CAST(mx.ks_num AS DOUBLE)
+             / (CAST(mx.n_docs AS DOUBLE) * CAST(mx.mcb AS DOUBLE))
+             AS ks_stat
+    FROM mx JOIN cum ON cum.source = mx.source AND cum.d = mx.ks_num
+    GROUP BY mx.source, mx.n_docs, mx.n_values, mx.ks_num, mx.mcb
+    """
+
+
+# =========================================================================
+@_register("q_doc_source_ks", _SOURCE_KS_ORACLE)
+def q_doc_source_ks(spark, sf_dir):
+    """Per-source two-sample Kolmogorov–Smirnov drift statistic
+    (extensions/text.py::source_drift_ks) — the bucket-free complement
+    to q_doc_source_psi: sup-norm distance between each source's
+    token-count ECDF and the whole-corpus ECDF over the raw value
+    domain, catching shifts that fall inside one PSI bucket. Exact
+    int64 numerator |ca·B − cb·A| with the argmax threshold recovered
+    deterministically (filter to the per-slice windowed max, MIN(v)
+    among ties — never the engine-unspecified max_by). The grid and
+    both windows are bounded by |distinct token counts| × |sources| —
+    metadata, not corpus."""
+    return tx.source_drift_ks(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 @_register("q_doc_tok_fertility", _wordpiece_fertility_oracle())
 def q_doc_tok_fertility(spark, sf_dir):
@@ -8441,7 +8496,11 @@ DRIVER_ORDER = [
     # composition this round measures at sf1, and the heaviest
     # ANN/window-family representatives:
     "q_doc_prefix_jaccard", "q_doc_minhash_est", "q_doc_pipeline_e2e",
-    "q_emb_ann_pq", "q_emb_ann_ivfpq", "q_doc_despan",
+    "q_emb_ann_pq", "q_emb_ann_ivfpq",
+    # q_doc_despan gave its pre-empt slot back to the late-r09
+    # q_doc_source_ks (zero-history outranks every repeat witness;
+    # despan holds an r07 hard row and is not yet stale-mandatory):
+    "q_doc_source_ks",
     # q_events_funnel and q_skew_salted_agg gave their pre-empt slots
     # back to the r09-new q_doc_source_psi / q_doc_drift_incr
     # (zero-history outranks every repeat witness; both evictees hold
