@@ -115,6 +115,37 @@ def test_unwatched_records(envelope):
     assert out.count() == 5
 
 
+def test_unwatched_records_missing_key_kept(envelope):
+    """Reference keep-semantics on a missing key: contains_unwatched_records?
+    requires Map.has_key?(record, key) AND value equality
+    (transaction_filter.ex:203-207), so a record without the key is NOT
+    unwatched and the event stays. Every fixture row lacks a 'status'
+    key, so {'status': 'archived'} must drop nothing — the pre-fix bare
+    getItem== predicate NULL-propagated and dropped all 6."""
+    out = X.filter_unwatched_records(envelope, {"status": "archived"})
+    assert out.count() == 6
+    # conjunctive mix: one present-and-matching key plus one missing key
+    # still fails the conjunction -> everything kept
+    out2 = X.filter_unwatched_records(envelope, {"id": "5", "status": "x"})
+    assert out2.count() == 6
+
+
+def test_unwatched_records_null_value_kept(spark):
+    """A key present with a NULL value: Map.get == 'archived' is false in
+    the reference, so the event is kept (key-only DELETE old_records
+    under REPLICA IDENTITY DEFAULT hit this shape in practice)."""
+    rows = [
+        ("DELETE", "public", "user", None, None,
+         {"id": "7", "status": None}, None, TS, 0, 200, 710, 0),
+        ("DELETE", "public", "user", None, None,
+         {"id": "8", "status": "archived"}, None, TS, 0, 210, 711, 0),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    out = X.filter_unwatched_records(df, {"status": "archived"})
+    kept = [r.old_record["id"] for r in out.collect()]
+    assert kept == ["7"]  # NULL-valued row kept, matching row dropped
+
+
 def test_delete_event_uses_old_record(envelope):
     ev = X.filter_and_cast(envelope, table="user", record_types=["delete"])
     row = ev.collect()[0]

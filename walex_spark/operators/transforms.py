@@ -131,11 +131,24 @@ def filter_unwatched_records(
     """Drop events whose record matches ALL {key: value} pairs
     (conjunctive exclusion). The record examined is new_record, else
     old_record for deletes; events with neither are dropped
-    (transaction_filter.ex:189-207)."""
+    (transaction_filter.ex:189-207).
+
+    Reference semantics on a missing or NULL-valued key: the reference's
+    `contains_unwatched_records?` requires `Map.has_key?(record, key)
+    and Map.get(record, key) == value` (transaction_filter.ex:203-207),
+    so a record that lacks the key — e.g. a key-only DELETE old_record
+    under REPLICA IDENTITY DEFAULT — makes the conjunct FALSE and the
+    event stays watched. A bare `getItem(k) == lit(v)` would instead be
+    NULL, propagate through the conjunction, flip to NULL under ~, and
+    be DROPPED by the filter; each comparison is therefore coalesced to
+    False so missing-key / NULL-value records are kept.
+    """
     rec = F.coalesce(F.col(record_col), F.col(old_record_col))
     match_all = F.lit(True)
     for k, v in unwatched_records.items():
-        match_all = match_all & (rec.getItem(k) == F.lit(str(v)))
+        match_all = match_all & F.coalesce(
+            rec.getItem(k) == F.lit(str(v)), F.lit(False)
+        )
     return df.filter(rec.isNotNull() & ~match_all)
 
 
