@@ -735,3 +735,38 @@ def test_manifest_foreachbatch_stream_e2e(spark, docs, tmp_path):
         for r in spark.read.parquet(f"{out_root}/e-*").collect()
     ]
     assert _manifest_latest(emitted) == _manifest_batch(docs)
+
+
+def test_prefix_jaccard_legacy_index_without_ep(spark, docs, tmp_path):
+    """An index written before PRE_SCHEMA gained the ep arrival stamp
+    reads back ep=NULL; the candidate orientation filter must treat
+    those rows as unconditionally old (ep=-1) instead of letting NULL
+    route every legacy-vs-new pair through the id-order arm — which
+    silently dropped the id_n >= id_o half of the cross-epoch
+    candidates (r09 ADVICE). Fold-equals-batch must survive a legacy
+    epoch-0 index."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    idx = IncrementalPrefixJaccardIndex(
+        str(tmp_path / "pidx"), threshold_num=1, threshold_den=2
+    )
+    e0, e1 = _epochs(docs, 2)
+    emitted = idx.process_batch(e0, 0).collect()
+    # strip the ep column from the on-disk epoch-0 prefix index,
+    # simulating a durable index from the pre-ep format
+    d = str(tmp_path / "pidx" / "pre" / "e-0")
+    tbl = pq.read_table(d).drop_columns(["ep"])
+    shutil.rmtree(d)
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "part-legacy.parquet"))
+    assert glob.glob(os.path.join(d, "*.parquet"))
+    emitted += idx.process_batch(e1, 1).collect()
+    batch = dd.prefix_filter_jaccard_pairs(
+        docs, threshold_num=1, threshold_den=2
+    ).collect()
+    assert _jac_key(emitted) == _jac_key(batch)
+    assert emitted

@@ -70,3 +70,55 @@ def test_compaction_preserves_emissions(spark, tmp_path):
         outs_a += sorted(a.process_batch(df, e).collect())
         outs_b += sorted(b.process_batch(df, e).collect())
     assert outs_a == outs_b
+
+
+def test_replay_after_compaction_folded_own_epoch(spark, tmp_path):
+    """The r09 ADVICE interleaving: with compact_every>0, compaction
+    runs at the start of process_batch, so a crashed-and-replayed
+    epoch's e-dir can already be folded into c-<upto> BEFORE the
+    replay. The ep-stamped by-value exclusion must still keep the
+    replayed epoch's first-attempt rows out of its own baseline —
+    a basename exclusion cannot see inside the compacted dir."""
+    mon = IncrementalDriftMonitor(str(tmp_path / "idx"), compact_every=1)
+    e0 = _docs(spark, [(i, 5 * (i % 4)) for i in range(1, 9)])
+    e1 = _docs(spark, [(i, 7 * (i % 3)) for i in range(9, 15)])
+    e2 = _docs(spark, [(i, 11 * (i % 5)) for i in range(15, 23)])
+    mon.process_batch(e0, 0)
+    mon.process_batch(e1, 1)
+    first = sorted(mon.process_batch(e2, 2).collect())
+    # crash after epoch 2's commit; the replayed process_batch first
+    # compacts, folding e-2 into c-2, THEN recomputes the emission
+    replay = sorted(mon.process_batch(e2, 2).collect())
+    assert first == replay
+    # and the baseline really excludes epoch 2 by value post-fold
+    base = {
+        r["bucket"]: r["n"]
+        for r in mon.baseline(spark, exclude_epoch=2).collect()
+    }
+    full = {r["bucket"]: r["n"] for r in mon.baseline(spark).collect()}
+    assert sum(base.values()) == 14  # epochs 0+1 only (8+6 docs)
+    assert sum(full.values()) == 22
+
+
+def test_legacy_index_rows_without_ep_stay_baseline(spark, tmp_path):
+    """Pre-ep-column index dirs read back ep=NULL; they must coalesce
+    to -1 (unconditionally older than any epoch) rather than vanish
+    from — or pollute — a replayed epoch's exclusion."""
+    from walex_spark.streaming.dedup_incr import _write_epoch
+
+    idx = tmp_path / "idx"
+    legacy = spark.createDataFrame(
+        [(0, 3), (2, 1)], "bucket BIGINT, n BIGINT"
+    )
+    _write_epoch(legacy, str(idx / "hist"), 0)
+    mon = IncrementalDriftMonitor(str(idx))
+    # epoch 1 sees the legacy rows as baseline (had_baseline True)
+    out = mon.process_batch(_docs(spark, [(1, 5), (2, 25)]), 1)
+    row = out.collect()[0]
+    assert row["baseline_docs"] == 4
+    # and excluding epoch 1 by value leaves the legacy rows intact
+    base = {
+        r["bucket"]: r["n"]
+        for r in mon.baseline(spark, exclude_epoch=1).collect()
+    }
+    assert base == {0: 3, 2: 1}

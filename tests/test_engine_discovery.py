@@ -117,3 +117,7 @@ def test_to_module_name_reference_parity():
     assert to_module_name("user_Account") == "UserAccount"
     assert to_module_name("HTTP_log") == "HTTPLog"
     assert to_module_name("todos") == "Todos"
+    # digit-initial parts: the reference's first-char == upcase test is
+    # TRUE for '2', so the part is kept verbatim (config.ex:164-170)
+    assert to_module_name("user_2FA") == "User2FA"
+    assert to_module_name("2fa_codes") == "2faCodes"

@@ -50,3 +50,23 @@ def test_cli_prints_without_dsn(capsys):
     assert "CREATE PUBLICATION events" in out
     assert S.main(["--drop"]) == 0
     assert "DROP DATABASE todos_test;" in capsys.readouterr().out
+
+
+def test_maintenance_dsn_rewrite():
+    """--drop must not connect to the database it drops: URL and
+    key=value DSNs both rewrite to the postgres maintenance DB."""
+    from walex_spark.sources.setup import maintenance_dsn
+
+    assert (
+        maintenance_dsn("postgresql://u:p@localhost:5432/todos_test")
+        == "postgresql://u:p@localhost:5432/postgres"
+    )
+    assert (
+        maintenance_dsn("postgresql://u:p@h/todos_test?sslmode=require")
+        == "postgresql://u:p@h/postgres?sslmode=require"
+    )
+    assert (
+        maintenance_dsn("dbname=todos_test host=localhost user=postgres")
+        == "dbname=postgres host=localhost user=postgres"
+    )
+    assert maintenance_dsn("host=localhost").endswith("dbname=postgres")

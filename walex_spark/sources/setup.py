@@ -140,6 +140,25 @@ def drop_statements() -> list[str]:
     return [DROP_DATABASE]
 
 
+def maintenance_dsn(dsn: str) -> str:
+    """Rewrite a DSN's database path to the ``postgres`` maintenance
+    database. ``DROP DATABASE`` cannot run from a connection open on the
+    database being dropped, so the --drop path must NOT connect with the
+    same DSN the setup used (the reference's helpers drop via psql
+    against the default database — test_helpers.exs). Key=value DSNs
+    rewrite the ``dbname`` token; URL DSNs rewrite the path."""
+    if "://" not in dsn:  # key=value form: dbname=todos_test host=...
+        import re
+
+        if re.search(r"\bdbname=\S+", dsn):
+            return re.sub(r"\bdbname=\S+", "dbname=postgres", dsn)
+        return (dsn + " dbname=postgres").strip()
+    from urllib.parse import urlsplit, urlunsplit
+
+    parts = urlsplit(dsn)
+    return urlunsplit(parts._replace(path="/postgres"))
+
+
 def main(argv: list[str] | None = None) -> int:
     import argparse
 
@@ -158,7 +177,11 @@ def main(argv: list[str] | None = None) -> int:
         import psycopg2
     except ImportError:
         raise SystemExit("psycopg2 not installed — see RUNBOOK.md")
-    conn = psycopg2.connect(args.dsn)
+    # --drop must connect to the maintenance DB: Postgres refuses to
+    # drop the database the connection is open on
+    conn = psycopg2.connect(
+        maintenance_dsn(args.dsn) if args.drop else args.dsn
+    )
     conn.autocommit = True
     with conn.cursor() as cur:
         for s in stmts:

@@ -470,7 +470,17 @@ class IncrementalPrefixJaccardIndex:
         ep_pre = spark.read.schema(self.PRE_SCHEMA).parquet(
             os.path.join(self._root("pre"), f"e-{epoch_id}")
         )
-        all_pre = _read_union(spark, self._root("pre"), self.PRE_SCHEMA)
+        # legacy tolerance: index dirs written before the ep column
+        # existed read back ep=NULL; a bare `ep_o < ep_n` would go NULL
+        # and silently drop the id_n >= id_o half of the cross-epoch
+        # candidates. Coalesce to -1: legacy rows are unconditionally
+        # "older", so every legacy-vs-new pair keeps exactly the
+        # epoch-order orientation.
+        all_pre = _read_union(
+            spark, self._root("pre"), self.PRE_SCHEMA
+        ).withColumn(
+            "ep", F.coalesce(F.col("ep"), F.lit(-1).cast(T.IntegerType()))
+        )
         all_toks = _read_union(spark, self._root("toks"), self.TOK_SCHEMA)
         n, d = F.lit(self.tn), F.lit(self.td)
         matched = (

@@ -24,9 +24,14 @@ Everything else — the baseline fold, the scoring grid, the emission —
 is n_buckets-sized METADATA (n_buckets is a constructor constant), so
 state and per-epoch overhead are O(1) in corpus size: the cheapest
 index in the streaming family. Replay safety: the epoch's histogram
-dir is overwritten idempotently and the baseline read excludes the
-epoch's own dir at the path level (the novelty twin's replay-race
-discipline).
+dir is overwritten idempotently, every histogram row is stamped with
+its epoch (``ep``), and the baseline read excludes the epoch BY VALUE
+— not by dir basename — so a crashed-and-replayed epoch whose first
+attempt was already folded into a compacted ``c-<upto>`` dir still
+never pre-seeds its own baseline (the r09 ADVICE replay×compaction
+interleaving). Legacy index rows written before the ``ep`` column
+existed read back NULL and are coalesced to -1: unconditionally
+"older than any epoch", i.e. always baseline, never excluded.
 
 FOLD-EQUALS-DEFINITION (pinned by tests/test_drift_incr.py): epoch
 e's emission equals the one-shot PSI of (docs in epoch e) vs (docs in
@@ -52,7 +57,8 @@ from walex_spark.streaming.dedup_incr import (
 class IncrementalDriftMonitor:
     """Accumulated bucket-histogram index + per-epoch PSI emission."""
 
-    HIST_SCHEMA = "bucket BIGINT, n BIGINT"
+    HIST_SCHEMA = "bucket BIGINT, n BIGINT, ep BIGINT"
+    BASELINE_SCHEMA = "bucket BIGINT, n BIGINT"
 
     def __init__(
         self,
@@ -76,35 +82,42 @@ class IncrementalDriftMonitor:
         self, spark: SparkSession, exclude_epoch: int | None = None
     ) -> DataFrame:
         """(bucket, n) folded over every indexed epoch — excluding
-        ``exclude_epoch``'s own dir so a replayed epoch never
-        pre-seeds its own baseline."""
-        dirs = [
-            d
-            for d in _epoch_dirs(self._hist_root())
-            if exclude_epoch is None
-            or os.path.basename(d) != f"e-{exclude_epoch}"
-        ]
+        ``exclude_epoch``'s rows BY VALUE on the ``ep`` stamp, so the
+        exclusion holds even after compaction folded that epoch's dir
+        into ``c-<upto>`` (where a basename test cannot see it).
+        Legacy rows without the stamp coalesce to ep=-1 and are always
+        part of the baseline."""
+        dirs = _epoch_dirs(self._hist_root())
         if not dirs:
-            return spark.createDataFrame([], self.HIST_SCHEMA)
-        return (
-            spark.read.schema(self.HIST_SCHEMA)
-            .parquet(*dirs)
-            .groupBy("bucket")
-            .agg(F.sum("n").cast(T.LongType()).alias("n"))
+            return spark.createDataFrame([], self.BASELINE_SCHEMA)
+        hist = spark.read.schema(self.HIST_SCHEMA).parquet(*dirs)
+        hist = hist.withColumn(
+            "ep", F.coalesce(F.col("ep"), F.lit(-1).cast(T.LongType()))
+        )
+        if exclude_epoch is not None:
+            hist = hist.filter(F.col("ep") != int(exclude_epoch))
+        return hist.groupBy("bucket").agg(
+            F.sum("n").cast(T.LongType()).alias("n")
         )
 
     def compact(self, spark: SparkSession) -> bool:
-        # partial histograms fold additively, like the despan counts
+        # partial histograms fold additively PER EPOCH — the ep stamp
+        # must survive compaction so baseline() can keep excluding a
+        # replayed epoch by value; the folded state stays metadata-sized
+        # (n_buckets x n_epochs rows)
         return _compact_root(
             spark,
             self._hist_root(),
             self.HIST_SCHEMA,
-            agg=lambda df: df.groupBy("bucket").agg(
-                F.sum("n").cast(T.LongType()).alias("n")
-            ),
+            agg=lambda df: df.withColumn(
+                "ep", F.coalesce(F.col("ep"), F.lit(-1).cast(T.LongType()))
+            )
+            .groupBy("bucket", "ep")
+            .agg(F.sum("n").cast(T.LongType()).alias("n"))
+            .select("bucket", "n", "ep"),
         )
 
-    def _epoch_hist(self, batch_df: DataFrame) -> DataFrame:
+    def _epoch_hist(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
         from walex_spark.extensions.text import _tokens
 
         return (
@@ -121,6 +134,7 @@ class IncrementalDriftMonitor:
             )
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast(T.LongType()).alias("n"))
+            .withColumn("ep", F.lit(int(epoch_id)).cast(T.LongType()))
         )
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
@@ -135,11 +149,15 @@ class IncrementalDriftMonitor:
             self.compact_every + 1
         ):
             self.compact(spark)
-        had_baseline = bool(_epoch_dirs(self._hist_root())) and any(
-            os.path.basename(d) != f"e-{epoch_id}"
-            for d in _epoch_dirs(self._hist_root())
+        # value-level check: rows stamped with another epoch exist? A
+        # basename test would miss a replayed epoch already folded into
+        # the compacted dir. Metadata-sized read (n_buckets x epochs).
+        had_baseline = (
+            self.baseline(spark, exclude_epoch=epoch_id).limit(1).count() > 0
         )
-        _write_epoch(self._epoch_hist(batch_df), self._hist_root(), epoch_id)
+        _write_epoch(
+            self._epoch_hist(batch_df, epoch_id), self._hist_root(), epoch_id
+        )
         out_schema = (
             "epoch BIGINT, n_docs BIGINT, baseline_docs BIGINT, "
             "buckets_hit BIGINT, zero_buckets BIGINT, new_buckets BIGINT, "

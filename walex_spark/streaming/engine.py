@@ -29,9 +29,14 @@ def to_module_name(name: str) -> str:
     """snake_case table -> CamelCase module segment — byte-parity with
     the reference's ``to_module_name/1`` (config.ex:152-166), including
     its quirk of leaving already-capitalized parts untouched
-    (``user_Account`` -> ``UserAccount``, ``HTTP_log`` -> ``HTTPLog``)."""
+    (``user_Account`` -> ``UserAccount``, ``HTTP_log`` -> ``HTTPLog``).
+    The reference's test is first-char == upcase(first-char) — TRUE for
+    digits and punctuation, so ``user_2FA`` stays ``User2FA``; an
+    ``isupper()`` test would be False for '2' and capitalize() would
+    lowercase the tail (``User2fa``)."""
     return "".join(
-        p if p[:1].isupper() else p.capitalize() for p in str(name).split("_")
+        p if p[:1] == p[:1].upper() else p.capitalize()
+        for p in str(name).split("_")
     )
 
 
