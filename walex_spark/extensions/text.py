@@ -997,13 +997,21 @@ def source_drift_psi(
     Returns (group_col, n_docs, buckets_hit, zero_buckets, psi_num,
     psi_half_bits) ordered by group_col.
 
-    Scale shape: one narrow (slice, bucket) map + four map-side-
-    combinable count aggregates (each shuffling only partial counts);
-    the join grid is |corpus buckets| × |slices| — metadata-sized by
-    construction (n_buckets is a constant), built with two bounded
-    broadcasts (the burstiness / dataset_card class). Nothing
-    corpus-sized crosses an exchange and no text leaves the first
-    projection.
+    Scale shape: ONE corpus pass — the narrow (slice, bucket) map and
+    a map-side-combinable count into the (slice, bucket) histogram,
+    which is |slices| × n_buckets rows: metadata by construction. The
+    histogram is persisted, and the corpus histogram, the slice
+    totals, and the corpus total are all folded FROM it as
+    metadata-sized aggregates (Catalyst has no cross-consumer subtree
+    reuse, so without the persist each fold would re-run the corpus
+    scan — and the tokenize projection, the actual cost at 100 TB —
+    once per consumer: the 4-pass shape the r09 review flagged).
+    persist() rather than localCheckpoint: lineage stays intact, so an
+    executor loss recomputes the one scan instead of failing the job,
+    and the cached artifact is a few KB. The grid join is
+    |corpus buckets| × |slices|, built with two bounded broadcasts
+    (the burstiness / dataset_card class). Nothing corpus-sized
+    crosses an exchange and no text leaves the first projection.
     """
     from walex_spark.extensions.search import half_bits
 
@@ -1018,23 +1026,25 @@ def source_drift_psi(
         .cast(T.LongType())
         .alias("bucket"),
     )
-    # Four independent count aggregates, not a fold from slice_counts:
-    # Catalyst recomputes multiply-consumed subtrees (no CSE), so the
-    # "one histogram, fold coarser" shape costs the same 4 corpus
-    # scans plus extra metadata exchanges. Partial aggregation keeps
-    # each pass's shuffle at partial-count size — narrow by design.
-    slice_counts = per.groupBy(group_col, "bucket").agg(
-        F.count(F.lit(1)).cast(T.LongType()).alias("a")
+    slice_counts = (
+        per.groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("a"))
+        .persist()
     )
-    corpus_counts = per.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast(T.LongType()).alias("b")
+    # every coarser count folds from the cached histogram — exact
+    # integer sums of exact integer counts, so the values (and the
+    # oracle hash) are unchanged from the 4-pass shape
+    corpus_counts = slice_counts.groupBy("bucket").agg(
+        F.sum("a").cast(T.LongType()).alias("b")
     )
     # totals named sa/cb (not A/B): Spark's default case-insensitive
     # resolver would make `A` ambiguous with the per-bucket `a`
-    slice_tot = per.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast(T.LongType()).alias("sa")
+    slice_tot = slice_counts.groupBy(group_col).agg(
+        F.sum("a").cast(T.LongType()).alias("sa")
     )
-    corpus_tot = per.agg(F.count(F.lit(1)).cast(T.LongType()).alias("cb"))
+    corpus_tot = slice_counts.agg(
+        F.sum("a").cast(T.LongType()).alias("cb")
+    )
     grid = (
         corpus_counts.join(F.broadcast(slice_tot))
         .join(slice_counts, [group_col, "bucket"], "left")
@@ -1120,12 +1130,18 @@ def source_drift_ks(
     ordered by group_col: ks_num/ks_at the exact integer numerator and
     smallest threshold attaining it, ks_stat = ks_num/(A·B) ∈ [0, 1].
 
-    Scale shape: one corpus pass into a (slice, token-count) histogram
-    — the value domain is bounded by the longest document, not the
-    corpus, so everything after the first two count aggregates is
-    metadata-sized: the grid is |values| × |slices| rows built from
-    two bounded broadcasts (the ``source_drift_psi`` grid), one window
-    partitioned by slice computes BOTH cumulative counts (the grid is
+    Scale shape: ONE corpus pass into the (slice, token-count)
+    histogram — the value domain is bounded by the longest document,
+    not the corpus, so the histogram is |slices| × |values| rows:
+    metadata-sized. It is persisted and the corpus histogram / slice
+    totals / corpus total fold FROM it (without the persist, Catalyst's
+    lack of cross-consumer subtree reuse re-runs the corpus scan — and
+    the tokenize projection, the real cost at 100 TB — once per
+    consumer). persist() rather than localCheckpoint keeps lineage, so
+    an executor loss recomputes one scan instead of failing the job.
+    The grid is |values| × |slices| rows built from two bounded
+    broadcasts (the ``source_drift_psi`` grid), one window partitioned
+    by slice computes BOTH cumulative counts (the grid is
     corpus-value-driven, so every partition carries the full common
     threshold set), and the argmax rides the same partitioning as one
     more Window node — no join-back, no second grid subtree.
@@ -1134,24 +1150,22 @@ def source_drift_ks(
         F.col(group_col),
         F.size(_tokens(F.col(text_col))).cast(T.LongType()).alias("v"),
     )
-    # Four independent count aggregates over `per`, NOT a fold from
-    # the (slice, value) histogram: Catalyst has no cross-consumer
-    # subtree reuse, so deriving the coarser counts from slice_counts
-    # recomputes the histogram subtree once per consumer (still 4
-    # corpus scans, plus extra metadata exchanges — measured 11 -> 19
-    # plan Exchanges). With map-side partial aggregation each pass
-    # shuffles only its partial-count output (|slices| x |values| rows
-    # per mapper at most), so 4 narrow passes IS the cheap shape.
-    slice_counts = per.groupBy(group_col, "v").agg(
-        F.count(F.lit(1)).cast(T.LongType()).alias("a")
+    slice_counts = (
+        per.groupBy(group_col, "v")
+        .agg(F.count(F.lit(1)).cast(T.LongType()).alias("a"))
+        .persist()
     )
-    corpus_counts = per.groupBy("v").agg(
-        F.count(F.lit(1)).cast(T.LongType()).alias("b")
+    # metadata-sized folds of the cached histogram — exact integer
+    # sums, value-hash identical to the 4-pass shape
+    corpus_counts = slice_counts.groupBy("v").agg(
+        F.sum("a").cast(T.LongType()).alias("b")
     )
-    slice_tot = per.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast(T.LongType()).alias("sa")
+    slice_tot = slice_counts.groupBy(group_col).agg(
+        F.sum("a").cast(T.LongType()).alias("sa")
     )
-    corpus_tot = per.agg(F.count(F.lit(1)).cast(T.LongType()).alias("cb"))
+    corpus_tot = slice_counts.agg(
+        F.sum("a").cast(T.LongType()).alias("cb")
+    )
     grid = (
         corpus_counts.join(F.broadcast(slice_tot))
         .join(slice_counts, [group_col, "v"], "left")
