@@ -90,7 +90,16 @@ def test_ewma_stream_folds_to_batch(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+        # atomic single-file publish: a live write.mode("append") can be
+        # half-listed by the running stream, folding events out of order
+        # (test_scd._atomic_append's race class)
+        import glob as _glob
+        import os as _os
+
+        stage = str(tmp_path / "stage_b2")
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(_os.path.join(stage, "part-*"))
+        _os.rename(part, _os.path.join(src, _os.path.basename(part)))
         q.processAllAvailable()
         per_batch = spark.table("ewma_out").collect()
         # last emitted row for the entity = final ewma
