@@ -8487,11 +8487,46 @@ def q_doc_char_entropy(spark, sf_dir):
 #            heaviest ANN variants; they yield their slots to any
 #            r09-new query (zero-history outranks every repeat
 #            witness).
+#   r10:     (this round) q_cdc_unwatched_filters heads the window —
+#            its r05 witness predates the missing-key / NULL-value
+#            edge fixtures added with the filter_unwatched_records
+#            NULL-propagation fix, so the existing hard row no longer
+#            witnesses the current oracle data (the r09 VERDICT's
+#            done-criterion is a green driver row ON the edge
+#            fixtures). Then the four queries whose code changed this
+#            round (the one-scan drift rewrite, the ep-stamped drift
+#            twin baseline, the legacy-ep prefix-index coalesce).
+#            Then the COMPLETE 45-query r06-stale cohort (the r09
+#            pre-empts already retired 8 of r06's 50-query window;
+#            what remains fits exactly: 1 + 4 + 45 = 50).
 DRIVER_ORDER = [
-    # (a) the one zero-hard-history query, head of the window:
+    # (a) fixture changed this round — existing witness void:
+    "q_cdc_unwatched_filters",
+    # (b) code touched this round:
+    "q_doc_source_psi", "q_doc_source_ks", "q_doc_drift_incr",
+    "q_doc_prefix_incr",
+    # (c) the complete 45-query r06-stale cohort — after r10's files
+    # land, no registry query's last hard row is older than r07:
+    "q_bloom_semi_join", "q_cdc_incremental_agg",
+    "q_cdc_incremental_sums", "q_cdc_search_index", "q_doc_bm25",
+    "q_doc_bpe_merges", "q_doc_despan", "q_doc_dup_spans",
+    "q_doc_dup_triangles", "q_doc_edit_pairs", "q_doc_global_shuffle",
+    "q_doc_gopher", "q_doc_heavy_hitters", "q_doc_langid_eval",
+    "q_doc_leak_safe_split", "q_doc_minhash_pairs",
+    "q_doc_normalized_dedup", "q_doc_pack_sequences", "q_doc_pagerank",
+    "q_doc_quality_buckets", "q_doc_simhash_pairs", "q_doc_surprisal",
+    "q_doc_temp_mixture", "q_doc_winnow_pairs", "q_dq_expectations",
+    "q_emb_ann_recall", "q_emb_ann_recall_ivf", "q_emb_ann_sq8",
+    "q_events_cusum", "q_events_ewma", "q_events_funnel",
+    "q_events_outliers", "q_events_resample", "q_events_retention",
+    "q_events_rolling", "q_hybrid_rrf", "q_interval_overlap",
+    "q_kanon_suppress", "q_range_agg_twolevel", "q_skew_salted_agg",
+    "q_snapshot_diff", "q_stats_regression", "q_window_rank_funcs",
+    "q_window_value_funcs", "q_zorder_values",
+]
+
+_DRIVER_ORDER_R09 = [
     "q_doc_token_ids",
-    # (b) the 41-query r05-stale cohort (complete — nothing last
-    # witnessed in r05 stays outside this window):
     "q01_pricing_summary", "q02_top_revenue_orders",
     "q03_shipping_priority", "q04_order_priority", "q05_region_volume",
     "q06_forecast_revenue", "q07_nation_volume", "q08_market_share",
@@ -8508,23 +8543,9 @@ DRIVER_ORDER = [
     "q_rollup_lineitem", "q_scalar_funcs", "q_semi_join", "q_set_ops",
     "q_window_lag_lead", "q_window_running_total",
     "q_window_topn_per_group",
-    # (c) 8 r06 pre-empts (r06's 50-query cohort becomes
-    # stale-mandatory in r10 — exactly window-sized; every slot
-    # banked now is r10 slack). Chosen: the two prefix-family queries
-    # adjacent to this round's q_doc_prefix_incr work, the pipeline
-    # composition this round measures at sf1, and the heaviest
-    # ANN/window-family representatives:
     "q_doc_prefix_jaccard", "q_doc_minhash_est", "q_doc_pipeline_e2e",
     "q_emb_ann_pq", "q_emb_ann_ivfpq",
-    # q_doc_despan gave its pre-empt slot back to the late-r09
-    # q_doc_source_ks (zero-history outranks every repeat witness;
-    # despan holds an r07 hard row and is not yet stale-mandatory):
     "q_doc_source_ks",
-    # q_events_funnel and q_skew_salted_agg gave their pre-empt slots
-    # back to the r09-new q_doc_source_psi / q_doc_drift_incr
-    # (zero-history outranks every repeat witness; both evictees hold
-    # r06 hard rows and become stale-mandatory with the rest of the
-    # r06 cohort in r10):
     "q_doc_source_psi", "q_doc_drift_incr",
 ]
 
