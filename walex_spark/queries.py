@@ -8426,6 +8426,161 @@ def q_doc_char_entropy(spark, sf_dir):
     return tx.char_entropy(_t(spark, sf_dir, "documents"))
 
 
+# --- PII detection / redaction (extensions/pii.py) ----------------------
+# The synthetic corpus carries no natural PII, so both queries first
+# DECORATE a deterministic doc_id-keyed subset with synthetic PII —
+# identical string construction in the Spark plan and the oracle SQL
+# (the q_cdc_unwatched_filters edge-probe discipline: the decoration is
+# part of the query, the INPUT stays the driver's parquet).
+_PII_DECOR_SQL = """
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 2 = 0 THEN ' see http://example.com/p/' || doc_id || ' for details' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' from host 10.0.0.' || (doc_id % 200) || ' tonight' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 today' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' ssn 987-65-4320 on file' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' card 4111111111111111 expired' ELSE '' END
+             AS text
+      FROM documents
+"""
+
+
+def _pii_decorated(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def when_mod(m, *parts):
+        return F.when(did % m == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            when_mod(2, F.lit(" see http://example.com/p/"),
+                     did.cast(T.StringType()), F.lit(" for details")),
+            when_mod(3, F.lit(" from host 10.0.0."),
+                     (did % 200).cast(T.StringType()), F.lit(" tonight")),
+            when_mod(5, F.lit(" reach me at user"),
+                     did.cast(T.StringType()), F.lit("@example.com")),
+            when_mod(7, F.lit(" call 555-123-4567 today")),
+            when_mod(11, F.lit(" ssn 987-65-4320 on file")),
+            when_mod(13, F.lit(" card 4111111111111111 expired")),
+        ).alias("text"),
+    )
+
+
+def _pii_scan_oracle() -> str:
+    from walex_spark.extensions.pii import PII_PATTERNS
+
+    sums = ", ".join(
+        f"SUM(CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    any_hit = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH deco AS ({_PII_DECOR_SQL})
+    SELECT source, COUNT(*) AS n_docs, {sums},
+           SUM(CASE WHEN {any_hit} THEN 1 ELSE 0 END) AS docs_with_pii
+    FROM deco GROUP BY source ORDER BY source
+    """
+
+
+def _pii_redact_oracle() -> str:
+    from walex_spark.extensions.pii import PII_PATTERNS
+
+    repl = "text"
+    for _, pat, sentinel in PII_PATTERNS:
+        repl = f"regexp_replace({repl}, '{pat}', '{sentinel}', 'g')"
+    sentinels = " + ".join(
+        f"len(regexp_extract_all(red, '{sentinel}'))"
+        for _, _, sentinel in PII_PATTERNS
+    )
+    residual = " + ".join(
+        f"len(regexp_extract_all(red, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH deco AS ({_PII_DECOR_SQL}),
+    red AS (SELECT doc_id, source, text, {repl} AS red FROM deco)
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CAST({sentinels} AS BIGINT)) AS n_sentinels,
+           SUM(CAST({residual} AS BIGINT)) AS residual_pii,
+           SUM(CAST(len(red) - len(text) AS BIGINT)) AS chars_delta
+    FROM red GROUP BY source ORDER BY source
+    """
+
+
+@_register("q_doc_pii_scan", _pii_scan_oracle())
+def q_doc_pii_scan(spark, sf_dir):
+    """PII detection sweep (extensions/pii.py::pii_signals): per-source
+    sums of regex-class detections (URL, email, SSN, phone, IPv4,
+    card-like digit runs) + docs_with_pii — the scrubbing-stage report
+    every training pipeline runs first (C4/Dolma/RefinedWeb-class
+    regex PII pass). ONE corpus scan, detectors are codegen'd
+    regexp_count projections (zero UDF), the aggregate folds map-side
+    to |sources| rows. Patterns live in the Java∩RE2 portable subset
+    so the DuckDB oracle runs the SAME table verbatim."""
+    from walex_spark.extensions.pii import PII_PATTERNS, pii_signals
+
+    sig = pii_signals(_pii_decorated(spark, sf_dir), keep=("source",))
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
+            *[
+                F.sum(f"n_{name}").cast(T.LongType()).alias(f"n_{name}")
+                for name, _, _ in PII_PATTERNS
+            ],
+            F.sum(F.col("has_pii").cast(T.LongType()))
+            .cast(T.LongType())
+            .alias("docs_with_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register("q_doc_pii_redact", _pii_redact_oracle())
+def q_doc_pii_redact(spark, sf_dir):
+    """PII redaction with value-checked COMPLETENESS
+    (extensions/pii.py::redact_pii): every match replaced by its class
+    sentinel in the documented order, then the SAME detector table is
+    re-run on the redacted text — residual_pii MUST be 0 per source,
+    so the redactor's completeness is an oracle-hashed property rather
+    than a code-review claim. n_sentinels counts the placed markers and
+    chars_delta the exact size change; one codegen'd
+    regexp_replace-chain projection, one scan, |sources|-row output."""
+    from walex_spark.extensions.pii import PII_PATTERNS, redact_pii
+
+    red = redact_pii(_pii_decorated(spark, sf_dir), out_col="red")
+    n_sent = None
+    residual = None
+    for name, pat, sentinel in PII_PATTERNS:
+        s = F.regexp_count(F.col("red"), F.lit(sentinel)).cast(T.LongType())
+        r = F.regexp_count(F.col("red"), F.lit(pat)).cast(T.LongType())
+        n_sent = s if n_sent is None else n_sent + s
+        residual = r if residual is None else residual + r
+    return (
+        red.select(
+            "source",
+            n_sent.alias("s"),
+            residual.alias("r"),
+            (F.length("red") - F.length("text")).cast(T.LongType()).alias("d"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_docs"),
+            F.sum("s").cast(T.LongType()).alias("n_sentinels"),
+            F.sum("r").cast(T.LongType()).alias("residual_pii"),
+            F.sum("d").cast(T.LongType()).alias("chars_delta"),
+        )
+        .orderBy("source")
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -8500,11 +8655,16 @@ def q_doc_char_entropy(spark, sf_dir):
 #            pre-empts already retired 8 of r06's 50-query window;
 #            what remains fits exactly: 1 + 4 + 45 = 50).
 DRIVER_ORDER = [
-    # (a) fixture changed this round — existing witness void:
+    # (a) zero-history queries (r10-new PII family), head of the window:
+    "q_doc_pii_scan", "q_doc_pii_redact",
+    # (b) fixture changed this round — existing witness void:
     "q_cdc_unwatched_filters",
-    # (b) code touched this round:
-    "q_doc_source_psi", "q_doc_source_ks", "q_doc_drift_incr",
-    "q_doc_prefix_incr",
+    # (c) the two plans REWRITTEN this round (the drift one-scan
+    # rework). q_doc_drift_incr / q_doc_prefix_incr gave their slots
+    # to the PII pair: both hold r09 hard rows, their r10 changes are
+    # replay/legacy-corner-only, covered by new unit tests plus this
+    # session's oracle-compare runs:
+    "q_doc_source_psi", "q_doc_source_ks",
     # (c) the complete 45-query r06-stale cohort — after r10's files
     # land, no registry query's last hard row is older than r07:
     "q_bloom_semi_join", "q_cdc_incremental_agg",
