@@ -85,3 +85,47 @@ def test_pack_sequences_drops_empty_and_validates(spark):
     assert {r.doc_id for r in out} == {2}
     with pytest.raises(ValueError):
         pack_sequences(df, "n", seq_len=0)
+
+
+def test_chunk_documents_contract(spark):
+    """Chunk layout (packing.chunk_documents): full coverage with
+    overlap, short-doc single chunk, empty-doc zero rows, trailing
+    short chunk, and the manifest hash matching a hand-built slice."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from walex_spark.extensions.packing import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(words)),   # 10 tokens
+            (2, "solo"),            # 1 token -> one chunk
+            (3, "   "),             # whitespace-only -> zero rows
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    assert 3 not in by_doc
+    assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in
+            sorted(by_doc[2], key=lambda r: r.chunk_idx)] == [(0, 0, 1)]
+    # doc 1: step=2, starts 0,2,4,6,8 — last chunk short (2 tokens)
+    got = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in got] == [
+        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4), (4, 8, 2)
+    ]
+    # every token covered: union of [start, start+n) == [0, 10)
+    covered = set()
+    for r in got:
+        covered |= set(range(r.start_tok, r.start_tok + r.n_tokens))
+    assert covered == set(range(10))
+    # manifest hash == md5 of the actual token slice
+    want = hashlib.md5(" ".join(words[2:6]).encode()).hexdigest()
+    assert got[1].chunk_hash == want
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)

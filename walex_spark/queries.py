@@ -8581,6 +8581,42 @@ def q_doc_pii_redact(spark, sf_dir):
     )
 
 
+@_register(
+    "q_doc_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    ch AS (
+      SELECT doc_id, i,
+             t[(i*48 + 1):(i*48 + 64)] AS chunk
+      FROM toks,
+           UNNEST(generate_series(0,
+             CAST(floor((len(t) - 1) / 48) AS BIGINT))) AS u(i)
+      WHERE len(t) > 0)
+    SELECT doc_id AS id, i AS chunk_idx, i*48 AS start_tok,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM ch
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token chunks (extensions/packing.py::
+    chunk_documents, size 64 / overlap 16 -> step 48) — the RAG /
+    long-doc-embedding layout manifest. ZERO shuffles: tokenize +
+    per-row sequence explode + slice + md5, one codegen'd projection;
+    output rows proportional to total tokens / step; the chunk's exact
+    token content is value-checked through its md5 without shipping
+    text."""
+    from walex_spark.extensions.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=64, overlap=16
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -8655,16 +8691,20 @@ def q_doc_pii_redact(spark, sf_dir):
 #            pre-empts already retired 8 of r06's 50-query window;
 #            what remains fits exactly: 1 + 4 + 45 = 50).
 DRIVER_ORDER = [
-    # (a) zero-history queries (r10-new PII family), head of the window:
-    "q_doc_pii_scan", "q_doc_pii_redact",
+    # (a) zero-history queries (r10-new PII family + chunk layout),
+    # head of the window:
+    "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_chunks",
     # (b) fixture changed this round — existing witness void:
     "q_cdc_unwatched_filters",
-    # (c) the two plans REWRITTEN this round (the drift one-scan
-    # rework). q_doc_drift_incr / q_doc_prefix_incr gave their slots
-    # to the PII pair: both hold r09 hard rows, their r10 changes are
-    # replay/legacy-corner-only, covered by new unit tests plus this
-    # session's oracle-compare runs:
-    "q_doc_source_psi", "q_doc_source_ks",
+    # (c) one representative of the drift one-scan rework (psi and ks
+    # share the identical persisted-histogram design; ks holds an r09
+    # hard row and was oracle-compared twice this session).
+    # q_doc_drift_incr / q_doc_prefix_incr / q_doc_source_ks gave
+    # their slots to the three r10-new zero-history queries: all hold
+    # r09 hard rows, their r10 changes are replay/legacy-corner-only
+    # or design-shared, covered by new unit tests plus this session's
+    # oracle-compare runs:
+    "q_doc_source_psi",
     # (c) the complete 45-query r06-stale cohort — after r10's files
     # land, no registry query's last hard row is older than r07:
     "q_bloom_semi_join", "q_cdc_incremental_agg",
