@@ -8581,6 +8581,69 @@ def q_doc_pii_redact(spark, sf_dir):
     )
 
 
+def _pii_incr_oracle() -> str:
+    from walex_spark.extensions.pii import PII_PATTERNS
+
+    per_class = " UNION ALL ".join(
+        f"""SELECT ep, '{name}' AS pii_class,
+             CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+               AS hits,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM deco GROUP BY ep"""
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH base AS ({_PII_DECOR_SQL}),
+    deco AS (SELECT doc_id % 3 AS ep, text FROM base),
+    cls AS ({per_class}),
+    eps AS (SELECT DISTINCT ep AS e FROM cls WHERE ep > 0),
+    epoch_side AS (
+      SELECT ep AS e, pii_class, hits AS epoch_hits, n_docs AS epoch_docs
+      FROM cls),
+    base_side AS (
+      SELECT eps.e AS e, c.pii_class,
+             CAST(SUM(c.hits) AS BIGINT) AS base_hits,
+             CAST(SUM(c.n_docs) AS BIGINT) AS base_docs
+      FROM eps JOIN cls c ON c.ep < eps.e
+      GROUP BY eps.e, c.pii_class)
+    SELECT b.e AS epoch, b.pii_class, epoch_hits, epoch_docs,
+           base_hits, base_docs,
+           (epoch_hits * base_docs - base_hits * epoch_docs) AS delta_num,
+           CAST(epoch_hits * base_docs - base_hits * epoch_docs AS DOUBLE)
+             / (CAST(epoch_docs AS DOUBLE) * CAST(base_docs AS DOUBLE))
+             AS rate_delta
+    FROM base_side b
+    JOIN epoch_side s ON s.e = b.e AND s.pii_class = b.pii_class
+    """
+
+
+@_register("q_doc_pii_incr", _pii_incr_oracle())
+def q_doc_pii_incr(spark, sf_dir):
+    """INCREMENTAL PII-rate monitor (streaming/pii_incr.py::
+    IncrementalPIIMonitor — the foreachBatch twin of q_doc_pii_scan,
+    the leakage-spike alarm): 3 micro-batches (doc_id mod 3) of the
+    decorated corpus; each epoch's per-class tallies persist as
+    |classes|-row ep-stamped metadata, and epochs 1 and 2 each emit
+    one row PER CLASS — the exact-integer rate delta
+    hits_e*docs_b - hits_b*docs_e against the accumulated prior
+    epochs. Epoch 0 indexes silently. Per-epoch cost: ONE detector
+    scan of the epoch (single aggregate + stack unpivot); baseline
+    fold, join, and emission are metadata-sized. Replay-safe by value
+    (ep stamp) from day one."""
+    from walex_spark.streaming.pii_incr import IncrementalPIIMonitor
+
+    root = _scratch_dir("pii_incr_")
+    docs = _pii_decorated(spark, sf_dir)
+    mon = IncrementalPIIMonitor(f"{root}/idx")
+    outs = []
+    for e in range(3):
+        out = mon.process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+        path = f"{root}/out-{e}"
+        out.write.mode("overwrite").parquet(path)
+        outs.append(path)
+    return spark.read.parquet(*outs)
+
+
 @_register(
     "q_doc_chunks",
     """
@@ -8691,20 +8754,19 @@ def q_doc_chunks(spark, sf_dir):
 #            pre-empts already retired 8 of r06's 50-query window;
 #            what remains fits exactly: 1 + 4 + 45 = 50).
 DRIVER_ORDER = [
-    # (a) zero-history queries (r10-new PII family + chunk layout),
-    # head of the window:
+    # (a) zero-history queries (r10-new PII family + chunk layout +
+    # PII-rate incremental twin), head of the window:
     "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_chunks",
+    "q_doc_pii_incr",
     # (b) fixture changed this round — existing witness void:
     "q_cdc_unwatched_filters",
-    # (c) one representative of the drift one-scan rework (psi and ks
-    # share the identical persisted-histogram design; ks holds an r09
-    # hard row and was oracle-compared twice this session).
-    # q_doc_drift_incr / q_doc_prefix_incr / q_doc_source_ks gave
-    # their slots to the three r10-new zero-history queries: all hold
-    # r09 hard rows, their r10 changes are replay/legacy-corner-only
-    # or design-shared, covered by new unit tests plus this session's
-    # oracle-compare runs:
-    "q_doc_source_psi",
+    # The four r10-touched queries (source_psi/source_ks one-scan
+    # rework, drift_incr ep-stamped baseline, prefix_incr legacy-ep
+    # coalesce) all yielded their slots to the four r10-new
+    # zero-history queries: each holds an r09 hard row, and each was
+    # oracle-compared at sf0.01 in-session after its change (psi/ks
+    # additionally 10x-measured); the new unit tests pin the
+    # replay/legacy corners the driver gate cannot see anyway.
     # (c) the complete 45-query r06-stale cohort — after r10's files
     # land, no registry query's last hard row is older than r07:
     "q_bloom_semi_join", "q_cdc_incremental_agg",
