@@ -87,16 +87,19 @@ def test_pack_sequences_drops_empty_and_validates(spark):
         pack_sequences(df, "n", seq_len=0)
 
 
-def test_chunk_documents_contract(spark):
-    """Chunk layout (packing.chunk_documents): full coverage with
-    overlap, short-doc single chunk, empty-doc zero rows, trailing
-    short chunk, and the manifest hash matching a hand-built slice."""
+def test_chunk_manifest_contract(spark):
+    """Chunk-layout manifest (chunking.chunk_manifest — identical
+    window math to chunk_documents): full coverage with overlap,
+    short-doc single chunk, empty-doc zero rows, no redundant tail
+    window, and the manifest hash matching a hand-built slice."""
     import hashlib
 
     import pytest
-    from pyspark.sql import functions as F
 
-    from walex_spark.extensions.packing import chunk_documents
+    from walex_spark.extensions.chunking import (
+        chunk_documents,
+        chunk_manifest,
+    )
 
     words = [f"w{i}" for i in range(10)]
     df = spark.createDataFrame(
@@ -107,17 +110,18 @@ def test_chunk_documents_contract(spark):
         ],
         ["doc_id", "text"],
     )
-    out = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    out = chunk_manifest(df, chunk_tokens=4, overlap=2).collect()
     by_doc = {}
     for r in out:
-        by_doc.setdefault(r.id, []).append(r)
+        by_doc.setdefault(r.doc_id, []).append(r)
     assert 3 not in by_doc
     assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in
             sorted(by_doc[2], key=lambda r: r.chunk_idx)] == [(0, 0, 1)]
-    # doc 1: step=2, starts 0,2,4,6,8 — last chunk short (2 tokens)
+    # doc 1: stride=2, ceil((10-2)/2)=4 windows — starts 0,2,4,6; the
+    # last full window reaches token 10, so NO redundant tail chunk
     got = sorted(by_doc[1], key=lambda r: r.chunk_idx)
     assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in got] == [
-        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4), (4, 8, 2)
+        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)
     ]
     # every token covered: union of [start, start+n) == [0, 10)
     covered = set()
@@ -127,5 +131,10 @@ def test_chunk_documents_contract(spark):
     # manifest hash == md5 of the actual token slice
     want = hashlib.md5(" ".join(words[2:6]).encode()).hexdigest()
     assert got[1].chunk_hash == want
+    # manifest rows mirror chunk_documents' windows one-for-one
+    docs_rows = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    assert sorted((r.doc_id, r.chunk_idx) for r in docs_rows) == sorted(
+        (r.doc_id, r.chunk_idx) for r in out
+    )
     with pytest.raises(ValueError):
-        chunk_documents(df, chunk_size=4, overlap=4)
+        chunk_manifest(df, chunk_tokens=4, overlap=4)

@@ -29,7 +29,13 @@ from pyspark.sql import types as T
 
 from walex_spark.extensions.text import _tokens
 
-__all__ = ["chunk_documents", "term_scores", "hash_embed", "hash_embed_dense"]
+__all__ = [
+    "chunk_documents",
+    "chunk_manifest",
+    "term_scores",
+    "hash_embed",
+    "hash_embed_dense",
+]
 
 
 def chunk_documents(
@@ -85,6 +91,64 @@ def chunk_documents(
                 F.lit(chunk_tokens),
                 F.size(F.col("__toks")) - F.col("chunk_idx") * stride,
             ).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def chunk_manifest(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``chunk_documents``'s MANIFEST twin: identical window math
+    (stride = chunk_tokens − overlap, ceil((n − overlap)/stride)
+    windows, trailing window short, empty docs emit nothing) but the
+    output carries (id_col, chunk_idx, start_tok, n_tokens,
+    chunk_hash) instead of the chunk text — the shape a 100 TB
+    pipeline actually ships between stages: a downstream embedder or
+    packer joins tokens back by (id, start_tok), and chunk_hash (md5
+    of the space-joined window) lets an oracle value-check the EXACT
+    token content of every chunk without the text ever crossing an
+    exchange or landing in a result set.
+
+    Same scale shape as chunk_documents: in-partition explode, zero
+    shuffles, no UDF.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"chunk_manifest: overlap {overlap} must be < chunk_tokens {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(stride)).cast(
+            T.IntegerType()
+        ),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return (
+        df.select(
+            F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast(T.LongType()).alias("chunk_idx"),
+            (F.col("chunk_idx").cast(T.LongType()) * stride).alias(
+                "start_tok"
+            ),
+            F.size(chunk).cast(T.LongType()).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
         )
     )
 

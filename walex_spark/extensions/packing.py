@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from walex_spark.operators.ordering import prefix_sums, shuffle_key
 
-__all__ = ["pack_sequences", "chunk_documents"]
+__all__ = ["pack_sequences"]
 
 
 def pack_sequences(
@@ -125,59 +125,6 @@ def curriculum_order(
     )
 
 
-def chunk_documents(
-    df: DataFrame,
-    chunk_size: int = 64,
-    overlap: int = 16,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Fixed-size overlapping token chunks per document — the
-    retrieval-side complement to ``pack_sequences`` (RAG indexing,
-    long-doc embedding, sliding-window eval all consume this layout).
-    Chunk i covers tokens [i*step, i*step + chunk_size) with
-    step = chunk_size - overlap; the LAST chunk starts at the largest
-    multiple of step below n_tokens, so every token is covered and
-    trailing chunks may be short (the standard LangChain/LlamaIndex
-    splitter contract, restated in integer arithmetic).
-
-    Returns (id, chunk_idx, start_tok, n_tokens, chunk_hash) — the
-    manifest, not the text: like pack_sequences, the downstream
-    consumer joins text/embeddings by (id, start_tok); chunk_hash
-    (md5 of the space-joined chunk) lets an oracle value-check the
-    exact token content without shipping it.
-
-    Scale shape: ZERO shuffles — tokenize, per-row sequence explode
-    (1 + (n-1)/step rows per doc, proportional to output), slice +
-    hash, all whole-stage-codegen'd builtins. Empty documents emit no
-    rows (guarded: Spark's sequence(0, -1) would otherwise generate a
-    DESCENDING range).
-    """
-    if not (0 <= overlap < chunk_size):
-        raise ValueError("need 0 <= overlap < chunk_size")
-    step = chunk_size - overlap
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
-    )
-    n = F.size(toks)
-    base = df.select(
-        F.col(id_col).alias("id"), toks.alias("toks"), n.alias("n")
-    ).filter(F.col("n") > 0)
-    exploded = base.select(
-        "id",
-        "toks",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.floor((F.col("n") - 1) / F.lit(step)).cast(T.IntegerType()),
-            )
-        ).alias("i"),
-    )
-    chunk = F.slice(F.col("toks"), F.col("i") * step + 1, chunk_size)
-    return exploded.select(
-        "id",
-        F.col("i").cast(T.LongType()).alias("chunk_idx"),
-        (F.col("i").cast(T.LongType()) * step).alias("start_tok"),
-        F.size(chunk).cast(T.LongType()).alias("n_tokens"),
-        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
-    )
+# chunk layout lives in extensions/chunking.py (chunk_documents emits
+# the text windows; chunk_manifest the hash manifest) — packing stays
+# the training-sequence side of the layout family.

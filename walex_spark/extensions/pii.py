@@ -35,6 +35,16 @@ are gone before the bare-digit pattern looks).
 Reference anchor: the walex reference has no PII surface (it is a CDC
 router); this family is part of the mandated LLM-pipeline extension
 set alongside dedup/quality/langid (SURVEY §2 rows 38+).
+
+Relationship to ``extensions/text.py::redact_pii`` (the r07 per-doc
+scrub): that operator emits per-document redacted text with counts for
+its 3-class recall-first pattern set (it shares this module's url and
+email patterns verbatim, but keeps a deliberately BROADER phone
+pattern — at the scrub stage recall beats precision). THIS module is
+the 6-class precision-first detection/monitoring surface: per-source
+scan aggregates, completeness-hashed redaction, and the incremental
+rate monitor (streaming/pii_incr.py), where loose matches would drown
+the rate-delta alarms.
 """
 
 from __future__ import annotations

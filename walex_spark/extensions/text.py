@@ -201,9 +201,23 @@ def repetition_stats(
 
 # Shared Java-regex / RE2 subset (no lookaround, no backrefs) so the
 # exact same pattern strings run in Spark and in the DuckDB oracle.
+# url/email are single-sourced from extensions/pii.py (the 6-class
+# detection/monitoring family and its incremental twin); the phone
+# pattern here is DELIBERATELY broader (any 8+-char digit run with
+# (), -, spaces — the scrub-stage posture where recall beats
+# precision) than pii.py's strict 3-3-4 monitoring pattern, whose
+# rate-delta alarms would drown in loose-match noise.
+
+
+def _shared_pii(name: str) -> str:
+    from walex_spark.extensions.pii import PII_PATTERNS as _P6
+
+    return next(pat for n, pat, _ in _P6 if n == name)
+
+
 PII_PATTERNS: dict[str, str] = {
-    "url": r"https?://[^\s]+",
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": _shared_pii("url"),
+    "email": _shared_pii("email"),
     "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
 }
 PII_ORDER = ("url", "email", "phone")  # urls first: they may embed emails

@@ -8645,38 +8645,38 @@ def q_doc_pii_incr(spark, sf_dir):
 
 
 @_register(
-    "q_doc_chunks",
+    "q_doc_chunk_manifest",
     """
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
                          x -> x <> '') AS t
       FROM documents),
+    c AS (
+      SELECT doc_id, t, len(t) AS n,
+             GREATEST(1, CAST(ceil((len(t) - 16) / 48.0) AS INT)) AS n_chunks
+      FROM toks WHERE len(t) > 0),
     ch AS (
-      SELECT doc_id, i,
-             t[(i*48 + 1):(i*48 + 64)] AS chunk
-      FROM toks,
-           UNNEST(generate_series(0,
-             CAST(floor((len(t) - 1) / 48) AS BIGINT))) AS u(i)
-      WHERE len(t) > 0)
-    SELECT doc_id AS id, i AS chunk_idx, i*48 AS start_tok,
+      SELECT doc_id, i, t[(i*48 + 1):(i*48 + 64)] AS chunk
+      FROM c, unnest(generate_series(0, n_chunks - 1)) u(i))
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i*48 AS BIGINT) AS start_tok,
            CAST(len(chunk) AS BIGINT) AS n_tokens,
            md5(array_to_string(chunk, ' ')) AS chunk_hash
     FROM ch
     """,
 )
-def q_doc_chunks(spark, sf_dir):
-    """Overlapping token chunks (extensions/packing.py::
-    chunk_documents, size 64 / overlap 16 -> step 48) — the RAG /
-    long-doc-embedding layout manifest. ZERO shuffles: tokenize +
-    per-row sequence explode + slice + md5, one codegen'd projection;
-    output rows proportional to total tokens / step; the chunk's exact
-    token content is value-checked through its md5 without shipping
-    text."""
-    from walex_spark.extensions.packing import chunk_documents
+def q_doc_chunk_manifest(spark, sf_dir):
+    """Chunk-layout MANIFEST (extensions/chunking.py::chunk_manifest
+    — q_doc_chunks' hash-manifest twin, identical window math): the
+    (doc_id, chunk_idx, start_tok, n_tokens, chunk_hash) rows a 100 TB
+    pipeline ships between stages instead of chunk text. ZERO
+    shuffles; the exact token content of EVERY chunk is value-checked
+    through its md5 without text crossing an exchange."""
+    from walex_spark.extensions.chunking import chunk_manifest
 
-    return chunk_documents(
-        _t(spark, sf_dir, "documents"), chunk_size=64, overlap=16
+    return chunk_manifest(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
 
 
@@ -8756,7 +8756,7 @@ def q_doc_chunks(spark, sf_dir):
 DRIVER_ORDER = [
     # (a) zero-history queries (r10-new PII family + chunk layout +
     # PII-rate incremental twin), head of the window:
-    "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_chunks",
+    "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_chunk_manifest",
     "q_doc_pii_incr",
     # (b) fixture changed this round — existing witness void:
     "q_cdc_unwatched_filters",
