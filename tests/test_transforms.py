@@ -250,3 +250,38 @@ def test_resolve_unchanged_toast(spark):
     assert got[30] == "big-blob-v2"
     assert got[40] == "big-blob-v2"   # carried forward from the rewrite
     assert got[50] is None            # no prior value to carry
+
+
+def test_map_changes_old_keys_only(spark):
+    """Reference key-set semantics (transaction_filter.ex:210): the
+    diff iterates Map.keys(old_record) — a field only the NEW record
+    carries is never reported. Under REPLICA IDENTITY DEFAULT an
+    UPDATE's old_record is key-only, so the diff must cover the key
+    columns alone, not claim every non-key field changed from NULL;
+    an old-only key diffs against NULL (reference Map.get -> nil)."""
+    rows = [
+        # RID-DEFAULT shape: old has only the key; age/status new-only
+        ("UPDATE", "public", "user", None,
+         {"id": "1", "age": "31", "status": "on"}, {"id": "1"},
+         None, TS, 0, 300, 720, 0),
+        # old-only key (dropped column mid-stream): diffs vs NULL
+        ("UPDATE", "public", "user", None,
+         {"id": "2"}, {"id": "2", "legacy": "x"},
+         None, TS, 0, 310, 721, 0),
+        # same keys, one real change
+        ("UPDATE", "public", "user", None,
+         {"id": "3", "age": "40"}, {"id": "3", "age": "39"},
+         None, TS, 0, 320, 722, 0),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_ENVELOPE_SCHEMA)
+    out = {
+        r.old_record["id"]: r.ch
+        for r in df.select(
+            "old_record", X.map_changes().alias("ch")
+        ).collect()
+    }
+    assert out["1"] == {}  # key unchanged; new-only fields NOT diffed
+    assert set(out["2"].keys()) == {"legacy"}
+    assert out["2"]["legacy"].old_value == "x"
+    assert out["2"]["legacy"].new_value is None
+    assert set(out["3"].keys()) == {"age"}

@@ -163,20 +163,56 @@ def map_changes(
     """Per-field diff map: {field: struct(old_value, new_value)} for every
     field where old IS DISTINCT FROM new (transaction_filter.ex:209-222).
 
-    Generic over map<string,string> records — `map_zip_with` pairs the
-    two maps by key, `map_filter` keeps genuinely-changed fields.
-    Null-safe: uses <=> so NULL→value and value→NULL count as changes,
-    like the reference's `old != new` on missing keys.
+    Key-set semantics follow the reference EXACTLY: ``map_changes``
+    iterates ``Map.keys(old_record)`` (transaction_filter.ex:210), so
+    only fields PRESENT IN THE OLD RECORD can appear in the diff — a
+    field carried only by the new record is never reported. This is
+    load-bearing under REPLICA IDENTITY DEFAULT, where an UPDATE's
+    old_record holds ONLY key columns: the reference reports changes
+    for those keys alone (usually none), not "every non-key field
+    changed from NULL". `map_zip_with` pairs the key UNION, so the
+    filter keeps a pair only when the key exists in old
+    (`map_contains_key`) AND old IS DISTINCT FROM new (`<=>` — an
+    old key missing from new diffs against NULL, which the reference's
+    `Map.get(new, field) == nil` matches).
+
+    IMPLEMENTATION NOTE — no outer column references inside lambdas:
+    a named column referenced INSIDE a higher-order-function lambda
+    resolves lazily, against the scope where the whole expression
+    finally lands; in event_projection's select a sibling
+    ``.alias("old_record")`` (NULL for updates) would shadow it and
+    silently empty every diff. Presence-in-old is therefore encoded by
+    wrapping old's VALUES in a non-null sentinel struct BEFORE the zip
+    (transform_values runs eagerly on old_c as a direct argument):
+    after ``map_zip_with``, the wrapped side is NULL exactly when the
+    key was absent from old — unambiguous even for present-but-NULL
+    cells — and every lambda below touches only its own arguments.
     """
     old_c = F.col(old_col) if isinstance(old_col, str) else old_col
     new_c = F.col(new_col) if isinstance(new_col, str) else new_col
-    zipped = F.map_zip_with(
-        old_c,
-        new_c,
-        lambda _k, o, n: F.struct(o.alias("old_value"), n.alias("new_value")),
+    wrapped_old = F.transform_values(
+        old_c, lambda _k, v: F.struct(v.alias("val"))
     )
-    return F.map_filter(
-        zipped, lambda _k, v: ~v.getField("old_value").eqNullSafe(v.getField("new_value"))
+    zipped = F.map_zip_with(
+        wrapped_old,
+        new_c,
+        lambda _k, ow, n: F.struct(
+            ow.isNotNull().alias("in_old"),
+            ow.getField("val").alias("old_value"),
+            n.alias("new_value"),
+        ),
+    )
+    filtered = F.map_filter(
+        zipped,
+        lambda _k, v: v.getField("in_old")
+        & ~v.getField("old_value").eqNullSafe(v.getField("new_value")),
+    )
+    return F.transform_values(
+        filtered,
+        lambda _k, v: F.struct(
+            v.getField("old_value").alias("old_value"),
+            v.getField("new_value").alias("new_value"),
+        ),
     )
 
 
