@@ -50,8 +50,27 @@ from pyspark.sql import types as T
 from walex_spark.streaming.dedup_incr import (
     _compact_root,
     _epoch_dirs,
+    _manifest_upto,
     _write_epoch,
 )
+
+
+def _had_baseline(
+    mon, spark: SparkSession, hist_root: str, epoch_id: int
+) -> bool:
+    """Does the index hold rows from any OTHER epoch? When no compacted
+    dir exists every epoch still lives in its own e-dir, so the free
+    basename test is exact and costs no Spark job; once a c-dir exists
+    a replayed epoch's rows may hide inside it, and only the ep-stamped
+    value-level read (metadata-sized) answers correctly."""
+    dirs = _epoch_dirs(hist_root)
+    if not dirs:
+        return False
+    if _manifest_upto(hist_root) < 0:
+        return any(
+            os.path.basename(d) != f"e-{epoch_id}" for d in dirs
+        )
+    return mon.baseline(spark, exclude_epoch=epoch_id).limit(1).count() > 0
 
 
 class IncrementalDriftMonitor:
@@ -149,11 +168,8 @@ class IncrementalDriftMonitor:
             self.compact_every + 1
         ):
             self.compact(spark)
-        # value-level check: rows stamped with another epoch exist? A
-        # basename test would miss a replayed epoch already folded into
-        # the compacted dir. Metadata-sized read (n_buckets x epochs).
-        had_baseline = (
-            self.baseline(spark, exclude_epoch=epoch_id).limit(1).count() > 0
+        had_baseline = _had_baseline(
+            self, spark, self._hist_root(), epoch_id
         )
         _write_epoch(
             self._epoch_hist(batch_df, epoch_id), self._hist_root(), epoch_id

@@ -155,8 +155,10 @@ class IncrementalPIIMonitor:
             self.compact_every + 1
         ):
             self.compact(spark)
-        had_baseline = (
-            self.baseline(spark, exclude_epoch=epoch_id).limit(1).count() > 0
+        from walex_spark.streaming.drift_incr import _had_baseline
+
+        had_baseline = _had_baseline(
+            self, spark, self._hist_root(), epoch_id
         )
         # the 6-row detector fold of a potentially large epoch: compute
         # ONCE into the index write, then emit from the written rows
