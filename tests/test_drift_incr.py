@@ -122,3 +122,61 @@ def test_legacy_index_rows_without_ep_stay_baseline(spark, tmp_path):
         for r in mon.baseline(spark, exclude_epoch=1).collect()
     }
     assert base == {0: 3, 2: 1}
+
+
+def test_drift_monitor_foreachbatch_stream_e2e(spark, tmp_path):
+    """REAL Structured Streaming wiring for the drift monitor (the
+    dedup twins' e2e shape): 3 drops -> maxFilesPerTrigger=1 ->
+    foreachBatch(mon.process_batch); streamed emissions equal direct
+    per-epoch calls."""
+    import glob
+    import os
+    import shutil
+
+    batches = [
+        [(i, 5 * (i % 4)) for i in range(1, 9)],
+        [(i, 7 * (i % 3)) for i in range(9, 15)],
+        [(i, 11 * (i % 5)) for i in range(15, 23)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e, b in enumerate(batches):
+        staged = str(tmp_path / f"stage{e}")
+        _docs(spark, b).coalesce(1).write.parquet(staged)
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{e}.parquet")
+
+    mon = IncrementalDriftMonitor(str(tmp_path / "sidx"))
+    out_root = str(tmp_path / "out")
+
+    def sink(batch_df, epoch_id):
+        mon.process_batch(batch_df, epoch_id).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/e-{epoch_id}")
+
+    schema = _docs(spark, batches[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = sorted(
+        spark.read.parquet(f"{out_root}/e-*").collect(),
+        key=lambda r: r.epoch,
+    )
+    direct = IncrementalDriftMonitor(str(tmp_path / "didx"))
+    rows = []
+    for e, b in enumerate(batches):
+        rows += direct.process_batch(_docs(spark, b), e).collect()
+    assert streamed == sorted(rows, key=lambda r: r.epoch)
+    assert len(streamed) == 2

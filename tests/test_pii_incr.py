@@ -91,3 +91,54 @@ def test_compaction_preserves_emissions(spark, tmp_path):
         outs_a += sorted(a.process_batch(_docs(spark, batch), e).collect(), key=key)
         outs_b += sorted(b.process_batch(_docs(spark, batch), e).collect(), key=key)
     assert outs_a == outs_b and len(outs_a) == 12
+
+
+def test_pii_monitor_foreachbatch_stream_e2e(spark, tmp_path):
+    """REAL Structured Streaming wiring (the dedup twins' e2e shape):
+    3 parquet drops -> maxFilesPerTrigger=1 -> one microbatch per drop
+    -> writeStream.foreachBatch(mon.process_batch). The union of
+    emissions must equal driving the same epochs by direct calls."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = (E0, E1, E2)
+    for e, b in enumerate(batches):
+        staged = str(tmp_path / f"stage{e}")
+        _docs(spark, b).coalesce(1).write.parquet(staged)
+        part = glob.glob(f"{staged}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/drop{e}.parquet")
+
+    mon = IncrementalPIIMonitor(str(tmp_path / "sidx"))
+    out_root = str(tmp_path / "out")
+
+    def sink(batch_df, epoch_id):
+        mon.process_batch(batch_df, epoch_id).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/e-{epoch_id}")
+
+    schema = _docs(spark, E0).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = lambda r: (r.epoch, r.pii_class)
+    streamed = sorted(spark.read.parquet(f"{out_root}/e-*").collect(), key=key)
+    direct = IncrementalPIIMonitor(str(tmp_path / "didx"))
+    rows = []
+    for e, b in enumerate(batches):
+        rows += direct.process_batch(_docs(spark, b), e).collect()
+    assert streamed == sorted(rows, key=key) and len(streamed) == 12
