@@ -55,22 +55,26 @@ def test_oracle_runs_in_driver_duckdb(driver_duck, name):
 
 
 def test_driver_window_rotation():
-    """r09 window pin: the driver's hard gate reads only the first 50
-    queries() entries. This round the window leads with
-    q_doc_token_ids — the one query with no hard driver row in ANY
-    round (its r08 red was the driver canonicalizer, not Spark) —
-    then the complete 41-query r05-stale cohort (stale-mandatory
-    under test_driver_window.py's >=4 rule the moment r09's files
-    land), then 8 r06 pre-empts banking slack for r10's
-    exactly-window-sized r06 cohort. The ordering must apply ONLY at
-    the __spark_entry__ surface — the registry itself keeps natural
-    declaration order for bench/profiler consumers."""
+    """r10 window pin: the driver's hard gate reads only the first 50
+    queries() entries. This round the four r10-new zero-history
+    queries (the PII family + chunk manifest) head the window,
+    followed by q_cdc_unwatched_filters (its fixture gained the
+    missing-key/NULL edges, voiding the r05 witness) and the complete
+    45-query r06-stale cohort (stale-mandatory under
+    test_driver_window.py's >=4 rule the moment r10's files land).
+    The ordering must apply ONLY at the __spark_entry__ surface — the
+    registry itself keeps natural declaration order for
+    bench/profiler consumers."""
     from walex_spark.queries import DRIVER_ORDER, QUERIES
 
     window = list(entrymod.queries())[:50]
     assert window[: len(DRIVER_ORDER)] == DRIVER_ORDER
-    # the zero-hard-history query heads the window, non-negotiable
-    assert window[0] == "q_doc_token_ids"
+    # zero-hard-history queries head the window, non-negotiable
+    assert window[:4] == [
+        "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_chunk_manifest",
+        "q_doc_pii_incr",
+    ]
+    assert window[4] == "q_cdc_unwatched_filters"
     # registry keeps natural declaration order (no import-time mutation)
     assert list(QUERIES)[:2] == ["q01_pricing_summary", "q02_top_revenue_orders"]
     # oracle ordering mirrors query ordering for the shared keys

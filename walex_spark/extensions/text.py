@@ -1043,7 +1043,7 @@ def source_drift_psi(
     slice_counts = (
         per.groupBy(group_col, "bucket")
         .agg(F.count(F.lit(1)).cast(T.LongType()).alias("a"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # every coarser count folds from the cached histogram — exact
     # integer sums of exact integer counts, so the values (and the
@@ -1151,8 +1151,10 @@ def source_drift_ks(
     totals / corpus total fold FROM it (without the persist, Catalyst's
     lack of cross-consumer subtree reuse re-runs the corpus scan — and
     the tokenize projection, the real cost at 100 TB — once per
-    consumer). persist() rather than localCheckpoint keeps lineage, so
-    an executor loss recomputes one scan instead of failing the job.
+    consumer). localCheckpoint(eager=False) rather than persist() —
+    persist's CacheManager plan-equality substitution makes repeated
+    constructions analyze to different plans (cache-state-dependent
+    exchange counts); see source_drift_psi's note.
     The grid is |values| × |slices| rows built from two bounded
     broadcasts (the ``source_drift_psi`` grid), one window partitioned
     by slice computes BOTH cumulative counts (the grid is
@@ -1167,7 +1169,7 @@ def source_drift_ks(
     slice_counts = (
         per.groupBy(group_col, "v")
         .agg(F.count(F.lit(1)).cast(T.LongType()).alias("a"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # metadata-sized folds of the cached histogram — exact integer
     # sums, value-hash identical to the 4-pass shape
