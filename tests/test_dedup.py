@@ -343,3 +343,42 @@ def test_snm_rejects_bad_window(spark):
 
     with _pt.raises(ValueError, match="window"):
         dedup.sorted_neighborhood_pairs(df, "key", "rid", window=0)
+
+
+def test_exact_substr_decontam_asymmetric(spark):
+    """Cross-corpus span decontamination (decontam.py::
+    exact_substr_decontam): only TRAIN windows found in the BENCHMARK
+    are cut — train-internal duplicates survive (that's despan's job),
+    benchmark-verbatim spans are removed, clean docs pass through,
+    and a fully-contaminated doc becomes ''."""
+    from walex_spark.extensions.decontam import exact_substr_decontam
+
+    secret = "S" * 45  # one 45-char benchmark passage
+    filler = "f" * 50
+    train = spark.createDataFrame(
+        [
+            (1, filler + secret + "x" * 50),      # contaminated middle
+            (2, "clean " + "y" * 60),             # untouched
+            (3, secret),                          # fully contaminated
+            # train-internal duplicate pair - NOT in benchmark:
+            (4, "dup" + "z" * 60),
+            (5, "dup" + "z" * 60),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "intro " + secret + " outro")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in exact_substr_decontam(train, bench, win_len=40).collect()
+    }
+    assert len(out) == 5
+    assert out[2].n_removed == 0 and out[2].clean_text.startswith("clean")
+    assert out[3].clean_text == "" and out[3].n_removed == len(secret)
+    # the contaminated middle is excised; flanks survive
+    assert out[1].n_removed >= len(secret)
+    assert "S" not in out[1].clean_text
+    assert out[1].clean_text.startswith("f") and out[1].clean_text.endswith("x")
+    # train-internal dup pair untouched (asymmetry vs despan)
+    assert out[4].n_removed == 0 and out[5].n_removed == 0

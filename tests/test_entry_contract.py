@@ -70,11 +70,10 @@ def test_driver_window_rotation():
     window = list(entrymod.queries())[:50]
     assert window[: len(DRIVER_ORDER)] == DRIVER_ORDER
     # zero-hard-history queries head the window, non-negotiable
-    assert window[:4] == [
+    assert window[:5] == [
         "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_chunk_manifest",
-        "q_doc_pii_incr",
+        "q_doc_pii_incr", "q_doc_decontam_spans",
     ]
-    assert window[4] == "q_cdc_unwatched_filters"
     # registry keeps natural declaration order (no import-time mutation)
     assert list(QUERIES)[:2] == ["q01_pricing_summary", "q02_top_revenue_orders"]
     # oracle ordering mirrors query ordering for the shared keys

@@ -251,3 +251,53 @@ def source_overlap_matrix(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def exact_substr_decontam(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    win_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Verbatim-overlap decontamination at SPAN granularity — the
+    cross-corpus variant of ExactSubstr (Lee et al. 2021 §4 applied
+    the way GPT-3's appendix and the FLAN/PaLM cards describe
+    benchmark decontamination): every ``win_len``-char window of a
+    TRAIN document that appears ANYWHERE in the benchmark corpus
+    marks its characters; marked windows merge into maximal spans;
+    spans are cut and the kept segments stitched. Unlike the n-gram
+    PROBE (ngram_contamination — detection only) this REWRITES the
+    training text, and unlike within-corpus despan the index side is
+    the benchmark: small, bounded, and the only thing that needs a
+    distinct-hash shuffle.
+
+    Returns every train document as (id_col, clean_text, n_removed)
+    — remove_duplicate_spans' contract (untouched docs pass through,
+    a fully-contaminated doc becomes '', not NULL).
+
+    Scale shape: the benchmark side folds to DISTINCT window hashes
+    (benchmark-sized — at 100 TB train vs GB-scale benchmarks this is
+    broadcast-able metadata; the left-semi join lets AQE pick the
+    broadcast), the train side is the one honest per-character
+    window-hash pass (shuffle-before-fan-out + checkpoint, shared
+    `_char_windows`), and the merge/stitch runs on narrow span rows
+    (dedup.py::_merge_marked_spans / _remove_spans).
+    """
+    from walex_spark.extensions.dedup import (
+        _char_windows,
+        _merge_marked_spans,
+        _remove_spans,
+    )
+
+    if win_len < 2:
+        raise ValueError("win_len must be >= 2")
+    bench_h = _char_windows(
+        bench_df, win_len, text_col, id_col
+    ).select("h").distinct()
+    train_wins = _char_windows(train_df, win_len, text_col, id_col)
+    marked = train_wins.join(bench_h, "h", "left_semi")
+    spans = _merge_marked_spans(marked, win_len, id_col).localCheckpoint(
+        eager=False
+    )
+    return _remove_spans(train_df, spans, text_col, id_col)

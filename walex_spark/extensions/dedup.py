@@ -611,6 +611,70 @@ def mutual_triangles(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _char_windows(
+    df: DataFrame, win_len: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, h): every win_len-char window's md5, hash-partitioned
+    by doc BEFORE the per-character explode (shuffle-before-fan-out)
+    and checkpointed — the windows feed both an aggregate and a
+    semi-join probe, and without the checkpoint the explode+md5 (the
+    dominant stage) executes once per consumer."""
+    text = F.col(text_col)
+    return (
+        partition_by_doc(df, id_col)
+        .filter(F.length(text) >= win_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text) - F.lit(win_len - 1))
+            ).alias("pos"),
+            text.alias("__t"),
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            F.md5(F.col("__t").substr(F.col("pos"), F.lit(win_len))).alias(
+                "h"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _merge_marked_spans(
+    marked: DataFrame, win_len: int, id_col: str
+) -> DataFrame:
+    """Gaps-and-islands merge of marked (id, pos) window rows into
+    maximal per-doc spans (1-based inclusive char offsets)."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grouped = (
+        marked.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") > F.col("__prev") + F.lit(win_len)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__grp",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return grouped.groupBy(id_col, "__grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(win_len - 1)).alias("span_end"),
+    ).select(
+        F.col(id_col),
+        F.col("span_start").cast(T.LongType()).alias("span_start"),
+        F.col("span_end").cast(T.LongType()).alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + F.lit(1))
+        .cast(T.LongType())
+        .alias("span_len"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     win_len: int = 40,
@@ -645,27 +709,7 @@ def duplicate_spans(
         raise ValueError("win_len must be >= 2")
     if min_count < 2:
         raise ValueError("min_count must be >= 2")
-    text = F.col(text_col)
-    wins = (
-        partition_by_doc(df, id_col)
-        .filter(F.length(text) >= win_len)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text) - F.lit(win_len - 1))
-            ).alias("pos"),
-            text.alias("__t"),
-        )
-        .select(
-            F.col(id_col),
-            "pos",
-            F.md5(F.col("__t").substr(F.col("pos"), F.lit(win_len))).alias("h"),
-        )
-        # wins feeds the dup-hash aggregate AND the semi-join probe;
-        # without a checkpoint the per-character explode+md5 (the
-        # dominant stage) executes twice
-        .localCheckpoint(eager=False)
-    )
+    wins = _char_windows(df, win_len, text_col, id_col)
     dup_h = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -673,32 +717,7 @@ def duplicate_spans(
         .select("h")
     )
     marked = wins.join(dup_h, "h", "left_semi")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    grouped = (
-        marked.withColumn("__prev", F.lag("pos").over(w))
-        .withColumn(
-            "__brk",
-            F.when(
-                F.col("__prev").isNull()
-                | (F.col("pos") > F.col("__prev") + F.lit(win_len)),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "__grp", F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-    )
-    return grouped.groupBy(id_col, "__grp").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + F.lit(win_len - 1)).alias("span_end"),
-    ).select(
-        F.col(id_col),
-        F.col("span_start").cast(T.LongType()).alias("span_start"),
-        F.col("span_end").cast(T.LongType()).alias("span_end"),
-        (F.col("span_end") - F.col("span_start") + F.lit(1))
-        .cast(T.LongType())
-        .alias("span_len"),
-    )
+    return _merge_marked_spans(marked, win_len, id_col)
 
 
 def minhash_estimate_accuracy(
@@ -1195,6 +1214,16 @@ def remove_duplicate_spans(
     spans = duplicate_spans(df, win_len, min_count, text_col, id_col).localCheckpoint(
         eager=False
     )
+    return _remove_spans(df, spans, text_col, id_col)
+
+
+def _remove_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Cut every span out of its document and stitch the kept segments
+    (the shared tail of remove_duplicate_spans and
+    exact_substr_decontam — see remove_duplicate_spans' scale notes).
+    ``spans`` must already be checkpointed/narrow."""
     w = Window.partitionBy(id_col).orderBy("span_start")
     heads = spans.select(
         F.col(id_col),

