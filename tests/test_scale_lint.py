@@ -33,6 +33,7 @@ import json
 import os
 import re
 
+import duckdb
 import pytest
 from pyspark.sql import types as T
 
@@ -40,6 +41,34 @@ from walex_spark import queries as Q
 from walex_spark.plans import audit
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# --- oracle-dtype lint (codified after r10's two red rows) -----------
+# DuckDB types SUM(BIGINT) as HUGEINT and .df() materializes HUGEINT
+# as float64, so an oracle whose aggregate casts INSIDE instead of
+# OUTSIDE ships 42.0 against Spark's int64 42 and the driver's hash
+# gate reds the row even though every cell value is equal (the
+# q_doc_pii_scan / q_doc_pii_redact root cause, VERDICT r10 #1-#2).
+# DESCRIBE binds the oracle without executing it, so this covers the
+# whole registry at plan cost.
+_ORACLE_FLOATING_TYPES = re.compile(
+    r"^(HUGEINT|UHUGEINT|UBIGINT|DECIMAL\b.*)$", re.IGNORECASE
+)
+
+
+def _duck_describe(sql: str):
+    con = _DUCK
+    return con.execute(f"DESCRIBE {sql}").fetchall()
+
+
+_DUCK = duckdb.connect()
+for _t in (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split():
+    _DUCK.execute(
+        f"CREATE VIEW {_t} AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/{_t}.parquet')"
+    )
 
 with open(os.path.join(os.path.dirname(__file__), "exchange_budgets.json")) as f:
     EXCHANGE_BUDGETS = json.load(f)
@@ -162,6 +191,21 @@ def test_scale_lint(spark, name):
             "sort_values over unhashable cells) — emit array_join(...) "
             "or explode to rows"
         )
+    if name in Q.ORACLES:
+        spark_types = {f.name: f.dataType for f in df.schema.fields}
+        for col, duck_type, *_ in _duck_describe(Q.ORACLES[name]):
+            if not _ORACLE_FLOATING_TYPES.match(duck_type):
+                continue
+            st = spark_types.get(col)
+            assert st is not None and isinstance(
+                st, (T.FloatType, T.DoubleType, T.DecimalType)
+            ), (
+                f"{name}: oracle column {col!r} is DuckDB {duck_type}, "
+                f"which pandas materializes as float64/object, but the "
+                f"Spark column is {st.simpleString() if st else 'missing'} "
+                "— the driver hash will red the row (42.0 vs 42). Cast "
+                "OUTSIDE the aggregate: CAST(SUM(...) AS BIGINT)."
+            )
     r = audit(df)
     tree = r.text.split("\n\n", 1)[0]
     assert "CartesianProduct" not in tree, f"{name}: cartesian product"

@@ -50,11 +50,43 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("Int64")
         elif s.dtype == object:
-            df[c] = s.map(lambda v: str(v) if v is not None and not (isinstance(v, float) and math.isnan(v)) else None)
+            # Spark DateType reaches pandas as object-of-datetime.date
+            # while DuckDB DATE arrives as datetime64 — the driver's
+            # canonicalizer equates them, so fold dates into the
+            # datetime branch BEFORE the dtype-class check (otherwise
+            # the r11 dtype guard would false-positive on every date
+            # column, e.g. q_events_retention's cohort_day).
+            import datetime as _dt
+
+            non_null = s.dropna()
+            if len(non_null) and all(
+                isinstance(v, (_dt.date, _dt.datetime)) for v in non_null
+            ):
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                df[c] = s.map(lambda v: str(v) if v is not None and not (isinstance(v, float) and math.isnan(v)) else None)
     sort_cols = list(df.columns)
     if sort_cols:
         df = df.sort_values(by=sort_cols, na_position="first", kind="mergesort")
     return df.reset_index(drop=True)
+
+
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class after normalize(). The driver's hash
+    canonicalizer distinguishes int 42 from float 42.0, so an Int64
+    Spark column vs a float64 oracle column (e.g. DuckDB HUGEINT from
+    SUM(BIGINT) materializing as float64) MUST be reported even though
+    pandas' == would silently equate the values — the r10 blind spot
+    that let two red driver rows through this replica."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "integer"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
 
 
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
@@ -67,6 +99,13 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        ac, bc = _dtype_class(av), _dtype_class(bv)
+        if ac != bc and len(a) > 0:
+            problems.append(
+                f"col {c}: dtype: spark={ac} ({av.dtype}) vs duck={bc} ({bv.dtype}) "
+                "— driver hash distinguishes these even when values compare equal"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
             an, bn = av.to_numpy(), bv.to_numpy()
             same = (an == bn) | (np.isnan(an) & np.isnan(bn))

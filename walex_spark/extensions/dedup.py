@@ -1451,3 +1451,157 @@ def sorted_neighborhood_pairs(
         )
         .where(F.col("key_jaccard") >= F.lit(min_jaccard))
     )
+
+
+def _doc_segments(
+    df: DataFrame,
+    seg_words: int,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(id, group, seg_id, seg): non-overlapping ``seg_words``-word
+    segments of each document, built entirely from array expressions —
+    split once, slice per segment — so the segmentation itself never
+    shuffles (the posexplode fans out WITHIN the input partitions).
+    The last segment keeps its short tail (ceil division), matching
+    the oracle's (idx-1)/w grouping of the word stream."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(int(seg_words))).cast(T.IntegerType())
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(int(seg_words)) + F.lit(1), int(seg_words)),
+            " ",
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(segs).alias("seg_id", "seg"),
+    )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    seg_words: int = 8,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-document boilerplate detection, the RefinedWeb / CCNet
+    line-level dedup adapted to a corpus without line structure: a
+    segment (``seg_words`` consecutive words, non-overlapping) that
+    appears VERBATIM in >= ``min_docs`` distinct documents of the same
+    source is boilerplate (headers, footers, navigation chrome,
+    licence blurbs — text that repeats across a site rather than
+    within a document). Per-source report:
+
+      (source, n_segments, n_distinct_segments, n_boilerplate_segments,
+       boilerplate_hits, docs_affected)
+
+    Scale shape: segmentation is in-partition (see _doc_segments); the
+    distinct-doc count per (source, segment) is ONE exchange on the
+    (source, md5(seg)) key with map-side partials — the segment STRING
+    never shuffles, only its 128-bit hash; verbatim-equality on md5 is
+    the same collision posture as exact_dedup. The final per-source
+    fold is metadata-sized. No UDF, no driver collect.
+    """
+    per = _doc_segments(df, seg_words, id_col, text_col, group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.md5(F.col("seg")).alias("seg_hash"),
+    )
+    seg_stats = per.groupBy(group_col, "seg_hash").agg(
+        F.countDistinct(F.col(id_col)).cast(T.LongType()).alias("n_docs"),
+        F.count(F.lit(1)).cast(T.LongType()).alias("n_hits"),
+    )
+    bp = F.col("n_docs") >= F.lit(int(min_docs))
+    return (
+        seg_stats.groupBy(group_col)
+        .agg(
+            F.sum("n_hits").cast(T.LongType()).alias("n_segments"),
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_distinct_segments"),
+            F.sum(bp.cast(T.LongType())).cast(T.LongType()).alias(
+                "n_boilerplate_segments"
+            ),
+            F.sum(F.when(bp, F.col("n_hits")).otherwise(F.lit(0)))
+            .cast(T.LongType())
+            .alias("boilerplate_hits"),
+            F.sum(F.when(bp, F.col("n_docs")).otherwise(F.lit(0)))
+            .cast(T.LongType())
+            .alias("doc_slots_affected"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    seg_words: int = 8,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Rebuild each document WITHOUT its boilerplate segments (the
+    removal half of boilerplate_segments — RefinedWeb's line dedup
+    actually deletes the repeated lines; this deletes the repeated
+    segments and restitches the survivors in order).
+
+    Returns (id, group, kept_text, n_segs, n_dropped); kept_text is
+    the space-joined concatenation of surviving segments in original
+    order (empty string when every segment was boilerplate).
+
+    Scale shape: ONE segment fan-out feeds BOTH the boilerplate-set
+    aggregate and the removal join (localCheckpoint'd so the fan-out
+    runs once); the boilerplate set is the >= min_docs filtered
+    aggregate — typically orders of magnitude smaller than the corpus
+    but NOT provably bounded, so the removal is an equi-join on
+    (group, seg_hash) rather than a broadcast (at 100 TB a hot
+    boilerplate hash is exactly the skew AQE splits). Reassembly sorts
+    WITHIN each doc's collected struct array — no window, one
+    exchange on the doc id.
+    """
+    per = (
+        _doc_segments(df, seg_words, id_col, text_col, group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            "seg_id",
+            "seg",
+            F.md5(F.col("seg")).alias("seg_hash"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bp_set = (
+        per.groupBy(group_col, "seg_hash")
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select(group_col, "seg_hash", F.lit(True).alias("is_bp"))
+    )
+    marked = per.join(bp_set, [group_col, "seg_hash"], "left")
+    return (
+        marked.groupBy(F.col(id_col), F.col(group_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_bp").isNull(),
+                                F.struct(F.col("seg_id"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.count(F.lit(1)).cast(T.LongType()).alias("n_segs"),
+            F.sum(F.col("is_bp").isNotNull().cast(T.LongType()))
+            .cast(T.LongType())
+            .alias("n_dropped"),
+        )
+    )

@@ -1014,15 +1014,22 @@ def source_drift_psi(
     Scale shape: ONE corpus pass — the narrow (slice, bucket) map and
     a map-side-combinable count into the (slice, bucket) histogram,
     which is |slices| × n_buckets rows: metadata by construction. The
-    histogram is persisted, and the corpus histogram, the slice
+    histogram is checkpointed, and the corpus histogram, the slice
     totals, and the corpus total are all folded FROM it as
     metadata-sized aggregates (Catalyst has no cross-consumer subtree
-    reuse, so without the persist each fold would re-run the corpus
-    scan — and the tokenize projection, the actual cost at 100 TB —
-    once per consumer: the 4-pass shape the r09 review flagged).
-    persist() rather than localCheckpoint: lineage stays intact, so an
-    executor loss recomputes the one scan instead of failing the job,
-    and the cached artifact is a few KB. The grid join is
+    reuse, so without the materialization each fold would re-run the
+    corpus scan — and the tokenize projection, the actual cost at
+    100 TB — once per consumer: the 4-pass shape the r09 review
+    flagged).
+    localCheckpoint(eager=False) rather than persist(): the truncated
+    lineage makes every downstream plan IDENTICAL whether or not the
+    cache is already materialized (persist() left the full scan
+    lineage in the plan text, and plan-equality tests flapped with
+    CacheManager state — the r10 deflake). The tradeoff is honest:
+    losing a checkpoint block means rerunning the query rather than
+    recomputing from lineage — acceptable for a monitor whose unit of
+    work IS one scan, and the checkpointed artifact is a few KB of
+    histogram. The grid join is
     |corpus buckets| × |slices|, built with two bounded broadcasts
     (the burstiness / dataset_card class). Nothing corpus-sized
     crosses an exchange and no text leaves the first projection.
@@ -1147,11 +1154,12 @@ def source_drift_ks(
     Scale shape: ONE corpus pass into the (slice, token-count)
     histogram — the value domain is bounded by the longest document,
     not the corpus, so the histogram is |slices| × |values| rows:
-    metadata-sized. It is persisted and the corpus histogram / slice
-    totals / corpus total fold FROM it (without the persist, Catalyst's
-    lack of cross-consumer subtree reuse re-runs the corpus scan — and
-    the tokenize projection, the real cost at 100 TB — once per
-    consumer). localCheckpoint(eager=False) rather than persist() —
+    metadata-sized. It is checkpointed and the corpus histogram /
+    slice totals / corpus total fold FROM it (without the
+    materialization, Catalyst's lack of cross-consumer subtree reuse
+    re-runs the corpus scan — and the tokenize projection, the real
+    cost at 100 TB — once per consumer).
+    localCheckpoint(eager=False) rather than persist() —
     persist's CacheManager plan-equality substitution makes repeated
     constructions analyze to different plans (cache-state-dependent
     exchange counts); see source_drift_psi's note.

@@ -58,6 +58,17 @@ ORACLES: dict[str, str] = {}
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
+        # Fail LOUD on duplicate names: r10's chunk-manifest addition
+        # silently shadowed q_doc_chunks for half a session before an
+        # audit caught it — a second registration is always a bug
+        # (either a copy-paste name or an operator losing its
+        # PASS-history witness to an unrelated newcomer).
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} already maps to "
+                f"{QUERIES[name].__name__} (new: {fn.__name__}) — pick a "
+                "new name; silent shadowing loses the driver witness"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -8474,8 +8485,13 @@ def _pii_decorated(spark, sf_dir):
 def _pii_scan_oracle() -> str:
     from walex_spark.extensions.pii import PII_PATTERNS
 
+    # Casts sit OUTSIDE the aggregate: DuckDB types SUM(BIGINT) as
+    # HUGEINT, which pandas materializes as float64 — the driver's hash
+    # canonicalizer then sees 42.0 vs Spark's int64 42 (the r10 red-row
+    # root cause; every other oracle in the registry already casts
+    # outside for exactly this reason).
     sums = ", ".join(
-        f"SUM(CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)) AS n_{name}"
+        f"CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS n_{name}"
         for name, pat, _ in PII_PATTERNS
     )
     any_hit = " OR ".join(
@@ -8485,7 +8501,7 @@ def _pii_scan_oracle() -> str:
     return f"""
     WITH deco AS ({_PII_DECOR_SQL})
     SELECT source, COUNT(*) AS n_docs, {sums},
-           SUM(CASE WHEN {any_hit} THEN 1 ELSE 0 END) AS docs_with_pii
+           CAST(SUM(CASE WHEN {any_hit} THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
     FROM deco GROUP BY source ORDER BY source
     """
 
@@ -8507,9 +8523,9 @@ def _pii_redact_oracle() -> str:
     WITH deco AS ({_PII_DECOR_SQL}),
     red AS (SELECT doc_id, source, text, {repl} AS red FROM deco)
     SELECT source, COUNT(*) AS n_docs,
-           SUM(CAST({sentinels} AS BIGINT)) AS n_sentinels,
-           SUM(CAST({residual} AS BIGINT)) AS residual_pii,
-           SUM(CAST(len(red) - len(text) AS BIGINT)) AS chars_delta
+           CAST(SUM({sentinels}) AS BIGINT) AS n_sentinels,
+           CAST(SUM({residual}) AS BIGINT) AS residual_pii,
+           CAST(SUM(len(red) - len(text)) AS BIGINT) AS chars_delta
     FROM red GROUP BY source ORDER BY source
     """
 
@@ -8752,6 +8768,139 @@ def q_doc_chunk_manifest(spark, sf_dir):
     )
 
 
+# --- Cross-document boilerplate (extensions/dedup.py) -------------------
+# The synthetic corpus has no natural boilerplate (iid word soup), so
+# both queries DECORATE a deterministic doc_id-keyed subset with
+# synthetic site chrome — the PII-family discipline: the decoration is
+# part of the query, identical string construction in the Spark plan
+# and the oracle SQL, and the INPUT stays the driver's parquet. Both
+# headers are EXACTLY 8 words (= seg_words) and are PREPENDED, so
+# decorated headers occupy whole segments and the original text's
+# segmentation shifts by whole segments — the alignment a real site
+# header has with line-based segmentation.
+_BOILER_DECOR_SQL = """
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'licensed under creative commons attribution share alike international ' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                  THEN 'nav home about contact search login site ' || source || ' ' ELSE '' END
+             || text AS text
+      FROM documents
+"""
+
+_BOILER_SEG_SQL = f"""
+    deco AS ({_BOILER_DECOR_SQL}),
+    t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM deco),
+    c AS (SELECT doc_id, source, toks,
+                 CAST(ceil(len(toks) / 8.0) AS INT) AS n_segs FROM t),
+    seg AS (
+      SELECT doc_id, source, CAST(i AS INT) AS seg_id,
+             array_to_string(toks[(i*8 + 1):(i*8 + 8)], ' ') AS seg
+      FROM c, unnest(generate_series(0, n_segs - 1)) u(i)),
+    per AS (SELECT doc_id, source, seg_id, seg, md5(seg) AS seg_hash FROM seg)
+"""
+
+
+def _boiler_decorated(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(
+                did % 5 == 0,
+                F.lit(
+                    "licensed under creative commons attribution "
+                    "share alike international "
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit("nav home about contact search login site "),
+                    F.col("source"),
+                    F.lit(" "),
+                ),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+@_register(
+    "q_doc_boilerplate",
+    f"""
+    WITH {_BOILER_SEG_SQL},
+    ss AS (
+      SELECT source, seg_hash,
+             COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_hits
+      FROM per GROUP BY source, seg_hash)
+    SELECT source,
+           CAST(SUM(n_hits) AS BIGINT) AS n_segments,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_segments,
+           CAST(SUM(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate_segments,
+           CAST(SUM(CASE WHEN n_docs >= 3 THEN n_hits ELSE 0 END) AS BIGINT)
+             AS boilerplate_hits,
+           CAST(SUM(CASE WHEN n_docs >= 3 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS doc_slots_affected
+    FROM ss GROUP BY source ORDER BY source
+    """,
+)
+def q_doc_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate detection (extensions/dedup.py::
+    boilerplate_segments — the RefinedWeb/CCNet line-level dedup
+    adapted to segment granularity): an 8-word segment appearing
+    verbatim in >= 3 distinct docs of the same source is site chrome,
+    not content. Segmentation is an in-partition array slice (zero
+    shuffle); the (source, md5(seg)) distinct-doc count is the one
+    data shuffle — 128-bit hashes cross the exchange, never text; the
+    per-source fold is metadata-sized."""
+    from walex_spark.extensions.dedup import boilerplate_segments
+
+    return boilerplate_segments(
+        _boiler_decorated(spark, sf_dir), seg_words=8, min_docs=3
+    )
+
+
+@_register(
+    "q_doc_boilerplate_strip",
+    f"""
+    WITH {_BOILER_SEG_SQL},
+    bp AS (
+      SELECT source, seg_hash FROM per
+      GROUP BY source, seg_hash HAVING COUNT(DISTINCT doc_id) >= 3)
+    SELECT per.doc_id, per.source,
+           COALESCE(string_agg(
+             CASE WHEN bp.seg_hash IS NULL THEN per.seg END,
+             ' ' ORDER BY per.seg_id), '') AS kept_text,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN bp.seg_hash IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM per LEFT JOIN bp
+      ON per.source = bp.source AND per.seg_hash = bp.seg_hash
+    GROUP BY per.doc_id, per.source
+    """,
+)
+def q_doc_boilerplate_strip(spark, sf_dir):
+    """Boilerplate REMOVAL (extensions/dedup.py::strip_boilerplate):
+    delete every >= 3-doc segment and restitch the survivors in
+    original order — RefinedWeb's line dedup actually rewrites the
+    text, so this does too, and the oracle string-compares every
+    rebuilt document. One segment fan-out feeds both the boilerplate
+    aggregate and the removal join (localCheckpoint'd, runs once);
+    removal is an equi-join on (source, seg_hash) — deliberately NOT a
+    broadcast, the boilerplate set is corpus-derived and unbounded;
+    reassembly is an array_sort inside the doc-id aggregate, no
+    window."""
+    from walex_spark.extensions.dedup import strip_boilerplate
+
+    return strip_boilerplate(
+        _boiler_decorated(spark, sf_dir), seg_words=8, min_docs=3
+    )
+
+
 # =========================================================================
 # Driver correctness window ordering (opt-in — see driver_ordered())
 # =========================================================================
@@ -8813,19 +8962,71 @@ def q_doc_chunk_manifest(spark, sf_dir):
 #            heaviest ANN variants; they yield their slots to any
 #            r09-new query (zero-history outranks every repeat
 #            witness).
-#   r10:     (this round) q_cdc_unwatched_filters heads the window —
-#            its r05 witness predates the missing-key / NULL-value
-#            edge fixtures added with the filter_unwatched_records
-#            NULL-propagation fix, so the existing hard row no longer
-#            witnesses the current oracle data (the r09 VERDICT's
-#            done-criterion is a green driver row ON the edge
-#            fixtures). Then the four queries whose code changed this
-#            round (the one-scan drift rewrite, the ep-stamped drift
-#            twin baseline, the legacy-ep prefix-index coalesce).
-#            Then the COMPLETE 45-query r06-stale cohort (the r09
-#            pre-empts already retired 8 of r06's 50-query window;
-#            what remains fits exactly: 1 + 4 + 45 = 50).
+#   r10:     the five r10-new zero-history queries (PII family, chunk
+#            layout, PII-rate twin, cross-corpus decontam) + the
+#            complete 45-query r06-stale cohort (5 + 45 = 50;
+#            q_cdc_unwatched_filters and the four r10-touched queries
+#            yielded their slots — see _DRIVER_ORDER_R10's inner
+#            comment and test_driver_window.py).
+#   r11:     (this round) q_doc_pii_scan / q_doc_pii_redact head the
+#            window — the ONLY two queries with no hard driver row in
+#            ANY round (their r10 rows were red on hash only: the
+#            oracle cast inside SUM, DuckDB typed it HUGEINT, pandas
+#            made it float64; the oracles now cast OUTSIDE and the
+#            class is linted registry-wide in test_scale_lint). Then
+#            q_cdc_unwatched_filters (per the r10 VERDICT: its
+#            r10-hardened missing-key/NULL fixtures have never
+#            produced a driver row). Then 46 more of the 49-query
+#            r07-stale cohort, which becomes stale-mandatory (>=4
+#            rule) the moment r11's files land. 2 + 49 = 51 > 50, so
+#            exactly one r07 query yields: q_quantiles — hard-green in
+#            BOTH r04 and r07, a pure built-in percentile composition
+#            with no repo operator code (the q_scalar_funcs evictee
+#            class). It becomes stale-flagged when r11's files land
+#            and MUST head the r12 window.
+#            The r11-new queries (the q_doc_boilerplate family) are
+#            zero-history on arrival and outrank every repeat witness;
+#            each displaced one more r07 query whose OPERATOR PATH is
+#            exercised by a sibling holding an r10 hard row (the
+#            q_doc_normalize evictee class):
+#              - q_emb_cosine_topk yields: brute_force_topk is the
+#                truth side of q_emb_ann_recall (hard r10); hard-green
+#                r04 AND r07.
+#              - q_emb_ann_lsh yields: the hyperplane-bucket equi-join
+#                is the approx side of q_emb_ann_recall (hard r10);
+#                hard-green r04 AND r07.
+#            All evictees become stale-mandatory when r11's files land
+#            and head the r12 window.
 DRIVER_ORDER = [
+    # (a) zero-history queries — never a hard row in any round:
+    "q_doc_pii_scan", "q_doc_pii_redact",
+    # (a') r11-new queries, zero history by construction:
+    "q_doc_boilerplate", "q_doc_boilerplate_strip",
+    # (b) the r07-stale cohort (49 queries hold r07 witnesses; 46 fit;
+    # q_quantiles / q_emb_cosine_topk / q_emb_ann_lsh yield per the
+    # header note). q_cdc_unwatched_filters leads — its current
+    # fixtures have never been driver-hashed:
+    "q_cdc_unwatched_filters",
+    "q_approx_distinct", "q_array_funcs", "q_cdc_change_lag",
+    "q_cdc_changes_diff", "q_cdc_dedup_replay", "q_cdc_event_json",
+    "q_cdc_event_projection", "q_cdc_filter_events",
+    "q_cdc_latest_state", "q_cdc_pg_cast", "q_cdc_toast_resolve",
+    "q_cdc_tumbling_window", "q_cdc_txn_assembly", "q_cdc_txn_stats",
+    "q_doc_bpe_encode", "q_doc_chunks", "q_doc_decontaminate",
+    "q_doc_despan_incr", "q_doc_exact_dedup", "q_doc_fingerprint",
+    "q_doc_hash_embed", "q_doc_langid", "q_doc_pack_shards",
+    "q_doc_quality", "q_doc_redact", "q_doc_repetition",
+    "q_doc_sample", "q_doc_simhash", "q_doc_stratified_sample",
+    "q_doc_subword_tokens", "q_doc_term_scores", "q_doc_token_stats",
+    "q_doc_trigram_jaccard", "q_doc_vocab_topk",
+    "q_doc_weighted_sample", "q_doc_winnow_incr",
+    "q_emb_ann_multiprobe", "q_emb_near_dup",
+    "q_events_histogram", "q_json_funcs", "q_multimodal_frames",
+    "q_range_join_bands", "q_stats_covariance", "q_unpivot_lineitem",
+    "q_window_distinct",
+]
+
+_DRIVER_ORDER_R10 = [
     # (a) zero-history queries (r10-new PII family + chunk layout +
     # PII-rate incremental twin + cross-corpus decontam), head of the
     # window — with the 45-query r06 cohort these fill all 50 slots:
