@@ -618,7 +618,14 @@ def _char_windows(
     by doc BEFORE the per-character explode (shuffle-before-fan-out)
     and checkpointed — the windows feed both an aggregate and a
     semi-join probe, and without the checkpoint the explode+md5 (the
-    dominant stage) executes once per consumer."""
+    dominant stage) executes once per consumer.
+
+    h is the RAW 16-byte digest (unhex of Spark's hex md5), not the
+    32-char hex string: every downstream consumer only groups or
+    equi-joins on it, and per-char window rows are the largest frame
+    any span operator materializes — halving the hash column halves
+    the checkpoint, every shuffle, and the incremental index's parquet
+    state (guide §2.3, narrower types)."""
     text = F.col(text_col)
     return (
         partition_by_doc(df, id_col)
@@ -633,9 +640,9 @@ def _char_windows(
         .select(
             F.col(id_col),
             "pos",
-            F.md5(F.col("__t").substr(F.col("pos"), F.lit(win_len))).alias(
-                "h"
-            ),
+            F.unhex(
+                F.md5(F.col("__t").substr(F.col("pos"), F.lit(win_len)))
+            ).alias("h"),
         )
         .localCheckpoint(eager=False)
     )

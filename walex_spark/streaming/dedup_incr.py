@@ -240,20 +240,25 @@ class IncrementalWinnowIndex:
             self.compact_every + 1
         ):
             self.compact(spark)
-        new_fps = dd.winnow_fingerprints(
-            batch_df, self.k, self.window, self.text_col, self.id_col,
-            positions=False,
-        ).select(
-            F.col("id").cast(T.LongType()).alias("id"),
-            F.col("fp_hash").cast(T.LongType()).alias("fp_hash"),
+        # checkpoint the fingerprint pipeline output ONCE: it feeds the
+        # index write, the per-doc size aggregate, and the candidate
+        # join — previously each consumer re-read the just-written
+        # parquet (an extra scan job per epoch); the checkpointed rows
+        # are byte-identical to the written ones (deterministic hash
+        # pipeline), so replay stays exact
+        new_fps = (
+            dd.winnow_fingerprints(
+                batch_df, self.k, self.window, self.text_col, self.id_col,
+                positions=False,
+            )
+            .select(
+                F.col("id").cast(T.LongType()).alias("id"),
+                F.col("fp_hash").cast(T.LongType()).alias("fp_hash"),
+            )
+            .localCheckpoint(eager=False)
         )
         _write_epoch(new_fps, self._fp_root(), epoch_id)
-        # read the epoch's own rows back from the index: `all_fps`
-        # below must be the post-epoch index, and reading parquet both
-        # cuts the recompute and makes replay exact
-        ep_fps = spark.read.schema(self.FP_SCHEMA).parquet(
-            os.path.join(self._fp_root(), f"e-{epoch_id}")
-        )
+        ep_fps = new_fps
         # (id, nfp) is fixed at arrival — persist it with the epoch so
         # later epochs union-read instead of re-aggregating the index
         _write_epoch(
@@ -261,8 +266,18 @@ class IncrementalWinnowIndex:
             self._sizes_root(),
             epoch_id,
         )
-        all_fps = self.fingerprints(spark)
-        new_ids = ep_fps.select("id").distinct()
+        # post-epoch index = prior epochs from parquet + this epoch
+        # from the checkpoint (skips re-scanning the file just written)
+        old_fp_dirs = [
+            d
+            for d in _epoch_dirs(self._fp_root())
+            if d != os.path.join(self._fp_root(), f"e-{epoch_id}")
+        ]
+        all_fps = (
+            spark.read.schema(self.FP_SCHEMA).parquet(*old_fp_dirs).unionByName(ep_fps)
+            if old_fp_dirs
+            else ep_fps
+        )
         sizes = _read_union(spark, self._sizes_root(), self.SIZES_SCHEMA)
         # the new side IS the epoch's own rows (docs are immutable and
         # arrive once — the fold contract), so no index-wide semi-join
@@ -271,7 +286,11 @@ class IncrementalWinnowIndex:
         new_side = ep_fps
         # every (pair, hash) where the pair's LATER member is new:
         # join new-side rows against the whole index; distinct on the
-        # normalized pair before counting (a new-new pair meets twice)
+        # normalized pair before counting (a new-new pair meets twice).
+        # Every joined row carries a new id_n by construction, so every
+        # surviving pair has >= 1 member in this epoch — the old
+        # both-old guard (two semi-joins + union + distinct per epoch)
+        # was provably a no-op and is gone.
         shared = (
             new_side.select(F.col("id").alias("id_n"), "fp_hash")
             .join(all_fps.select(F.col("id").alias("id_o"), "fp_hash"), "fp_hash")
@@ -286,17 +305,8 @@ class IncrementalWinnowIndex:
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= self.min_shared)
         )
-        # drop pairs whose BOTH members predate this epoch (already
-        # emitted by an earlier epoch): keep pairs with >=1 new member
-        keep = shared.join(
-            new_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi"
-        ).unionByName(
-            shared.join(
-                new_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
-            )
-        ).distinct()
         return (
-            keep.join(
+            shared.join(
                 sizes.select(F.col("id").alias("id_a"), F.col("nfp").alias("nfp_a")),
                 "id_a",
             )
@@ -451,25 +461,35 @@ class IncrementalPrefixJaccardIndex:
         p = F.col("sz") - F.expr(
             f"(sz * {self.tn} + {self.td - 1}) div {self.td}"
         ) + F.lit(1)
-        pre_new = per_doc.select(
-            "id",
-            "sz",
-            F.posexplode(F.slice(F.col("toks"), F.lit(1), p)).alias("pos", "token"),
-        ).select(
-            "id",
-            "sz",
-            F.col("pos").cast(T.IntegerType()).alias("pos"),
-            "token",
-            # arrival stamp: lets the candidate join keep within-epoch
-            # pairs in ONE orientation (see the matched filter below)
-            F.lit(epoch_id).cast(T.IntegerType()).alias("ep"),
+        # checkpointed: the prefix rows feed the index write, the probe
+        # side of the candidate join, AND the index-union side — one
+        # materialization instead of three copies of the slice+explode
+        # subtree in the emission plan
+        pre_new = (
+            per_doc.select(
+                "id",
+                "sz",
+                F.posexplode(F.slice(F.col("toks"), F.lit(1), p)).alias(
+                    "pos", "token"
+                ),
+            )
+            .select(
+                "id",
+                "sz",
+                F.col("pos").cast(T.IntegerType()).alias("pos"),
+                "token",
+                # arrival stamp: lets the candidate join keep
+                # within-epoch pairs in ONE orientation (see the
+                # matched filter below)
+                F.lit(epoch_id).cast(T.IntegerType()).alias("ep"),
+            )
+            .localCheckpoint(eager=False)
         )
         _write_epoch(per_doc.select("id", "sz", "toks"), self._root("toks"), epoch_id)
         _write_epoch(pre_new, self._root("pre"), epoch_id)
-        # replay-exact: the epoch's own rows come back from the index
-        ep_pre = spark.read.schema(self.PRE_SCHEMA).parquet(
-            os.path.join(self._root("pre"), f"e-{epoch_id}")
-        )
+        # the epoch's own rows probe FROM MEMORY (the pre_new
+        # checkpoint — deterministic, so replay emits identical rows)
+        ep_pre = pre_new
         # legacy tolerance: index dirs written before the ep column
         # existed read back ep=NULL; a bare `ep_o < ep_n` would go NULL
         # and silently drop the id_n >= id_o half of the cross-epoch
@@ -601,8 +621,11 @@ class IncrementalDespanIndex:
     the batch remove_duplicate_spans over everything indexed.
     """
 
-    WIN_SCHEMA = "id BIGINT, pos INT, h STRING"
-    CNT_SCHEMA = "h STRING, n BIGINT"
+    # h is the raw 16-byte md5 digest (see _char_windows' note): the
+    # wins root is the index's largest state and every consumer only
+    # equi-joins/groups on h, so BINARY halves parquet + shuffle bytes
+    WIN_SCHEMA = "id BIGINT, pos INT, h BINARY"
+    CNT_SCHEMA = "h BINARY, n BIGINT"
     DOC_SCHEMA = "id BIGINT, text STRING"
 
     def __init__(
@@ -659,7 +682,9 @@ class IncrementalDespanIndex:
             .select(
                 "id",
                 "pos",
-                F.md5(F.col("__t").substr(F.col("pos"), F.lit(self.win_len))).alias("h"),
+                F.unhex(
+                    F.md5(F.col("__t").substr(F.col("pos"), F.lit(self.win_len)))
+                ).alias("h"),
             )
         )
 
@@ -730,11 +755,13 @@ class IncrementalDespanIndex:
             F.col(self.id_col).cast(T.LongType()).alias("id"),
             F.col(self.text_col).alias("text"),
         )
-        wins_new = self._window_hashes(docs_new)
+        # checkpoint the explode+md5 output ONCE: it feeds the index
+        # write, the partial-count aggregate, and (unioned with the old
+        # epochs) the emission scan — without the checkpoint each
+        # consumer used to re-read the just-written parquet (an extra
+        # scan job per epoch, guide §1.2 step 1: don't pay twice)
+        wins_new = self._window_hashes(docs_new).localCheckpoint(eager=False)
         _write_epoch(wins_new, self._root("wins"), epoch_id)
-        wins_new = spark.read.schema(self.WIN_SCHEMA).parquet(
-            os.path.join(self._root("wins"), f"e-{epoch_id}")
-        )
         cnt_new = wins_new.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
         _write_epoch(cnt_new, self._root("cnt"), epoch_id)
         _write_epoch(docs_new, self._root("docs"), epoch_id)
@@ -743,8 +770,7 @@ class IncrementalDespanIndex:
         # with the epoch's own partial: n_all = n_old + n_new gives the
         # duplicated set, n_old alone the previously-duplicated set —
         # newly-duplicated is the difference, computed without a second
-        # index-wide aggregate (r08: this halved the per-epoch fold cost;
-        # both reads of `joined` reuse the same localCheckpoint)
+        # index-wide aggregate (r08: this halved the per-epoch fold cost)
         all_dirs = _epoch_dirs(self._root("cnt"))
         cur = os.path.join(self._root("cnt"), f"e-{epoch_id}")
         old_dirs = [d for d in all_dirs if d != cur]
@@ -754,44 +780,59 @@ class IncrementalDespanIndex:
                 .groupBy("h").agg(F.sum("n").alias("n_old"))
             )
         else:
-            tot_old = spark.createDataFrame([], "h STRING, n_old BIGINT")
-        cnt_new_read = spark.read.schema(self.CNT_SCHEMA).parquet(cur)
-        joined_cnt = (
-            tot_old.join(
-                cnt_new_read.select("h", F.col("n").alias("n_new")), "h", "full"
-            )
-            .select(
-                "h",
-                (F.coalesce(F.col("n_old"), F.lit(0))).alias("n_old"),
-                (
-                    F.coalesce(F.col("n_old"), F.lit(0))
-                    + F.coalesce(F.col("n_new"), F.lit(0))
-                ).alias("n_all"),
-            )
-            .localCheckpoint(eager=False)
+            tot_old = spark.createDataFrame([], "h BINARY, n_old BIGINT")
+        # the epoch's own partial folds in FROM MEMORY (same checkpoint
+        # the index write materialized) — deterministic, so replay
+        # recomputes identical rows; no read-back needed
+        joined_cnt = tot_old.join(
+            cnt_new.select("h", F.col("n").alias("n_new")), "h", "full"
+        ).select(
+            "h",
+            (F.coalesce(F.col("n_old"), F.lit(0))).alias("n_old"),
+            (
+                F.coalesce(F.col("n_old"), F.lit(0))
+                + F.coalesce(F.col("n_new"), F.lit(0))
+            ).alias("n_all"),
         )
-        dup_all = joined_cnt.filter(F.col("n_all") >= self.min_count).select("h")
-        newly_dup = joined_cnt.filter(
-            (F.col("n_all") >= self.min_count)
-            & (F.col("n_old") < self.min_count)
-        ).select("h")
+        # one flagged dup-hash table instead of two filtered views:
+        # is_new marks hashes whose min_count-th occurrence arrived
+        # THIS epoch (the retroactive-correction trigger)
+        dup_flags = joined_cnt.filter(F.col("n_all") >= self.min_count).select(
+            "h", (F.col("n_old") < self.min_count).alias("is_new")
+        )
 
-        all_wins = _read_union(spark, self._root("wins"), self.WIN_SCHEMA)
+        old_win_dirs = [
+            d
+            for d in _epoch_dirs(self._root("wins"))
+            if d != os.path.join(self._root("wins"), f"e-{epoch_id}")
+        ]
+        all_wins = (
+            spark.read.schema(self.WIN_SCHEMA).parquet(*old_win_dirs).unionByName(wins_new)
+            if old_win_dirs
+            else wins_new
+        )
         all_docs = _read_union(spark, self._root("docs"), self.DOC_SCHEMA)
         new_ids = docs_new.select("id").distinct()
+        # ONE scan of the wins index joined against the flagged dup
+        # hashes yields every duplicated-window occurrence, checkpointed
+        # because it feeds both the affected-doc set and the span marks
+        # (previously two independent semi-joins = two full index scans
+        # per epoch). Size is bounded by actual duplication, a small
+        # fraction of the index.
+        hits = (
+            all_wins.join(dup_flags, "h")
+            .select("id", "pos", "is_new")
+            .localCheckpoint(eager=False)
+        )
         # affected OLD docs: hold a window that became duplicated now
         affected_old = (
-            all_wins.join(newly_dup, "h", "left_semi")
+            hits.filter(F.col("is_new"))
             .select("id")
             .distinct()
             .join(new_ids, "id", "left_anti")
         )
         emit_ids = affected_old.unionByName(new_ids).distinct()
-        marked = (
-            all_wins.join(emit_ids, "id", "left_semi")
-            .join(dup_all, "h", "left_semi")
-            .select("id", "pos")
-        )
+        marked = hits.join(emit_ids, "id", "left_semi").select("id", "pos")
         docs_emit = all_docs.join(emit_ids, "id", "left_semi")
         return self._clean_with_removed(docs_emit, marked)
 
@@ -903,17 +944,25 @@ class IncrementalMinHashIndex:
             self.compact_every + 1
         ):
             self.compact(spark)
-        _write_epoch(
-            self._epoch_bands(batch_df), self._band_root(), epoch_id
+        # checkpoint the signature pipeline output once — index write
+        # and candidate join share it; no parquet read-back job
+        ep = self._epoch_bands(batch_df).localCheckpoint(eager=False)
+        _write_epoch(ep, self._band_root(), epoch_id)
+        old_dirs = [
+            d
+            for d in _epoch_dirs(self._band_root())
+            if d != os.path.join(self._band_root(), f"e-{epoch_id}")
+        ]
+        all_bands = (
+            spark.read.schema(self.BAND_SCHEMA).parquet(*old_dirs).unionByName(ep)
+            if old_dirs
+            else ep
         )
-        # read the epoch's rows back from parquet: replay-exact, and
-        # the signature pipeline never re-executes for the join below
-        ep = spark.read.schema(self.BAND_SCHEMA).parquet(
-            os.path.join(self._band_root(), f"e-{epoch_id}")
-        )
-        all_bands = self.band_rows(spark)
-        new_ids = ep.select("id").distinct()
-        pairs = (
+        # every joined row carries a new id_n, so every emitted pair
+        # has >= 1 member in this epoch by construction — the old
+        # both-old guard (two semi-joins + union + distinct) was a
+        # no-op and is gone
+        return (
             ep.select(
                 F.col("id").alias("id_n"), "band_idx", "band_hash"
             )
@@ -930,15 +979,6 @@ class IncrementalMinHashIndex:
             )
             .distinct()
         )
-        # both-old pairs were emitted by an earlier epoch; keep pairs
-        # with >= 1 member in this epoch
-        return pairs.join(
-            new_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi"
-        ).unionByName(
-            pairs.join(
-                new_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
-            )
-        ).distinct()
 
 
 class IncrementalExactDedupIndex:
@@ -996,20 +1036,35 @@ class IncrementalExactDedupIndex:
             self.compact_every + 1
         ):
             self.compact(spark)
-        ep = batch_df.select(
-            F.md5(F.col(self.text_col)).alias("content_hash"),
-            F.col(self.id_col).cast(T.LongType()).alias("id"),
-        ).groupBy("content_hash").agg(
-            F.min("id").alias("min_id"),
-            F.count(F.lit(1)).cast(T.LongType()).alias("cnt"),
+        # checkpoint the epoch's partial aggregate once — index write,
+        # touched-hash probe, and fold all share it
+        ep = (
+            batch_df.select(
+                F.md5(F.col(self.text_col)).alias("content_hash"),
+                F.col(self.id_col).cast(T.LongType()).alias("id"),
+            )
+            .groupBy("content_hash")
+            .agg(
+                F.min("id").alias("min_id"),
+                F.count(F.lit(1)).cast(T.LongType()).alias("cnt"),
+            )
+            .localCheckpoint(eager=False)
         )
         _write_epoch(ep, self._agg_root(), epoch_id)
-        ep_hashes = (
+        ep_hashes = ep.select("content_hash")
+        old_dirs = [
+            d
+            for d in _epoch_dirs(self._agg_root())
+            if d != os.path.join(self._agg_root(), f"e-{epoch_id}")
+        ]
+        all_partials = (
             spark.read.schema(self.AGG_SCHEMA)
-            .parquet(os.path.join(self._agg_root(), f"e-{epoch_id}"))
-            .select("content_hash")
+            .parquet(*old_dirs)
+            .select("content_hash", "min_id", "cnt")
+            .unionByName(ep)
+            if old_dirs
+            else ep
         )
-        all_partials = _read_union(spark, self._agg_root(), self.AGG_SCHEMA)
         touched = all_partials.join(ep_hashes, "content_hash", "left_semi")
         return self._fold(touched).select(
             "content_hash",
@@ -1102,14 +1157,26 @@ class IncrementalSimHashIndex:
             self.compact_every + 1
         ):
             self.compact(spark)
-        _write_epoch(self._epoch_bands(batch_df), self._band_root(), epoch_id)
-        ep = spark.read.schema(self.BAND_SCHEMA).parquet(
-            os.path.join(self._band_root(), f"e-{epoch_id}")
+        # checkpoint the simhash pipeline output once — index write and
+        # candidate join share it; no parquet read-back job
+        ep = self._epoch_bands(batch_df).localCheckpoint(eager=False)
+        _write_epoch(ep, self._band_root(), epoch_id)
+        old_dirs = [
+            d
+            for d in _epoch_dirs(self._band_root())
+            if d != os.path.join(self._band_root(), f"e-{epoch_id}")
+        ]
+        all_bands = (
+            spark.read.schema(self.BAND_SCHEMA).parquet(*old_dirs).unionByName(ep)
+            if old_dirs
+            else ep
         )
-        all_bands = self.band_rows(spark)
-        new_ids = ep.select("id").distinct()
         ham = F.bit_count(F.col("sig_n").bitwiseXOR(F.col("sig_o")))
-        pairs = (
+        # every joined row carries a new id_n, so every emitted pair
+        # has >= 1 member in this epoch by construction — the old
+        # both-old guard (two semi-joins + union + distinct) was a
+        # no-op and is gone
+        return (
             ep.select(
                 F.col("id").alias("id_n"),
                 F.col("simhash").alias("sig_n"),
@@ -1134,13 +1201,6 @@ class IncrementalSimHashIndex:
             )
             .distinct()
         )
-        return pairs.join(
-            new_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi"
-        ).unionByName(
-            pairs.join(
-                new_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
-            )
-        ).distinct()
 
 
 class IncrementalManifestIndex:
@@ -1216,18 +1276,27 @@ class IncrementalManifestIndex:
             self.compact_every + 1
         ):
             self.compact(spark)
+        # checkpoint the epoch's partial manifest once — index write,
+        # touched-shard probe, and fold all share it
         ep = shard_manifest(
             batch_df,
             key_col=self.key_col,
             hash_cols=self.hash_cols,
             shard_size=self.shard_size,
-        )
+        ).localCheckpoint(eager=False)
         _write_epoch(ep, self._agg_root(), epoch_id)
-        ep_shards = (
+        ep_shards = ep.select("shard")
+        old_dirs = [
+            d
+            for d in _epoch_dirs(self._agg_root())
+            if d != os.path.join(self._agg_root(), f"e-{epoch_id}")
+        ]
+        all_partials = (
             spark.read.schema(self.AGG_SCHEMA)
-            .parquet(os.path.join(self._agg_root(), f"e-{epoch_id}"))
-            .select("shard")
+            .parquet(*old_dirs)
+            .unionByName(ep)
+            if old_dirs
+            else ep
         )
-        all_partials = _read_union(spark, self._agg_root(), self.AGG_SCHEMA)
         touched = all_partials.join(ep_shards, "shard", "left_semi")
         return self._fold(touched)

@@ -171,9 +171,13 @@ class IncrementalDriftMonitor:
         had_baseline = _had_baseline(
             self, spark, self._hist_root(), epoch_id
         )
-        _write_epoch(
-            self._epoch_hist(batch_df, epoch_id), self._hist_root(), epoch_id
+        # checkpoint the epoch's (metadata-sized) histogram once — the
+        # index write and the PSI emission share it instead of a
+        # write-then-read-back round trip
+        hist_new = self._epoch_hist(batch_df, epoch_id).localCheckpoint(
+            eager=False
         )
+        _write_epoch(hist_new, self._hist_root(), epoch_id)
         out_schema = (
             "epoch BIGINT, n_docs BIGINT, baseline_docs BIGINT, "
             "buckets_hit BIGINT, zero_buckets BIGINT, new_buckets BIGINT, "
@@ -181,9 +185,7 @@ class IncrementalDriftMonitor:
         )
         if not had_baseline:
             return spark.createDataFrame([], out_schema)
-        ep = spark.read.schema(self.HIST_SCHEMA).parquet(
-            os.path.join(self._hist_root(), f"e-{epoch_id}")
-        ).select("bucket", F.col("n").alias("a"))
+        ep = hist_new.select("bucket", F.col("n").alias("a"))
         base = self.baseline(spark, exclude_epoch=epoch_id).select(
             "bucket", F.col("n").alias("b")
         )

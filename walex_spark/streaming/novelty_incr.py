@@ -97,6 +97,11 @@ class IncrementalNoveltyIndex:
         ):
             self.compact(spark)
         n = self.n
+        # checkpoint the tokenize+explode+distinct output: it feeds the
+        # fresh-gram anti-join AND the per-doc emission aggregate —
+        # without the checkpoint the gram pipeline (the dominant map
+        # stage) executes once per consumer (3x total: the index write
+        # plus twice inside the emission plan)
         grams = (
             batch_df.select(
                 F.col(self.id_col), _tokens(F.col(self.text_col)).alias("toks")
@@ -118,13 +123,16 @@ class IncrementalNoveltyIndex:
                 ).alias("gram"),
             )
             .distinct()
+            .localCheckpoint(eager=False)
         )
         seen = self.seen_grams(spark, exclude_epoch=epoch_id)
-        # grams first seen THIS epoch, with their first in-epoch doc
+        # grams first seen THIS epoch, with their first in-epoch doc —
+        # checkpointed: consumed by the index write AND the emission
         fresh = (
             grams.join(seen, "gram", "left_anti")
             .groupBy("gram")
             .agg(F.min(self.id_col).alias("__first"))
+            .localCheckpoint(eager=False)
         )
         out = (
             grams.join(fresh, "gram", "left")

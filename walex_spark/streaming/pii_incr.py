@@ -161,20 +161,18 @@ class IncrementalPIIMonitor:
             self, spark, self._hist_root(), epoch_id
         )
         # the 6-row detector fold of a potentially large epoch: compute
-        # ONCE into the index write, then emit from the written rows
-        _write_epoch(
-            self._epoch_hist(batch_df, epoch_id), self._hist_root(), epoch_id
+        # ONCE (lazy localCheckpoint) — the index write materializes it
+        # and the emission reuses it from memory, no read-back scan
+        hist_new = self._epoch_hist(batch_df, epoch_id).localCheckpoint(
+            eager=False
         )
+        _write_epoch(hist_new, self._hist_root(), epoch_id)
         if not had_baseline:
             return spark.createDataFrame([], self.OUT_SCHEMA)
-        ep = (
-            spark.read.schema(self.HIST_SCHEMA)
-            .parquet(os.path.join(self._hist_root(), f"e-{epoch_id}"))
-            .select(
-                "pii_class",
-                F.col("hits").alias("epoch_hits"),
-                F.col("n_docs").alias("epoch_docs"),
-            )
+        ep = hist_new.select(
+            "pii_class",
+            F.col("hits").alias("epoch_hits"),
+            F.col("n_docs").alias("epoch_docs"),
         )
         base = self.baseline(spark, exclude_epoch=epoch_id).select(
             "pii_class",
