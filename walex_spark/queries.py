@@ -1747,7 +1747,18 @@ def q_cdc_pgoutput_decode(spark, sf_dir):
     per-message layouts: tests/test_pgoutput.py)."""
     from walex_spark.sources import pgoutput as P
 
-    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    # shuffle-before-fan-out (the partition_by_doc discipline): the
+    # events parquet is a single-writer export that scans as ONE
+    # partition, which would run the whole Python encode AND the
+    # downstream frame decode serially in one task. One narrow
+    # exchange of (event_id, user_id, event_type) buys full-cluster
+    # parallelism for both mapInPandas passes.
+    n_part = spark.sparkContext.defaultParallelism
+    ev = (
+        _events(spark, sf_dir)
+        .select("event_id", "user_id", "event_type")
+        .repartition(n_part, F.col("event_id"))
+    )
 
     def enc(batches):
         import pandas as pd

@@ -738,9 +738,16 @@ class IncrementalDespanIndex:
                 lambda s: s.isNotNull(),
             )
         )
+        # n_removed computed here, where text is already joined in —
+        # the old separate _clean_with_removed re-join of docs was one
+        # more exchange per epoch for a column derivable in place
+        clean = F.concat_ws("", segs)
         return joined.select(
             "id",
-            F.concat_ws("", segs).alias("clean_text"),
+            clean.alias("clean_text"),
+            (F.length("text") - F.length(clean))
+            .cast(T.LongType())
+            .alias("n_removed"),
         )
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> DataFrame:
@@ -837,14 +844,7 @@ class IncrementalDespanIndex:
         return self._clean_with_removed(docs_emit, marked)
 
     def _clean_with_removed(self, docs: DataFrame, marked: DataFrame) -> DataFrame:
-        out = self._clean(docs, marked)
-        return out.join(docs.select("id", "text"), "id").select(
-            "id",
-            "clean_text",
-            (F.length("text") - F.length("clean_text"))
-            .cast(T.LongType())
-            .alias("n_removed"),
-        )
+        return self._clean(docs, marked)
 
 
 class IncrementalMinHashIndex:
