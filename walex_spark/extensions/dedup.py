@@ -426,6 +426,13 @@ def duplicate_clusters(
         .withColumn("label", F.col("id"))
         .repartition(n_part, F.col("id"))
     )
+    # (Measured negative: folding TWO propagation hops into each
+    # materialized round — provably the same fixpoint, min is monotone
+    # — did NOT cut jobs at near-clique diameters: 26 -> 27 / 35 -> 36
+    # jobs on the four cluster queries, because the un-checkpointed
+    # mid-hop frame's two consumers project different columns below
+    # their exchanges, so ReuseExchange can't dedup them and each round
+    # gains more stages than the halved round count saves.)
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.src == labels.id)
@@ -798,6 +805,11 @@ def minhash_estimate_accuracy(
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # toks feeds four plan consumers (ta, tb, and sz joined twice), but
+    # checkpointing it is a measured NO-GAIN (16 -> 17 jobs, 203 -> 204
+    # tasks): all consumers live in ONE action whose shuffles on the
+    # same keys canonicalize identically, so ReuseExchange already
+    # dedups the shingle subtree — the checkpoint just adds its own job.
     toks = word_shingles(
         df, shingle_n, text_col, id_col, dedupe=True
     ).join(cand_ids, "id", "left_semi")

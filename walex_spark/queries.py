@@ -2930,15 +2930,27 @@ def q_quantiles(spark, sf_dir):
     doubles hash-match bit-for-bit (verified) — unlike
     approx_percentile, which is sketch-based and engine-specific
     (q_approx_distinct covers that family rows-only). Scale: per-group
-    sort, one shuffle on the group key."""
+    sort, one shuffle on the group key. The three cut points share ONE
+    array-percentile aggregate: a scalar percentile buffers its own
+    value->count map per group, so three scalars triple the hashmap
+    build/merge over the same column (measured 4.26 s -> 1.70 s
+    interleaved min, bit-identical output)."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile("l_extendedprice", 0.5).alias("p50"),
-            F.percentile("l_extendedprice", 0.95).alias("p95"),
-            F.percentile("l_extendedprice", 0.99).alias("p99"),
+            F.percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+            ).alias("ps"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p95"),
+            F.col("ps")[2].alias("p99"),
+            "n",
         )
     )
 

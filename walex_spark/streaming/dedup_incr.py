@@ -825,7 +825,10 @@ class IncrementalDespanIndex:
         # because it feeds both the affected-doc set and the span marks
         # (previously two independent semi-joins = two full index scans
         # per epoch). Size is bounded by actual duplication, a small
-        # fraction of the index.
+        # fraction of the index. (Measured negative: re-keying this to
+        # id before the checkpoint to feed the three id-keyed consumers
+        # added its own exchange without eliding theirs — 57 -> 60
+        # jobs, 701 -> 829 tasks — so it stays partitioned by h.)
         hits = (
             all_wins.join(dup_flags, "h")
             .select("id", "pos", "is_new")
