@@ -55,24 +55,24 @@ def test_oracle_runs_in_driver_duckdb(driver_duck, name):
 
 
 def test_driver_window_rotation():
-    """r11 window pin: the driver's hard gate reads only the first 50
-    queries() entries. This round the zero-history queries head the
-    window — q_doc_pii_scan / q_doc_pii_redact (red in r10 on the
-    oracle-dtype bug, still zero HARD rows) and the r11-new
-    boilerplate pair — followed by q_cdc_unwatched_filters (its
-    fixtures have never been driver-hashed) and the r07-stale cohort
-    (stale-mandatory under test_driver_window.py's rules the moment
-    r10's files land). The ordering must apply ONLY at the
-    __spark_entry__ surface — the registry itself keeps natural
-    declaration order for bench/profiler consumers."""
+    """r12 window pin: the driver's hard gate reads only the first 50
+    queries() entries. This round the three stale-mandatory queries
+    head the window (q_quantiles / q_emb_cosine_topk / q_emb_ann_lsh —
+    last hard row r07, red under test_stale_witnesses_are_in_window
+    the moment r11's files landed), followed by the 16 r11-optimized
+    queries with no driver row under the optimized code (r11 VERDICT
+    item #3), the r12-touched queries, and the r08-stale cohort. The
+    ordering must apply ONLY at the __spark_entry__ surface — the
+    registry itself keeps natural declaration order for
+    bench/profiler consumers."""
     from walex_spark.queries import DRIVER_ORDER, QUERIES
 
     window = list(entrymod.queries())[:50]
     assert window[: len(DRIVER_ORDER)] == DRIVER_ORDER
-    # zero-hard-history queries head the window, non-negotiable
+    # stale-mandatory queries head the window, non-negotiable
     assert window[:5] == [
-        "q_doc_pii_scan", "q_doc_pii_redact", "q_doc_boilerplate",
-        "q_doc_boilerplate_strip", "q_cdc_unwatched_filters",
+        "q_quantiles", "q_emb_cosine_topk", "q_emb_ann_lsh",
+        "q_cdc_pgoutput_decode", "q_doc_dup_spans",
     ]
     # registry keeps natural declaration order (no import-time mutation)
     assert list(QUERIES)[:2] == ["q01_pricing_summary", "q02_top_revenue_orders"]

@@ -195,12 +195,14 @@ def wordpiece_segment(
 
     Scale shape — the same O(|word vocab|) trick as the BPE trainer:
     everything iterative runs over the DISTINCT-word table, never the
-    corpus. The greedy loop is ``max word length`` rounds of PURE
-    column expressions (array_contains against the piece-vocab
-    literal — a metadata-sized collect, same class as the IVF
-    centroid/codebook constants): no joins, no shuffles, one
-    whole-stage-codegen span; the corpus is touched exactly twice
-    (the word-count aggregate and the final per-doc sum join).
+    corpus. The greedy loop is ONE F.aggregate fold per word over
+    sequence(1, len(w)) against the piece-vocab literal (a
+    metadata-sized collect, same class as the IVF centroid/codebook
+    constants): no joins, no shuffles in the loop, and the plan size
+    is corpus-independent (the pre-r12 form unrolled max-word-length
+    Project rounds whose fused codegen method grew with the longest
+    word); the corpus is touched exactly twice (the word-count
+    aggregate and the final per-doc sum join).
     """
     from walex_spark.extensions.text import _tokens
 
@@ -254,6 +256,13 @@ def _wordpiece_word_pieces(
     # FILTERED to i + L - 1 <= len(w): F.sequence(1, n) with n < 1
     # produces a DESCENDING array, not an empty one, so bound
     # arithmetic inside sequence() silently fabricates pieces.
+    # words feeds THREE actions (the top-piece collect, the char
+    # collect and the caller's final query) — the checkpoint pays
+    # exactly like the twins' multi-consumer rule (across actions;
+    # within one action ReuseExchange already dedups): the corpus
+    # explode + word aggregate runs once, not three times.
+    words = words.localCheckpoint(eager=False)
+
     def _subs(lo: int, hi: int):
         pairs = F.flatten(
             F.transform(
@@ -277,41 +286,56 @@ def _wordpiece_word_pieces(
             ).alias("p"),
         )
 
-    top = [
-        r.p
-        for r in _subs(2, max_piece_len)
+    # one action for the whole vocabulary: the top-piece subtree and
+    # the char subtree union into a single collect (both are
+    # metadata-sized; the set() dedups client-side). Replaces two
+    # sequential collects — one fewer job barrier per call.
+    top_sel = (
+        _subs(2, max_piece_len)
         .groupBy("p")
         .agg(F.sum("c").alias("wt"))
         .orderBy(F.col("wt").desc(), F.col("p").asc())
         .limit(top_pieces)
-        .collect()
-    ]
-    chars = [r.p for r in _subs(1, 1).select("p").distinct().collect()]
-    vocab = sorted(set(top) | set(chars))  # metadata-sized constant
+        .select("p")
+    )
+    chars_sel = _subs(1, 1).select("p").distinct()
+    vocab = sorted(
+        {r.p for r in top_sel.unionByName(chars_sel).collect()}
+    )  # metadata-sized constant
     vlit = F.array(*[F.lit(p) for p in vocab])
-    max_len = words.agg(F.max(F.length("w"))).first()[0] or 0
 
-    seg = words.select("w", "c", F.col("w").alias("rest"), F.lit(0).alias("n"))
-    for _ in range(int(max_len)):
-        # longest vocab piece prefixing rest: greatest L whose prefix
-        # is in the vocab literal (pure expressions, codegen-friendly)
+    # Greedy longest-match loop as ONE interpreted fold per word
+    # (F.aggregate over sequence(1, len(w))), replacing max-word-length
+    # stacked Project rounds of a 6-way array_contains expression each:
+    # that stack fused into a single WholeStageCodegen whose generated
+    # method grows with the corpus' longest word — a janino compile of
+    # single-threaded seconds that dwarfed the actual data work at
+    # bench scale (and an extra max(length(w)) action to size the
+    # loop). Each fold step consumes >= 1 char (single-char coverage
+    # guarantees a match), so len(w) steps always suffice; steps after
+    # exhaustion are no-ops — identical semantics, plan-size now
+    # corpus-independent, and the max-length action is gone.
+    def _step(acc: Column, _i: Column) -> Column:
+        rest = acc["rest"]
         best = None
         for L in range(max_piece_len, 0, -1):
             hit = F.when(
-                F.array_contains(vlit, F.col("rest").substr(1, L)), F.lit(L)
+                F.array_contains(vlit, rest.substr(1, L)), F.lit(L)
             ).otherwise(F.lit(0))
             best = hit if best is None else F.greatest(best, hit)
-        seg = seg.select(
-            "w",
-            "c",
-            F.when(F.col("rest") == "", F.col("rest"))
-            .otherwise(F.col("rest").substr(best + 1, F.lit(10_000)))
-            .alias("rest"),
-            F.when(F.col("rest") == "", F.col("n"))
-            .otherwise(F.col("n") + 1)
-            .alias("n"),
+        return F.when(rest == "", acc).otherwise(
+            F.struct(
+                rest.substr(best + F.lit(1), F.lit(10_000)).alias("rest"),
+                (acc["n"] + F.lit(1)).alias("n"),
+            )
         )
-    return seg.select("w", F.col("n").alias("n_pieces"))
+
+    seg = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(F.col("w").alias("rest"), F.lit(0).alias("n")),
+        _step,
+    )
+    return words.select("w", seg["n"].alias("n_pieces"))
 
 
 def wordpiece_fertility(

@@ -6935,8 +6935,8 @@ def q_doc_wordpiece(spark, sf_dir):
     (extensions/bpe.py::wordpiece_segment — the BERT-family encode
     rule, vs BPE's merge-order replay): corpus-derived piece vocab
     (top-16 weighted substrings + all chars), per-word greedy loop as
-    max-word-length rounds of pure column expressions over the
-    DISTINCT-word table (O(|vocab|), zero shuffles in the loop); the
+    ONE aggregate fold over the DISTINCT-word table (O(|vocab|), zero
+    shuffles in the loop, plan size independent of word length); the
     corpus is touched twice. All-integer/string arithmetic — the
     safest cross-engine determinism class."""
     from walex_spark.extensions.bpe import wordpiece_segment
@@ -9026,7 +9026,70 @@ def q_doc_boilerplate_strip(spark, sf_dir):
 #                hard-green r04 AND r07.
 #            All evictees become stale-mandatory when r11's files land
 #            and head the r12 window.
+#   r12:     (this round) the three stale-mandatory queries head the
+#            window — q_quantiles / q_emb_cosine_topk / q_emb_ann_lsh
+#            became red under test_stale_witnesses_are_in_window the
+#            moment the driver committed r11's files (their last hard
+#            rows are r07; they yielded their r11 slots per the r11
+#            note). q_quantiles is also an r11-rewritten query
+#            (array-percentile fold), so its witness does double duty.
+#            Then the 16 remaining r11-OPTIMIZED queries with no
+#            driver row under the optimized code (r11 VERDICT "Next
+#            round" #3): pgoutput decode, the binary-hash span family,
+#            the 8 unwitnessed twins, and the co-partitioned
+#            label-propagation family. Then the queries r12's
+#            optimization itself touches (wordpiece/fertility fold,
+#            winnow-pairs, approx-quantiles, despan-incr running
+#            totals). The remaining 26 slots go to the r08-stale
+#            cohort, which becomes stale-mandatory when r12's files
+#            land. CAPACITY NOTE: that cohort has 37 members beyond
+#            the ones above — 11 defer to r13 (50-slot cap), chosen
+#            because a sibling holding an r10/r11 hard row exercises
+#            their operator path: q_doc_heaps / q_doc_zipf /
+#            q_doc_char_entropy / q_doc_burstiness (corpus-stat
+#            aggregates over the tokenizer path of q_doc_token_stats +
+#            q_doc_vocab_topk, both hard r11), q_emb_ann_ivf (inside
+#            q_emb_ann_ivf_trained, windowed here, and
+#            q_emb_ann_recall_ivf, hard r10), q_multimodal_audio /
+#            q_multimodal_meta (byte-stripe decode shared with
+#            q_multimodal_frames, hard r11), q_cdc_time_travel /
+#            q_cdc_asof_state (ordered-event snapshot machinery of
+#            q_cdc_scd2, windowed here; q_snapshot_diff hard r11),
+#            q_doc_manifest (batch side of q_doc_manifest_incr,
+#            windowed here, fold-equals-batch tested), q_doc_split
+#            (hash-split machinery inside q_doc_leak_safe_split,
+#            windowed here).
 DRIVER_ORDER = [
+    # (a) stale-mandatory (last hard row r07 — red at HEAD the moment
+    # r11's CORRECTNESS landed; the inherited-state fix this round):
+    "q_quantiles", "q_emb_cosine_topk", "q_emb_ann_lsh",
+    # (b) r11-optimized, no driver row under the optimized code:
+    "q_cdc_pgoutput_decode",
+    "q_doc_dup_spans", "q_doc_despan", "q_doc_decontam_spans",
+    "q_doc_minhash_incr", "q_doc_simhash_incr", "q_doc_novelty_incr",
+    "q_doc_prefix_incr", "q_doc_pii_incr", "q_doc_drift_incr",
+    "q_doc_manifest_incr", "q_doc_exact_dedup_incr",
+    "q_doc_dup_clusters", "q_doc_cluster_survivors",
+    "q_doc_leak_safe_split", "q_emb_semantic_dedup",
+    # (c) r12-touched this round (all in the r08-stale cohort except
+    # winnow_pairs r10 / despan_incr r11, re-witnessed because their
+    # internals change again):
+    "q_doc_wordpiece", "q_doc_tok_fertility", "q_doc_winnow_pairs",
+    "q_approx_quantiles", "q_doc_despan_incr",
+    # (d) the rest of the r08-stale cohort that fits (26 of 37; the 11
+    # deferrals and their sibling-coverage reasons are in the header):
+    "q_cdc_scd2", "q_cdc_sessionize_incr", "q_doc_bigram_surprisal",
+    "q_doc_countmin", "q_doc_curriculum", "q_doc_dataset_card",
+    "q_doc_decontam_jaccard", "q_doc_diversity", "q_doc_dsir",
+    "q_doc_junk_fuse", "q_doc_mmr", "q_doc_nb_classifier",
+    "q_doc_ndcg", "q_doc_novelty", "q_doc_prf",
+    "q_doc_source_overlap", "q_doc_tfidf_cosine",
+    "q_doc_token_budget", "q_emb_ann_ivf_trained", "q_emb_ann_rp",
+    "q_emb_hamming_topk", "q_emb_hard_negatives", "q_emb_knn_eval",
+    "q_emb_label_margin", "q_multimodal_features", "q_snm_blocking",
+]
+
+_DRIVER_ORDER_R11 = [
     # (a) zero-history queries — never a hard row in any round:
     "q_doc_pii_scan", "q_doc_pii_redact",
     # (a') r11-new queries, zero history by construction:
