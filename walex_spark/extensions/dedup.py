@@ -975,6 +975,15 @@ def winnow_candidate_pairs(
     sel = fps.select("id", "fp_hash")
     if not distinct_hashes:
         sel = sel.distinct()
+    # sel fans out to FOUR plan consumers (the a/b join sides and the
+    # two size lookups) whose shared subtree tops out at a
+    # HashAggregate, not an Exchange — ReuseExchange cannot dedup it,
+    # so the upstream fingerprint pipeline (per-char explode + md5 +
+    # window min) would execute once per consumer. Checkpointing the
+    # distinct fingerprint set (a ~2/(window+1)-density frame, far
+    # smaller than the gram table it came from) bounds that to one
+    # execution. Same rationale as _char_windows' checkpoint.
+    sel = sel.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         hot = (
             sel.groupBy("fp_hash")
