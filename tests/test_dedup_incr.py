@@ -335,11 +335,36 @@ def test_despan_replay_idempotent(spark, docs, tmp_path):
         (r.id, r.clean_text, r.n_removed)
         for r in idx.process_batch(e1, 1).collect()
     )
+    # the replay arrives at epoch_id == _tot_upto, so the in-memory
+    # running total (which already folded epoch 1) is poisoned for it —
+    # the index must fall back to the on-disk partials
     replay = sorted(
         (r.id, r.clean_text, r.n_removed)
         for r in idx.process_batch(e1, 1).collect()
     )
     assert replay == first
+
+
+def test_despan_running_total_warm_equals_cold(spark, docs, tmp_path):
+    """The r12 in-memory running-total path (sequential epochs on one
+    index instance) must emit exactly what a cold instance rebuilding
+    the totals from the on-disk cnt partials emits."""
+    e0, e1, e2 = _epochs(docs, 3)
+
+    warm = IncrementalDespanIndex(str(tmp_path / "w"), win_len=40, min_count=2)
+    for e, b in enumerate((e0, e1)):
+        warm.process_batch(b, e).collect()
+    assert warm._tot is not None and warm._tot_upto == 1
+
+    cold = IncrementalDespanIndex(str(tmp_path / "c"), win_len=40, min_count=2)
+    for e, b in enumerate((e0, e1)):
+        cold.process_batch(b, e).collect()
+        cold._tot, cold._tot_upto = None, -1  # force the disk path
+
+    key = lambda rows: sorted((r.id, r.clean_text, r.n_removed) for r in rows)
+    got_warm = key(warm.process_batch(e2, 2).collect())
+    got_cold = key(cold.process_batch(e2, 2).collect())
+    assert got_warm == got_cold and got_warm
 
 
 # ---------------------------------------------------------------------------

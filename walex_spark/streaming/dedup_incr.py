@@ -645,6 +645,14 @@ class IncrementalDespanIndex:
         self.win_len, self.min_count = win_len, min_count
         self.text_col, self.id_col = text_col, id_col
         self.compact_every = compact_every
+        # In-memory running hash totals (h, n_old) carried between
+        # process_batch calls: each epoch's full-outer fold output IS
+        # next epoch's prior-totals side, so sequential epochs skip
+        # the re-aggregate of every live cnt dir. Disk partials are
+        # still written every epoch — they are the restart/replay
+        # source of truth; this is only the warm path.
+        self._tot: DataFrame | None = None
+        self._tot_upto: int = -1
 
     def _root(self, kind: str) -> str:
         return os.path.join(self.index_dir, kind)
@@ -777,17 +785,26 @@ class IncrementalDespanIndex:
         # with the epoch's own partial: n_all = n_old + n_new gives the
         # duplicated set, n_old alone the previously-duplicated set —
         # newly-duplicated is the difference, computed without a second
-        # index-wide aggregate (r08: this halved the per-epoch fold cost)
-        all_dirs = _epoch_dirs(self._root("cnt"))
-        cur = os.path.join(self._root("cnt"), f"e-{epoch_id}")
-        old_dirs = [d for d in all_dirs if d != cur]
-        if old_dirs:
-            tot_old = (
-                spark.read.schema(self.CNT_SCHEMA).parquet(*old_dirs)
-                .groupBy("h").agg(F.sum("n").alias("n_old"))
-            )
+        # index-wide aggregate (r08: this halved the per-epoch fold cost).
+        # The prior-totals side comes from the in-memory running-total
+        # checkpoint when this epoch directly follows the one it was
+        # built at (the steady-state microbatch path: no dir scan, no
+        # re-aggregate); any other arrival order — restart, replay of a
+        # failed epoch, out-of-order delivery — rebuilds from the disk
+        # partials, which remain the source of truth.
+        if self._tot is not None and epoch_id > self._tot_upto:
+            tot_old = self._tot
         else:
-            tot_old = spark.createDataFrame([], "h BINARY, n_old BIGINT")
+            all_dirs = _epoch_dirs(self._root("cnt"))
+            cur = os.path.join(self._root("cnt"), f"e-{epoch_id}")
+            old_dirs = [d for d in all_dirs if d != cur]
+            if old_dirs:
+                tot_old = (
+                    spark.read.schema(self.CNT_SCHEMA).parquet(*old_dirs)
+                    .groupBy("h").agg(F.sum("n").alias("n_old"))
+                )
+            else:
+                tot_old = spark.createDataFrame([], "h BINARY, n_old BIGINT")
         # the epoch's own partial folds in FROM MEMORY (same checkpoint
         # the index write materialized) — deterministic, so replay
         # recomputes identical rows; no read-back needed
@@ -800,7 +817,14 @@ class IncrementalDespanIndex:
                 F.coalesce(F.col("n_old"), F.lit(0))
                 + F.coalesce(F.col("n_new"), F.lit(0))
             ).alias("n_all"),
-        )
+        ).localCheckpoint(eager=False)
+        # joined_cnt IS the new running total (n_all = totals through
+        # this epoch): the checkpoint makes it double as next epoch's
+        # tot_old, materialized by this epoch's own emission action.
+        # Bounded frame: one row per distinct window hash indexed so
+        # far — the same bound as the compacted cnt root itself.
+        self._tot = joined_cnt.select("h", F.col("n_all").alias("n_old"))
+        self._tot_upto = epoch_id
         # one flagged dup-hash table instead of two filtered views:
         # is_new marks hashes whose min_count-th occurrence arrived
         # THIS epoch (the retroactive-correction trigger)
@@ -818,6 +842,11 @@ class IncrementalDespanIndex:
             if old_win_dirs
             else wins_new
         )
+        # (measured negative, kept on disk: folding the current epoch's
+        # docs in from memory — the wins_new pattern — REGRESSED 59 ->
+        # 71 jobs: docs_new is un-checkpointed and already feeds the
+        # epoch write, so the union duplicated its subtree per
+        # consumer; the r11 prefix-twin rule again)
         all_docs = _read_union(spark, self._root("docs"), self.DOC_SCHEMA)
         new_ids = docs_new.select("id").distinct()
         # ONE scan of the wins index joined against the flagged dup
