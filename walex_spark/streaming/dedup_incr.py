@@ -1068,35 +1068,27 @@ class IncrementalExactDedupIndex:
             self.compact_every + 1
         ):
             self.compact(spark)
-        # checkpoint the epoch's partial aggregate once — index write,
-        # touched-hash probe, and fold all share it
-        ep = (
-            batch_df.select(
-                F.md5(F.col(self.text_col)).alias("content_hash"),
-                F.col(self.id_col).cast(T.LongType()).alias("id"),
-            )
-            .groupBy("content_hash")
-            .agg(
-                F.min("id").alias("min_id"),
-                F.count(F.lit(1)).cast(T.LongType()).alias("cnt"),
-            )
-            .localCheckpoint(eager=False)
+        # pre-r12 note: an r11 session swapped the read-backs below for
+        # a localCheckpoint of ep unioned with the old dirs; measured
+        # NEUTRAL both times (jobcounts unchanged, interleaved wall
+        # 2.23 vs 2.18 s min-of-3) because the partial here is one
+        # map-side-combined aggregate of the epoch — cheap to recompute
+        # and epoch-dir reads are metadata-sized. Reverted to the
+        # simpler shape per the keep-or-revert rule for neutral churn.
+        ep = batch_df.select(
+            F.md5(F.col(self.text_col)).alias("content_hash"),
+            F.col(self.id_col).cast(T.LongType()).alias("id"),
+        ).groupBy("content_hash").agg(
+            F.min("id").alias("min_id"),
+            F.count(F.lit(1)).cast(T.LongType()).alias("cnt"),
         )
         _write_epoch(ep, self._agg_root(), epoch_id)
-        ep_hashes = ep.select("content_hash")
-        old_dirs = [
-            d
-            for d in _epoch_dirs(self._agg_root())
-            if d != os.path.join(self._agg_root(), f"e-{epoch_id}")
-        ]
-        all_partials = (
+        ep_hashes = (
             spark.read.schema(self.AGG_SCHEMA)
-            .parquet(*old_dirs)
-            .select("content_hash", "min_id", "cnt")
-            .unionByName(ep)
-            if old_dirs
-            else ep
+            .parquet(os.path.join(self._agg_root(), f"e-{epoch_id}"))
+            .select("content_hash")
         )
+        all_partials = _read_union(spark, self._agg_root(), self.AGG_SCHEMA)
         touched = all_partials.join(ep_hashes, "content_hash", "left_semi")
         return self._fold(touched).select(
             "content_hash",
@@ -1308,27 +1300,23 @@ class IncrementalManifestIndex:
             self.compact_every + 1
         ):
             self.compact(spark)
-        # checkpoint the epoch's partial manifest once — index write,
-        # touched-shard probe, and fold all share it
+        # pre-r12 note: the r11 localCheckpoint-union form measured
+        # NEUTRAL here too (2.44 vs 2.51 s min-of-3, jobcounts
+        # unchanged) — shard_manifest is one map-side-combined
+        # aggregate; reverted to the simpler read-back shape per the
+        # keep-or-revert rule for neutral churn.
         ep = shard_manifest(
             batch_df,
             key_col=self.key_col,
             hash_cols=self.hash_cols,
             shard_size=self.shard_size,
-        ).localCheckpoint(eager=False)
-        _write_epoch(ep, self._agg_root(), epoch_id)
-        ep_shards = ep.select("shard")
-        old_dirs = [
-            d
-            for d in _epoch_dirs(self._agg_root())
-            if d != os.path.join(self._agg_root(), f"e-{epoch_id}")
-        ]
-        all_partials = (
-            spark.read.schema(self.AGG_SCHEMA)
-            .parquet(*old_dirs)
-            .unionByName(ep)
-            if old_dirs
-            else ep
         )
+        _write_epoch(ep, self._agg_root(), epoch_id)
+        ep_shards = (
+            spark.read.schema(self.AGG_SCHEMA)
+            .parquet(os.path.join(self._agg_root(), f"e-{epoch_id}"))
+            .select("shard")
+        )
+        all_partials = _read_union(spark, self._agg_root(), self.AGG_SCHEMA)
         touched = all_partials.join(ep_shards, "shard", "left_semi")
         return self._fold(touched)
