@@ -505,9 +505,21 @@ def stamp_transactions(decoded: DataFrame, block_size: int = 1 << 16) -> DataFra
     stamped metadata on (frame_idx, sub_idx), a plain parallel
     equi-join. Only changes of COMMITTED transactions survive (an
     unterminated tail is dropped, like the reference on restart)."""
-    meta = decoded.select(
-        "frame_idx", "sub_idx", "op", "xid", "commit_ts", "lsn"
-    ).withColumn("__blk", (F.col("frame_idx") / F.lit(block_size)).cast("long"))
+    # ONE explicit hash exchange on __blk, shared by its three plan
+    # consumers (the local carry window, the per-block last-BEGIN
+    # aggregate, and the block-list distinct): each keyed operation
+    # below runs on the already-established partitioning, so exchange
+    # reuse collapses what used to be three independent shuffles of
+    # the metadata projection into one.
+    meta = (
+        decoded.select(
+            "frame_idx", "sub_idx", "op", "xid", "commit_ts", "lsn"
+        )
+        .withColumn("__blk", (F.col("frame_idx") / F.lit(block_size)).cast("long"))
+        .repartition(
+            decoded.sparkSession.sparkContext.defaultParallelism, F.col("__blk")
+        )
+    )
     begin = F.when(F.col("op") == "BEGIN", F.struct("xid", "commit_ts", "lsn"))
     wloc = Window.partitionBy("__blk").orderBy("frame_idx", "sub_idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -532,8 +544,19 @@ def stamp_transactions(decoded: DataFrame, block_size: int = 1 << 16) -> DataFra
         .withColumn("__carry", F.last("__blk_begin", ignorenulls=True).over(wblk))
         .select("__blk", "__carry")
     )
-    stamped = local.join(F.broadcast(carry), "__blk").withColumn(
-        "__txn", F.coalesce(F.col("__txn_loc"), F.col("__carry"))
+    # the stamped metadata feeds TWO consumers (the committed-xid set
+    # and the data-row stamp), and its subtree tops out below a
+    # broadcast join — exchange reuse cannot dedup it, so without the
+    # checkpoint the whole carry pipeline executed once per consumer
+    # (it appeared twice in the physical plan). Same narrow-projection
+    # bound as the decoded checkpoint above: O(input frames) metadata
+    # columns only, microbatch-bounded in streaming.
+    stamped = (
+        local.join(F.broadcast(carry), "__blk")
+        .withColumn(
+            "__txn", F.coalesce(F.col("__txn_loc"), F.col("__carry"))
+        )
+        .localCheckpoint(eager=False)
     )
     committed = (
         stamped.filter(F.col("op") == "COMMIT")
