@@ -37,6 +37,29 @@ __all__ = [
 ]
 
 
+def _spread_probe(bucketed: DataFrame, source: DataFrame) -> DataFrame:
+    """Decouple the probe stage's parallelism from the source's file
+    layout. The bucket equi-join multiplies its output (one row per
+    in-band interval), so when the probe side is a thin file-backed
+    scan — fewer files than cluster parallelism, e.g. a single-row-group
+    export, which Spark cannot split below row-group granularity — the
+    whole join + downstream partial aggregation runs in those few tasks
+    at ANY core count. One narrow hash repartition on the bucket key
+    (the join key: deterministic, skew bounded by the value histogram)
+    restores parallelism. Guarded by the source's file count so a real
+    table (thousands of splits at 100 TB) never pays an extra exchange;
+    non-file-backed inputs (already-shuffled or synthesized frames) are
+    left untouched."""
+    try:
+        files = source.inputFiles()
+    except Exception:  # pragma: no cover - defensive: layout probe only
+        return bucketed
+    par = source.sparkSession.sparkContext.defaultParallelism
+    if 0 < len(files) < par:
+        return bucketed.repartition(par, F.col("__bucket"))
+    return bucketed
+
+
 def point_interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -76,6 +99,7 @@ def point_interval_join(
         F.explode(F.sequence(bucket_of(F.col(lo_col)), bucket_of(F.col(hi_col)))),
     )
     pt = points.withColumn("__bucket", bucket_of(F.col(point_col)))
+    pt = _spread_probe(pt, points)
     cond = (
         (pt["__bucket"] == iv["__bucket"])
         & (F.col(point_col) >= F.col(lo_col))
