@@ -73,8 +73,29 @@ def test_patterns_are_re2_portable():
 
 
 def test_pii_queries_registered_with_oracles():
+    """Registered with oracles, and either driver-witnessed green (a
+    committed CORRECTNESS row — r11 witnessed both) or still heading
+    the window. The original zero-history assertion (`in
+    DRIVER_ORDER`) retired when the r12 rotation replaced them with
+    r11's optimized-but-unwitnessed cohort, per VERDICT r11 #3."""
+    import glob
+    import json
+    import os
+
     from walex_spark.queries import DRIVER_ORDER, ORACLES, QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def witnessed(q):
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            with open(path) as f:
+                row = json.load(f).get(q)
+            if row and row.get("rows_match") and row.get("hash_match"):
+                return True
+        return False
 
     for q in ("q_doc_pii_scan", "q_doc_pii_redact"):
         assert q in QUERIES and q in ORACLES
-        assert q in DRIVER_ORDER  # zero-history -> must be in window
+        assert q in DRIVER_ORDER or witnessed(q), (
+            f"{q} has no driver witness and is not in the window"
+        )

@@ -304,15 +304,24 @@ def test_range_agg_twolevel_no_cross_product(reports):
     assert r.nested_loop_joins == 0
 
 
-def test_winnow_pairs_equi_join_partitioned_window(reports):
+def test_winnow_pairs_equi_join_partitioned_window(reports, spark):
     """Winnowing: the fingerprint self-join is an equi-join on fp_hash
     (no cross product), and the selection window is partitioned per
-    doc — a global ordered window here would serialize the corpus."""
+    doc — a global ordered window here would serialize the corpus.
+
+    Since r12 the candidate join consumes the fingerprint set through
+    a localCheckpoint (one execution for its four consumers), so the
+    query plan shows an ExistingRDD scan and the window must be
+    audited on the fingerprint BUILDER's plan, where it lives."""
     r = reports("q_doc_winnow_pairs")
     assert r.nested_loop_joins == 0
+    from walex_spark.extensions import dedup as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rf = audit(dd.winnow_fingerprints(docs, k=16, window=8, positions=False))
     windows = re.findall(r"Arguments: \[.*?windowspecdefinition\((.*?)\)",
-                         r.text)
-    assert windows, "expected a Window node in the winnow plan"
+                         rf.text)
+    assert windows, "expected a Window node in the fingerprint plan"
     for spec in windows:
         assert "id#" in spec.split("ASC")[0]
 

@@ -16,8 +16,15 @@
 #   test_bench_contract  — bench.py covers the registry
 #
 # Full-suite pytest still gates the round; this is the fast pre-commit
-# slice, not a replacement.
+# slice, not a replacement. Since r12 the bare suite itself is tiered
+# (tests/conftest.py): `python -m pytest tests/` runs the default tier
+# (28 min measured); `tools/gate.sh full` runs EVERYTHING including the
+# slow e2e/replay/compaction tier (~70 min calm).
 set -e
 cd "$(dirname "$0")/.."
+if [ "$1" = "full" ]; then
+    shift
+    exec env WALEX_SLOW_TESTS=1 python -m pytest tests/ -q "$@"
+fi
 exec python -m pytest tests/test_scale_lint.py tests/test_driver_window.py \
     tests/test_entry_contract.py tests/test_bench_contract.py -q "$@"
